@@ -1,0 +1,258 @@
+"""Query catalog — the driver-facing inventory.
+
+Each entry couples (a) a PySpark implementation of an operator from
+SURVEY.md §2 and (b) an equivalent ANSI-SQL oracle for DuckDB over the
+same parquet fixtures. `__spark_entry__.py` re-exports these.
+
+Determinism contract (FIXTURES.md §C): float scores are rounded to 6
+decimals *before* ranking in BOTH engines; all orderings tie-break by id;
+timestamps are epoch-based with the session pinned to UTC; every
+time-dependent expression takes the fixed ASOF below.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .functions.text import tokens, trust_score
+from .functions.vector import cosine_rounded, dot, l2_norm, query_vector_lit
+from .operators import fusion, intent as intent_mod, keyword, semantic
+from .operators.context import neighbor_context
+from .plans.hybrid import hybrid_search
+
+ASOF = "2024-06-01 00:00:00"  # injected clock for trust decay (Q2)
+FLAGSHIP_QUERY = "how to merge fast table join"
+FLAGSHIP_TERMS = ("fast", "how", "join", "merge", "table", "to")
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .collect()[0]
+    )
+    return list(row["embedding"])
+
+
+# SQL fragment: cosine(embedding, query vec_id=0) rounded to 6, matching
+# functions/vector.cosine_rounded structurally: dot / (l2(a) * l2(b)).
+_SQL_COS_Q0 = """
+    round(
+      list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+      / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 6)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q1/Q2 — semantic top-k (brute-force cosine scan)  [vector_store.cpp:206-237]
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_semantic_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id AS vec_id, {_SQL_COS_Q0} AS score
+    FROM embeddings e, q
+    ORDER BY score DESC, vec_id ASC
+    LIMIT 20
+    """,
+)
+def q1_semantic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic.semantic_topk(emb, _query_vec(spark, sf_dir), k=20)
+
+
+# ---------------------------------------------------------------------------
+# Q3 — keyword / FTS-analog search  [vector_store.cpp:248-275]
+# ---------------------------------------------------------------------------
+
+_SQL_TOKENS = "unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))"
+_SQL_TERMS = "(" + ", ".join(f"'{t}'" for t in FLAGSHIP_TERMS) + ")"
+
+@register(
+    "q3_keyword_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT id, tok FROM (
+        SELECT doc_id AS id, {_SQL_TOKENS} AS tok FROM documents
+      ) WHERE tok IN {_SQL_TERMS}
+    )
+    SELECT id, count(*)::BIGINT AS match_cnt, count(*)::DOUBLE AS kw_score
+    FROM toks GROUP BY id
+    ORDER BY match_cnt DESC, id ASC
+    LIMIT 20
+    """,
+)
+def q3_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return keyword.keyword_search(
+        docs, FLAGSHIP_QUERY, 20, id_col="doc_id", text_col="text"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8/Q10/Q13 — the flagship hybrid RRF plan  [vector_store.cpp:277-574]
+# ---------------------------------------------------------------------------
+
+def _hybrid_oracle(k: int = 5) -> str:
+    it = intent_mod.detect_intent(FLAGSHIP_QUERY)
+    r = intent_mod.route(it)
+    depth = k * r.depth_mult
+    bias = 1.0 * r.stability_mult * 0.1  # no log history → stability 1.0
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    sem AS (
+      SELECT d.doc_id AS id, {_SQL_COS_Q0} AS sim
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id, q
+    ),
+    sem_ranked AS (
+      SELECT id, row_number() OVER (ORDER BY sim DESC, id ASC)::BIGINT AS semantic_rank
+      FROM sem QUALIFY semantic_rank <= {depth}
+    ),
+    kw AS (
+      SELECT id, count(*)::BIGINT AS match_cnt FROM (
+        SELECT DISTINCT id, tok FROM (
+          SELECT doc_id AS id, {_SQL_TOKENS} AS tok FROM documents
+        ) WHERE tok IN {_SQL_TERMS}
+      ) GROUP BY id
+    ),
+    kw_ranked AS (
+      SELECT id, row_number() OVER (ORDER BY match_cnt DESC, id ASC)::BIGINT AS keyword_rank
+      FROM kw QUALIFY keyword_rank <= {depth}
+    ),
+    fused AS (
+      SELECT coalesce(s.id, w.id) AS id,
+             coalesce(s.semantic_rank, 0)::BIGINT AS semantic_rank,
+             coalesce(w.keyword_rank, 0)::BIGINT AS keyword_rank,
+             (CASE WHEN s.semantic_rank IS NOT NULL
+                   THEN {r.w_semantic} * (1.0 / (60.0 + s.semantic_rank)) ELSE 0.0 END
+              + CASE WHEN w.keyword_rank IS NOT NULL
+                     THEN {r.w_keyword} * (1.0 / (60.0 + w.keyword_rank)) ELSE 0.0 END
+              + {bias}) AS score
+      FROM sem_ranked s FULL OUTER JOIN kw_ranked w ON s.id = w.id
+    )
+    SELECT f.id AS id, f.semantic_rank, f.keyword_rank, f.score, d.text AS text
+    FROM fused f LEFT JOIN documents d ON d.doc_id = f.id
+    ORDER BY f.score DESC, f.id ASC
+    LIMIT {k}
+    """
+
+
+@register("hybrid_rrf", oracle=_hybrid_oracle())
+def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    return hybrid_search(docs, emb, FLAGSHIP_QUERY, _query_vec(spark, sf_dir), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Q2 — trust/recency decay scoring  [vector_store.cpp:221-225]
+# ---------------------------------------------------------------------------
+
+@register(
+    "q2_trust_decay",
+    oracle=f"""
+    SELECT event_id,
+           round(1.0 * greatest(0.5, 1.0 - (epoch(TIMESTAMP '{ASOF}') - epoch(ts))
+                                       / (3600.0 * 24.0 * 30.0)), 6) AS trust
+    FROM events
+    ORDER BY event_id
+    LIMIT 1000
+    """,
+)
+def q2_trust_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    asof = F.to_timestamp(F.lit(ASOF))
+    return (
+        ev.select(
+            "event_id",
+            F.round(trust_score(F.lit(1.0), F.col("ts"), asof), 6).alias("trust"),
+        )
+        .orderBy("event_id")
+        .limit(1000)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 — intent classification  [vector_store.cpp:239-246]
+# ---------------------------------------------------------------------------
+
+_SQL_INTENT = """
+    CASE
+      WHEN regexp_matches(lower(d.text), '\\b(what is|define|definition of|meaning of|theorem|lemma)\\b') THEN 'definition'
+      WHEN regexp_matches(lower(d.text), '\\b(how to|steps to|procedure for|process of)\\b') THEN 'procedure'
+      WHEN regexp_matches(lower(d.text), '\\b(summary|overview|explain chapter|summarize)\\b') THEN 'summary'
+      WHEN regexp_matches(lower(d.text), '\\b(example|illustration|case study|walkthrough)\\b') THEN 'example'
+      ELSE 'general'
+    END
+"""
+
+@register(
+    "q4_intent_classify",
+    oracle=f"""
+    SELECT {_SQL_INTENT} AS intent, count(*)::BIGINT AS n
+    FROM documents d GROUP BY 1 ORDER BY intent
+    """,
+)
+def q4_intent_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(intent_mod.detect_intent_col(F.col("text")).alias("intent"))
+        .groupBy("intent")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("intent")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — neighbor-context window  [vector_store.cpp:687-702]
+# ---------------------------------------------------------------------------
+
+@register(
+    "q15_context_window",
+    oracle="""
+    SELECT doc_id,
+           string_agg(text, ' \n') OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS context
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q15_context_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = neighbor_context(
+        docs, 2, doc_col="source", idx_col="doc_id", text_col="text"
+    )
+    return out.select("doc_id", "context").orderBy("doc_id")

@@ -1,0 +1,76 @@
+"""Q3 — keyword (FTS analog) search + the derived inverted index.
+
+Reference: SQLite FTS5 virtual table `embeddings_fts` + semi-join
+`WHERE id IN (SELECT rowid ... MATCH :q)` with flat score 0.5
+(`vector_store.cpp:89,248-275`). Spark-first replacement: the inverted
+index is a *derived DataFrame* (token, id) built by explode — not a
+dual-written side structure — and the MATCH is a join against the query's
+token set. We score by the number of distinct query terms matched
+(match_cnt; a declared upgrade over the reference's flat 0.5 — SURVEY
+§2.4 Q3), with the flat-score mode available for strict parity.
+
+Scale notes: the query-term set is tiny → Catalyst broadcasts it, so the
+"index probe" is a map-side hash semi-join over the token scan; the
+groupBy(id) agg is partial-aggregated map-side. At 100 TB you'd persist
+fts_index partitioned/bucketed by token so a term probe prunes to a few
+buckets instead of scanning all postings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.text import tokens
+
+
+def build_fts_index(
+    chunks: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    heading_col: str | None = None,
+) -> DataFrame:
+    """Inverted index (token, id), distinct. When a heading column is given
+    its tokens are indexed too — the reference's `[CONTEXT: <heading>]`
+    augmentation (`vector_store.cpp:195-200`)."""
+    body = F.col(text_col)
+    if heading_col is not None:
+        body = F.concat_ws(" ", F.coalesce(F.col(heading_col), F.lit("")), body)
+    return (
+        chunks.select(F.col(id_col).alias("id"), F.explode(tokens(body)).alias("token"))
+        .distinct()
+    )
+
+
+def query_terms_df(spark: SparkSession, query_text: str) -> DataFrame:
+    """The query's distinct token set as a 1-column DataFrame."""
+    import re
+
+    terms = sorted(set(t for t in re.split(r"[^a-z0-9]+", query_text.lower()) if t))
+    return spark.createDataFrame([(t,) for t in terms], "token string")
+
+
+def keyword_search(
+    chunks: DataFrame,
+    query_text: str,
+    limit: int,
+    id_col: str = "id",
+    text_col: str = "text",
+    fts_index: DataFrame | None = None,
+    flat_score: bool = False,
+) -> DataFrame:
+    """ids matching any query term, ranked by distinct-term match count
+    (desc), id asc; columns (id, match_cnt, kw_score)."""
+    spark = chunks.sparkSession
+    idx = fts_index if fts_index is not None else build_fts_index(chunks, id_col, text_col)
+    terms = query_terms_df(spark, query_text)
+    matched = (
+        idx.join(F.broadcast(terms), "token")
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("match_cnt"))
+    )
+    score = F.lit(0.5) if flat_score else F.col("match_cnt").cast("double")
+    return (
+        matched.withColumn("kw_score", score)
+        .orderBy(F.col("match_cnt").desc(), F.col("id").asc())
+        .limit(limit)
+    )

@@ -1,0 +1,78 @@
+"""The flagship composed plan — hybrid retrieval end-to-end.
+
+Reference lifecycle: SURVEY §3.2 / `vector_store.cpp:277-574`. Pipeline:
+intent → routing(weights, depth) → [semantic cosine rank ∥ keyword match
+rank] → weighted RRF full-outer merge → stability bias → (score desc, id
+asc) → top-k.
+
+Deliberately omitted from the batch correctness path (SURVEY §2.4):
+the two-layer query cache (Q14 — batch recompute is deterministic), the
+latency-EMA degradation ladder (Q6 — serving concern; Spark's analog is
+AQE), and the warmup (Q17). MMR/exploration (Q11/Q12) live in
+operators/mmr.py and are opt-in, as in the reference
+(`SearchOptions.experimentalMmr`).
+
+Scale shape: one pass over the corpus for the semantic branch (codegen'd
+cosine + TakeOrdered k-heap, no global sort), one broadcast-probe over the
+inverted index for the keyword branch; everything after the two depth-
+truncated branch results is a few dozen rows — driver-negligible,
+broadcast-joined. No shuffle touches the 100 TB side.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..operators import fusion, intent as intent_mod, keyword, semantic
+
+
+def hybrid_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_text: str,
+    query_vec: Sequence[float],
+    k: int = 5,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    logs: DataFrame | None = None,
+    fts_index: DataFrame | None = None,
+) -> DataFrame:
+    """Returns (id, semantic_rank, keyword_rank, score, text) top-k."""
+    it = intent_mod.detect_intent(query_text)
+    r = intent_mod.route(it)
+    depth = k * r.depth_mult
+
+    corpus = docs.select(F.col(doc_id).alias("id"), F.col(text_col).alias("text"))
+    vecs = embeddings.select(F.col(vec_id).alias("id"), F.col(vec_col).alias("vec"))
+
+    sem_scored = semantic.score_cosine(
+        corpus.join(vecs, "id"), query_vec, vec_col="vec", out_col="sim"
+    )
+    sem_ranked = fusion.rank_branch(sem_scored, "sim", "id", "semantic_rank", depth)
+
+    kw = keyword.keyword_search(corpus, query_text, depth, id_col="id", text_col="text")
+    kw_ranked = (
+        kw.select("id", "match_cnt")
+        .withColumn(
+            "keyword_rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("match_cnt").desc(), F.col("id").asc()))
+            .cast("long"),
+        )
+        .select("id", "keyword_rank")
+    )
+
+    fused = fusion.rrf_fuse(sem_ranked, kw_ranked, r.w_semantic, r.w_keyword)
+    stability = fusion.query_stability(logs, query_text)
+    scored = fusion.apply_stability_bias(fused, stability, r.stability_mult)
+
+    return (
+        scored.join(corpus, "id", "left")
+        .select("id", "semantic_rank", "keyword_rank", "score", "text")
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )

@@ -1,0 +1,97 @@
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every `queries()` entry on Spark and its `oracle_sql()` on DuckDB at
+sf0.01, compares row count, column names, and an order-insensitive value
+comparison (rows sorted, floats to 9 significant digits).
+
+Usage: python tools/verify_local.py [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def canon_rows(rows):
+    return sorted("|".join(canon(v) for v in row) for row in rows)
+
+
+def main(names=None):
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from ai_vector_database_converstion_from_pdf_spark.session import get_spark
+
+    spark = get_spark("verify-local", cpus=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    picked = names or sorted(qs)
+    failed = []
+    for name in picked:
+        fn = qs[name]
+        try:
+            sdf = fn(spark, SF_DIR)
+            spark_cols = [c.lower() for c in sdf.columns]
+            spark_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"pass {name}: rows-only ({len(spark_rows)} rows, no oracle)")
+            continue
+        try:
+            res = con.sql(oracles[name])
+            duck_cols = [c.lower() for c in res.columns]
+            duck_rows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error {e}")
+            failed.append(name)
+            continue
+        ok = True
+        if spark_cols != duck_cols:
+            print(f"FAIL {name}: columns {spark_cols} != {duck_cols}")
+            ok = False
+        elif len(spark_rows) != len(duck_rows):
+            print(f"FAIL {name}: rowcount {len(spark_rows)} != {len(duck_rows)}")
+            ok = False
+        else:
+            a, b = canon_rows(spark_rows), canon_rows(duck_rows)
+            if a != b:
+                diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                print(f"FAIL {name}: value mismatch, first diffs: {diffs}")
+                ok = False
+        if ok:
+            print(f"PASS {name} ({len(spark_rows)} rows)")
+        else:
+            failed.append(name)
+    print(f"\n{len(picked) - len(failed)}/{len(picked)} passed")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:] or None))
