@@ -239,6 +239,134 @@ def q4_intent_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q15 — neighbor-context window  [vector_store.cpp:687-702]
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Dedup suite — exact / n-gram Jaccard / MinHash+LSH / embedding cosine
+# (training-data pipeline extensions; BASELINE.json north star)
+# ---------------------------------------------------------------------------
+
+# shared SQL fragments mirroring operators/dedup.py exactly
+_SQL_SHINGLES = """
+    toks AS (
+      SELECT doc_id AS id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT id, array_to_string(ts[i:i+2], ' ') AS shingle
+      FROM toks, unnest(range(1, len(ts) - 1)) AS u(i)
+    )
+"""
+
+_SQL_JACCARD_FROM_SH = """
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT id_a, id_b,
+             round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+    )
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS text_hash,
+           min(doc_id) AS keeper_id,
+           count(*)::BIGINT AS dup_cnt
+    FROM documents GROUP BY 1
+    ORDER BY keeper_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs).orderBy("keeper_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_JACCARD_FROM_SH}
+    SELECT id_a, id_b, jaccard FROM jac
+    WHERE jaccard >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.8).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    mh AS (
+      SELECT id, s.seed AS seed,
+             min(md5(s.seed::VARCHAR || '|' || shingle)) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed) s
+      GROUP BY id, s.seed
+    ),
+    bands AS (
+      SELECT id, (seed // 4) AS band,
+             md5(string_agg(mh, ',' ORDER BY mh)) AS band_key
+      FROM mh GROUP BY id, (seed // 4)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+    ),
+    {_SQL_JACCARD_FROM_SH}
+    SELECT c.id_a, c.id_b, j.jaccard
+    FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+    WHERE j.jaccard >= 0.8
+    ORDER BY c.id_a, c.id_b
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.8).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+             list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+             6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(
+             list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+             6) >= 0.45
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.45).orderBy("id_a", "id_b")
+
+
 @register(
     "q15_context_window",
     oracle="""
