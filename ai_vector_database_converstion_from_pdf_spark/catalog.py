@@ -367,6 +367,323 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=0.45).orderBy("id_a", "id_b")
 
 
+# ---------------------------------------------------------------------------
+# Text analysis suite (training-data curation extensions)
+# ---------------------------------------------------------------------------
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _text_profile_oracle() -> str:
+    from .operators.textstats import BPE_TOKEN_RE, LANG_MARKERS, STOPWORDS
+
+    bpe_re = BPE_TOKEN_RE.replace("\\\\", "\\")
+    sw = _sql_list(STOPWORDS)
+    lang_cols = ",\n        ".join(
+        f"len(list_intersect(ts, {_sql_list(m)})) AS c_{lg}"
+        for lg, m in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"c_{lg}" for lg in langs) + ")"
+    lang_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN c_{lg} = {best} AND {best} > 0 THEN '{lg}'" for lg in langs
+        )
+        + " ELSE 'und' END"
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ts,
+             length(text) AS n
+      FROM documents
+    ),
+    stats AS (
+      SELECT doc_id, ts, n,
+        len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))::BIGINT AS ws_tokens,
+        len(regexp_extract_all(text, '{bpe_re}'))::BIGINT AS bpe_tokens,
+        CASE WHEN n = 0 THEN 0.0
+             ELSE (n - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE / n END AS praw,
+        CASE WHEN len(ts) = 0 THEN 0.0
+             ELSE len(list_filter(ts, x -> list_contains({sw}, x)))::DOUBLE / len(ts) END AS sraw,
+        CASE WHEN len(ts) = 0 THEN 0.0
+             ELSE list_aggregate(list_transform(ts, x -> length(x)), 'sum')::DOUBLE / len(ts) END AS mraw,
+        {lang_cols}
+      FROM base
+    )
+    SELECT doc_id, ws_tokens, bpe_tokens,
+           round(praw, 6) AS punct_ratio,
+           round(sraw, 6) AS stopword_ratio,
+           round(mraw, 6) AS mean_word_len,
+           round(
+             0.4 * (CASE WHEN n <= 0 THEN 0.0
+                         ELSE least(n::DOUBLE / 200.0, 1.0)
+                              * (CASE WHEN n > 4000 THEN 0.5 ELSE 1.0 END) END)
+             + 0.2 * greatest(0.0, 1.0 - praw * 4.0)
+             + 0.2 * (CASE WHEN sraw >= 0.05 AND sraw <= 0.6 THEN 1.0 ELSE 0.5 END)
+             + 0.2 * (CASE WHEN mraw >= 3.0 AND mraw <= 8.0 THEN 1.0 ELSE 0.5 END), 6) AS quality,
+           {lang_case} AS lang_pred,
+           md5(array_to_string(ts, ' ')) AS fingerprint
+    FROM stats
+    ORDER BY doc_id
+    """
+
+
+@register("text_profile", oracle=_text_profile_oracle())
+def text_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import text_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return text_profile(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search — multi-query brute-force kNN (exact); ANN paths are
+# recall-tested in tests/ (approximate results have no equality oracle)
+# ---------------------------------------------------------------------------
+
+@register(
+    "knn_multi",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             round(
+               list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 6) AS score
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT q_id, vec_id, score,
+           row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC)::BIGINT AS knn_rank
+    FROM scored
+    QUALIFY knn_rank <= 5
+    ORDER BY q_id, knn_rank
+    """,
+)
+def knn_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return semantic.knn_join(qs, emb, k=5).orderBy("q_id", "knn_rank")
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage (§2.8: joins / aggregations / windows / sort-limit)
+# over the TPC-H-ish tables. Double sums go through DECIMAL so the result
+# is independent of accumulation order (engine- and partition-stable).
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS sum_base_price,
+           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))::DOUBLE AS sum_disc_price,
+           sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)))::DOUBLE AS sum_charge,
+           count(*)::BIGINT AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.sum(disc.cast("decimal(18,6)")).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast("decimal(18,6)")).cast("double").alias("sum_charge"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC)::BIGINT AS rn
+      FROM orders)
+    WHERE rn <= 3
+    ORDER BY o_orderpriority, rn
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_orderpriority", "rn")
+    )
+
+
+@register(
+    "star_join_revenue",
+    oracle="""
+    SELECT n_name, r_name,
+           sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS revenue,
+           count(*)::BIGINT AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY n_name, r_name
+    ORDER BY n_name, r_name
+    """,
+)
+def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+        .orderBy("n_name", "r_name")
+    )
+
+
+@register(
+    "mode_per_group",
+    oracle="""
+    SELECT p_brand, p_size AS mode_size, cnt FROM (
+      SELECT p_brand, p_size, cnt,
+             row_number() OVER (PARTITION BY p_brand ORDER BY cnt DESC, p_size ASC) AS rn
+      FROM (SELECT p_brand, p_size, count(*)::BIGINT AS cnt FROM part GROUP BY 1, 2))
+    WHERE rn = 1
+    ORDER BY p_brand
+    """,
+)
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I7 analog — per-page baseline font = most frequent value
+    (`pdf_processor.cpp:242-251`), expressed as count + row_number."""
+    part = _t(spark, sf_dir, "part")
+    counts = part.groupBy("p_brand", "p_size").agg(F.count("*").cast("long").alias("cnt"))
+    w = Window.partitionBy("p_brand").orderBy(F.col("cnt").desc(), F.col("p_size").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_brand", F.col("p_size").alias("mode_size"), "cnt")
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: sessionization + tumbling-window aggregation (batch analogs of
+# the streaming path; reference analog = per-page incremental emission,
+# `pdf_processor.cpp:396-404`)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch(ts) AS sec, value FROM events
+    ),
+    gaps AS (
+      SELECT user_id, event_id, sec, value,
+             CASE WHEN lag(sec) OVER w IS NULL
+                       OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ),
+    sess AS (
+      SELECT user_id, sec, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id,
+           count(*)::BIGINT AS n_events,
+           round(max(sec) - min(sec), 6) AS duration_sec,
+           sum(CAST(value AS DECIMAL(18,6)))::DOUBLE AS sum_value
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    sec = F.col("ts").cast("double")
+    w = Window.partitionBy("user_id").orderBy(F.col("sec").asc(), F.col("event_id").asc())
+    gaps = ev.select("user_id", "event_id", sec.alias("sec"), "value").withColumn(
+        "new_sess",
+        F.when(
+            F.lag("sec").over(w).isNull() | (F.col("sec") - F.lag("sec").over(w) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sess = gaps.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.max("sec") - F.min("sec"), 6).alias("duration_sec"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "events_tumbling_window",
+    oracle="""
+    SELECT (floor(epoch(ts) / 300) * 300)::BIGINT AS window_start_epoch,
+           event_type,
+           count(*)::BIGINT AS n,
+           sum(CAST(value AS DECIMAL(18,6)))::DOUBLE AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    win = (F.floor(F.col("ts").cast("double") / 300) * 300).cast("long")
+    return (
+        ev.groupBy(win.alias("window_start_epoch"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("window_start_epoch", "event_type")
+    )
+
+
 @register(
     "q15_context_window",
     oracle="""

@@ -1,0 +1,176 @@
+"""Similarity search over embedding columns.
+
+Baseline: brute-force cosine top-k (operators/semantic.py — exact, one
+corpus scan, TakeOrdered k-heap). This module adds the *scale paths*:
+
+- `rp_lsh_buckets` / `ann_lsh_topk`: random-hyperplane (SimHash) LSH.
+  Sign-bit signatures over `n_planes` fixed hyperplanes (numpy seed 42 →
+  deterministic, shipped as literal arrays into the plan); candidates =
+  rows whose bucket matches the query's bucket in any of `n_tables`
+  independent tables; exact cosine re-scores candidates only. At 100 TB
+  the bucket table is precomputed once (a materialized column / Delta
+  table clustered by bucket) and each query touches only matching
+  partitions instead of the full corpus.
+
+- `ivf_topk`: inverted-file ANN — k-means-lite centroids (deterministic
+  seeded sample), each row assigned to nearest centroid (one broadcast
+  join), queries probe `n_probe` nearest centroids. Same precompute-once
+  story; probe cost is corpus/n_centroids × n_probe.
+
+Approximate results are NOT oracle-checked for equality (they're
+approximate by design); tests assert recall@k against the brute-force
+baseline instead — the honest contract for ANN.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.vector import cosine_rounded, dot, query_vector_lit
+
+
+def _planes(dim: int, n_planes: int, table: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed + 1000 * table)
+    return rng.standard_normal((n_planes, dim))
+
+
+def rp_signature(vec_col, planes: np.ndarray):
+    """Bit-string signature: one char per hyperplane ('1' if dot>=0)."""
+    bits = [
+        F.when(dot(vec_col, query_vector_lit(p)) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def rp_lsh_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table, bucket) — precompute-once index side of the ANN path."""
+    out = None
+    for t in range(n_tables):
+        planes = _planes(dim, n_planes, t)
+        part = embeddings.select(
+            F.col(id_col).alias("id"),
+            F.lit(t).alias("table"),
+            rp_signature(F.col(vec_col), planes).alias("bucket"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    query_vec,
+    k: int,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    buckets: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k: union of query-bucket matches across tables,
+    exact cosine on candidates only. Output (vec_id, score)."""
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    if buckets is None:
+        buckets = rp_lsh_buckets(embeddings, dim, n_planes, n_tables, id_col, vec_col)
+    # query signatures computed driver-side (tiny)
+    sigs = [
+        (t, "".join("1" if float(p @ q) >= 0 else "0" for p in _planes(dim, n_planes, t)))
+        for t in range(n_tables)
+    ]
+    spark = embeddings.sparkSession
+    qsig = spark.createDataFrame(sigs, "table int, bucket string")
+    cand_ids = (
+        buckets.join(F.broadcast(qsig), ["table", "bucket"], "left_semi")
+        .select("id")
+        .distinct()
+    )
+    cands = embeddings.join(
+        cand_ids, embeddings[id_col] == cand_ids["id"], "left_semi"
+    )
+    scored = cands.select(
+        F.col(id_col),
+        cosine_rounded(F.col(vec_col), query_vector_lit(q)).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, centroid_id) via argmax cosine over broadcast centroid set —
+    a single map-side pass (centroids ship as plan literals)."""
+    best_id, best_score = None, None
+    for cid, cvec in centroids:
+        s = cosine_rounded(F.col(vec_col), query_vector_lit(cvec))
+        if best_id is None:
+            best_id, best_score = F.lit(cid), s
+        else:
+            cond = s > best_score
+            best_id = F.when(cond, F.lit(cid)).otherwise(best_id)
+            best_score = F.when(cond, s).otherwise(best_score)
+    return embeddings.select(F.col(id_col).alias("id"), best_id.alias("centroid_id"))
+
+
+def sample_centroids(
+    embeddings: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic centroid pick: the n rows with smallest id (stand-in
+    for a seeded k-means; adequate for IVF bucketing semantics)."""
+    rows = (
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(i, list(r["v"])) for i, r in enumerate(rows)]
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec,
+    k: int,
+    centroids: list[tuple[int, list[float]]],
+    assignments: DataFrame,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the n_probe centroids nearest the query; exact cosine within
+    probed cells. Output (vec_id, score)."""
+    q = np.asarray(list(query_vec), dtype=np.float64)
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(a @ b / (na * nb)) if na and nb else 0.0
+
+    probed = sorted(
+        ((cos(np.asarray(c, dtype=np.float64), q), cid) for cid, c in centroids),
+        reverse=True,
+    )[:n_probe]
+    probe_ids = [cid for _, cid in probed]
+    cand_ids = assignments.filter(F.col("centroid_id").isin(probe_ids)).select("id")
+    cands = embeddings.join(
+        cand_ids, embeddings[id_col] == cand_ids["id"], "left_semi"
+    )
+    scored = cands.select(
+        F.col(id_col),
+        cosine_rounded(F.col(vec_col), query_vector_lit(q)).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

@@ -1,0 +1,135 @@
+"""Text-analysis operators for training-data pipelines.
+
+Extensions beyond the reference surface (BASELINE.json north star):
+language-ID (marker-token heuristic), quality scoring (length / punct /
+stopword ratios), token counting (whitespace + BPE-ish regex), and
+document fingerprinting. The reference's nearest analogs are its
+chunk-type classifier (`pdf_processor.cpp:298-333`, regex+ratio scoring
+over text blocks) and the sentence counter (`pdf_processor.cpp:354-355`);
+these generalize the same expression-tree style to corpus curation.
+
+Everything here is a pure column expression — whole-stage codegen, zero
+UDFs, so a 100 TB curation pass runs at parquet-scan speed with
+map-side-only work (no shuffle at all for per-doc stats).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.text import tokens
+
+# Minimal marker sets per language. Deliberately tiny + lowercase: the
+# point is a deterministic, SQL-reproducible heuristic, not accuracy.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "a", "in", "that"),
+    "es": ("el", "la", "de", "que", "los", "una", "por"),
+    "fr": ("le", "les", "des", "une", "est", "dans", "pour"),
+    "de": ("der", "die", "das", "und", "ein", "nicht", "mit"),
+    "zh": ("de", "shi", "le", "bu", "wo", "zhe"),
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+# BPE-ish word/number/punct segmentation (GPT-2-style simplified):
+# runs of letters, runs of digits, or single non-space symbols.
+BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace tokens (empty-safe)."""
+    return F.size(F.filter(F.split(F.trim(text), "\\s+"), lambda t: t != "")).cast(
+        "long"
+    )
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish segments via regexp_extract_all."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)).cast("long")
+
+
+def punct_ratio(text: Column) -> Column:
+    """punctuation chars / total chars (0 for empty)."""
+    n = F.length(text)
+    p = n - F.length(F.regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(p.cast("double") / n.cast("double"))
+
+
+def stopword_ratio(text: Column) -> Column:
+    """stopword tokens / total tokens (0 for empty)."""
+    ts = tokens(text)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_sw = F.size(F.filter(ts, lambda t: F.array_contains(sw, t)))
+    n = F.size(ts)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        n_sw.cast("double") / n.cast("double")
+    )
+
+
+def mean_word_len(text: Column) -> Column:
+    ts = tokens(text)
+    total = F.aggregate(ts, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(ts) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(ts).cast("double")
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: rewards 50-2000 char docs with
+    low punct density, a natural stopword rate, and 3-8 char mean words.
+    Weights fixed; the exact formula is the spec (oracle mirrors it)."""
+    n = F.length(text)
+    len_term = F.when(n <= 0, 0.0).otherwise(
+        F.least(n.cast("double") / 200.0, F.lit(1.0))
+        * F.when(n > 4000, 0.5).otherwise(1.0)
+    )
+    punct_term = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 4.0)
+    sw = stopword_ratio(text)
+    sw_term = F.when((sw >= 0.05) & (sw <= 0.6), 1.0).otherwise(0.5)
+    mwl = mean_word_len(text)
+    mwl_term = F.when((mwl >= 3.0) & (mwl <= 8.0), 1.0).otherwise(0.5)
+    return F.round(
+        0.4 * len_term + 0.2 * punct_term + 0.2 * sw_term + 0.2 * mwl_term, 6
+    )
+
+
+def lang_marker_counts(text: Column) -> dict[str, Column]:
+    """Distinct marker tokens of each language present in the text."""
+    ts = tokens(text)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.array_intersect(ts, arr))
+    return out
+
+
+def detect_lang(text: Column) -> Column:
+    """argmax over marker counts; priority order en>es>fr>de>zh on ties;
+    'und' when no marker hits at all."""
+    c = lang_marker_counts(text)
+    best = F.greatest(*[c[lg] for lg in LANG_MARKERS])
+    expr = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):  # reversed → first match wins
+        expr = F.when((c[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of the normalized token stream (rolling-
+    hash analog that is order-sensitive but whitespace/punct-insensitive)."""
+    return F.md5(F.array_join(tokens(text), " "))
+
+
+def text_profile(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        ws_token_count(t).alias("ws_tokens"),
+        bpe_token_count(t).alias("bpe_tokens"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(mean_word_len(t), 6).alias("mean_word_len"),
+        quality_score(t).alias("quality"),
+        detect_lang(t).alias("lang_pred"),
+        doc_fingerprint(t).alias("fingerprint"),
+    )
