@@ -112,17 +112,25 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, centroid_id) via argmax cosine over broadcast centroid set —
-    a single map-side pass (centroids ship as plan literals)."""
-    best_id, best_score = None, None
-    for cid, cvec in centroids:
-        s = cosine_rounded(F.col(vec_col), query_vector_lit(cvec))
-        if best_id is None:
-            best_id, best_score = F.lit(cid), s
-        else:
-            cond = s > best_score
-            best_id = F.when(cond, F.lit(cid)).otherwise(best_id)
-            best_score = F.when(cond, s).otherwise(best_score)
-    return embeddings.select(F.col(id_col).alias("id"), best_id.alias("centroid_id"))
+    a single map-side pass (centroids ship as plan literals).
+
+    Implementation note: argmax via array_max over (score, -cid) structs —
+    a chained when/otherwise would *double* the expression tree per
+    centroid (each branch re-embeds the previous best), which blows up
+    codegen past ~12 centroids; the array form stays linear."""
+    arr = F.array(
+        *[
+            F.struct(
+                cosine_rounded(F.col(vec_col), query_vector_lit(cvec)).alias("score"),
+                F.lit(-cid).alias("ncid"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    best = F.array_max(arr)  # max score; ties -> max(-cid) = smallest cid
+    return embeddings.select(
+        F.col(id_col).alias("id"), (-best["ncid"]).cast("int").alias("centroid_id")
+    )
 
 
 def sample_centroids(

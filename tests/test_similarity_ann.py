@@ -1,0 +1,85 @@
+"""ANN paths are approximate — the honest contract is recall against the
+exact brute-force baseline, not equality. Exact kNN itself is oracle-
+checked in test_catalog_oracle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").cache()
+
+
+def _exact_topk_ids(emb, qvec, k):
+    from ai_vector_database_converstion_from_pdf_spark.operators.semantic import semantic_topk
+
+    return [r["vec_id"] for r in semantic_topk(emb, qvec, k).collect()]
+
+
+def _qvec(emb, vid):
+    return list(emb.filter(F.col("vec_id") == vid).collect()[0]["embedding"])
+
+
+def test_lsh_recall(spark, emb):
+    from ai_vector_database_converstion_from_pdf_spark.operators.similarity import (
+        ann_lsh_topk,
+        rp_lsh_buckets,
+    )
+
+    # Fixture neighbors are weakly similar (cos ~0.2-0.5), so the right
+    # LSH regime is short signatures x many tables: per-plane collision
+    # p = 1 - theta/pi ~ 0.6 here, so 4 planes x 12 tables gives ~0.7-0.85
+    # table-level recall for true top-10 neighbors.
+    buckets = rp_lsh_buckets(emb, DIM, n_planes=4, n_tables=12).cache()
+    recalls = []
+    for vid in (0, 7, 42):
+        q = _qvec(emb, vid)
+        exact = set(_exact_topk_ids(emb, q, 10))
+        approx = set(
+            r["vec_id"]
+            for r in ann_lsh_topk(emb, q, 10, DIM, 4, 12, buckets=buckets).collect()
+        )
+        recalls.append(len(exact & approx) / 10)
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+    # the query's own vector must always be found (hash collision with self)
+    q0 = _qvec(emb, 0)
+    top = ann_lsh_topk(emb, q0, 1, DIM, 4, 12).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["score"] == 1.0
+
+
+def test_lsh_candidates_shrink(spark, emb):
+    """LSH must actually prune: candidate set well under the corpus."""
+    from ai_vector_database_converstion_from_pdf_spark.operators.similarity import (
+        _planes,
+        rp_lsh_buckets,
+    )
+
+    buckets = rp_lsh_buckets(emb, DIM, n_planes=8, n_tables=4)
+    sizes = buckets.groupBy("table", "bucket").count().agg(F.max("count")).collect()[0][0]
+    total = emb.count()
+    assert sizes < total * 0.25, f"largest bucket {sizes} of {total}"
+
+
+def test_ivf_recall(spark, emb):
+    from ai_vector_database_converstion_from_pdf_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        sample_centroids,
+    )
+
+    cents = sample_centroids(emb, 16)
+    assign = ivf_assign(emb, cents).cache()
+    # every row assigned exactly once
+    assert assign.count() == emb.count()
+    q = _qvec(emb, 3)
+    exact = set(_exact_topk_ids(emb, q, 10))
+    approx = set(r["vec_id"] for r in ivf_topk(emb, q, 10, cents, assign, n_probe=4).collect())
+    assert len(exact & approx) / 10 >= 0.3
+    # probing all cells must equal exact search
+    full = [r["vec_id"] for r in ivf_topk(emb, q, 10, cents, assign, n_probe=16).collect()]
+    assert set(full) == exact
