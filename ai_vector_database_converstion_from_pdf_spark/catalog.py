@@ -684,6 +684,275 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Ingestion ETL (SURVEY §2.1) — the PDF-layout operators exercised over a
+# deterministic synthetic line fixture derived from `part` (25 brands as
+# docs, 6 slots/page: header, heading, 2 body lines, a bullet line, a
+# bare page number). Geometry puts slot 0 in the top margin band and the
+# page number in the bottom band, so I2/I3 have real work to do.
+# ---------------------------------------------------------------------------
+
+PAGE_H = 792.0
+
+_SQL_SYN_LINES = """
+    syn AS (
+      SELECT p_brand AS doc,
+             row_number() OVER (PARTITION BY p_brand ORDER BY p_partkey) - 1 AS i,
+             p_name
+      FROM part
+    ),
+    lines AS (
+      SELECT doc, i,
+             (i // 6 + 1)::INT AS page,
+             (792.0 - 40.0 - (i % 6) * 142.0)::DOUBLE AS top,
+             CASE WHEN i % 6 = 0 THEN 'Quarterly Report Draft'
+                  WHEN i % 6 = 5 THEN (i // 6 + 1)::VARCHAR
+                  WHEN i % 6 = 4 THEN '- ' || p_name
+                  ELSE p_name END AS text,
+             CASE WHEN i % 6 = 1 THEN
+                    CASE WHEN (i // 6 + 1) % 3 = 0 THEN 16.0
+                         WHEN (i // 6 + 1) % 3 = 1 THEN 13.0
+                         ELSE 12.0 END
+                  ELSE 10.0 END AS font_size,
+             CASE WHEN i % 6 = 1 THEN 700 ELSE 400 END AS font_weight
+      FROM syn
+    )
+"""
+
+_SQL_FILTERED_LINES = """
+    freqs AS (
+      SELECT doc, trim(regexp_replace(lower(text), '[0-9]', '', 'g')) AS norm,
+             count(*) AS freq
+      FROM lines
+      WHERE length(trim(regexp_replace(lower(text), '[0-9]', '', 'g'))) > 3
+      GROUP BY 1, 2
+    ),
+    filtered AS (
+      SELECT l.*
+      FROM lines l
+      LEFT JOIN freqs f
+        ON f.doc = l.doc
+       AND f.norm = trim(regexp_replace(lower(l.text), '[0-9]', '', 'g'))
+      WHERE NOT (length(trim(regexp_replace(lower(l.text), '[0-9]', '', 'g'))) > 3
+                 AND coalesce(f.freq, 0) > 5
+                 AND (l.top > 792.0 * 0.85 OR l.top < 792.0 * 0.15))
+        AND NOT (length(l.text) < 5 AND regexp_matches(l.text, '^\\s*[0-9]+\\s*$'))
+    )
+"""
+
+
+def _synthetic_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_partkey")
+    i = (F.row_number().over(w) - 1).cast("long")
+    base = part.select(F.col("p_brand").alias("doc"), F.col("p_name"), i.alias("i"))
+    slot = F.col("i") % 6
+    page = (F.floor(F.col("i") / 6) + 1).cast("int")
+    return base.select(
+        "doc",
+        "i",
+        page.alias("page"),
+        (F.lit(PAGE_H) - 40.0 - slot.cast("double") * 142.0).alias("top"),
+        F.when(slot == 0, "Quarterly Report Draft")
+        .when(slot == 5, page.cast("string"))
+        .when(slot == 4, F.concat(F.lit("- "), F.col("p_name")))
+        .otherwise(F.col("p_name"))
+        .alias("text"),
+        F.when(
+            slot == 1,
+            F.when(page % 3 == 0, 16.0).when(page % 3 == 1, 13.0).otherwise(12.0),
+        )
+        .otherwise(10.0)
+        .alias("font_size"),
+        F.when(slot == 1, 700).otherwise(400).alias("font_weight"),
+    )
+
+
+def _filtered_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ingest import filter_noise_lines
+
+    return filter_noise_lines(_synthetic_lines(spark, sf_dir), PAGE_H)
+
+
+@register(
+    "ingest_noise_filter",
+    oracle=f"""
+    WITH {_SQL_SYN_LINES}, {_SQL_FILTERED_LINES}
+    SELECT doc, i, text FROM filtered ORDER BY doc, i
+    """,
+)
+def ingest_noise_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2 header/footer frequency filter + I3 bare-page-number filter
+    (`pdf_processor.cpp:33-64,189-201`)."""
+    return _filtered_lines(spark, sf_dir).select("doc", "i", "text").orderBy("doc", "i")
+
+
+@register(
+    "ingest_heading_levels",
+    oracle=f"""
+    WITH {_SQL_SYN_LINES}, {_SQL_FILTERED_LINES},
+    counts AS (
+      SELECT doc, page, font_size::INT AS fsz, count(*) AS cnt
+      FROM filtered GROUP BY 1, 2, 3
+    ),
+    base AS (
+      SELECT doc, page, fsz::DOUBLE AS baseline FROM (
+        SELECT doc, page, fsz, row_number() OVER (
+          PARTITION BY doc, page ORDER BY cnt DESC, fsz ASC) AS rn
+        FROM counts) WHERE rn = 1
+    )
+    SELECT f.doc, f.i,
+      (CASE
+        WHEN (regexp_matches(trim(f.text), '^(Chapter|PART)\\s+([0-9]+)', 'i')
+              OR (f.font_size >= b.baseline + 2.0 AND length(f.text) < 120
+                  AND f.font_size >= b.baseline + 6.0))
+             AND length(trim(f.text)) < 100 THEN 1
+        WHEN (regexp_matches(trim(f.text), '^([0-9]+\\.[0-9]+)\\s+(.*)')
+              OR (f.font_size >= b.baseline + 2.0 AND length(f.text) < 120
+                  AND f.font_size >= b.baseline + 3.0))
+             AND length(trim(f.text)) < 120 THEN 2
+        WHEN (regexp_matches(trim(f.text), '^([0-9]+\\.[0-9]+\\.[0-9]+)\\s+(.*)')
+              OR (f.font_size >= b.baseline + 2.0 AND length(f.text) < 120
+                  AND f.font_weight > 600))
+             AND length(trim(f.text)) < 150 THEN 3
+        ELSE 0 END)::INT AS heading_level
+    FROM filtered f JOIN base b ON b.doc = f.doc AND b.page = f.page
+    ORDER BY f.doc, f.i
+    """,
+)
+def ingest_heading_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I7 baseline font (mode) + I8 heading level rules
+    (`pdf_processor.cpp:242-289`). n_lines=1 for the line fixture."""
+    from .operators.ingest import baseline_font, heading_level_col
+
+    fl = _filtered_lines(spark, sf_dir)
+    base = baseline_font(fl, doc_col="doc", page_col="page")
+    joined = fl.join(base, ["doc", "page"])
+    return joined.select(
+        "doc",
+        "i",
+        heading_level_col(
+            F.col("text"), F.col("font_size"), F.col("font_weight"), F.lit(1), F.col("baseline")
+        ).alias("heading_level"),
+    ).orderBy("doc", "i")
+
+
+@register(
+    "ingest_chunk_types",
+    oracle=f"""
+    WITH {_SQL_SYN_LINES}, {_SQL_FILTERED_LINES},
+    feats AS (
+      SELECT doc, i, text, trim(text) AS p,
+             length(text) - length(regexp_replace(text, '[{{}};()#<>:=-]', '', 'g')) AS symbols,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS nums,
+             length(text) - length(regexp_replace(text, '\\.', '', 'g')) AS periods
+      FROM filtered
+    )
+    SELECT doc, i,
+      CASE
+        WHEN (CASE WHEN symbols > 2 THEN 4 ELSE 0 END
+              + CASE WHEN regexp_matches(p, '\\b(int|class|public|void|return|const|template|static|if|else|for|while)\\b') THEN 3 ELSE 0 END
+              + CASE WHEN text LIKE '    %' OR text LIKE chr(9) || '%' THEN 3 ELSE 0 END) >= 5
+          THEN 'code'
+        WHEN nums > 3 AND periods < 0.5 THEN 'table'
+        WHEN p LIKE '•%' OR p LIKE '-%' OR p LIKE '*%' THEN 'list'
+        WHEN regexp_matches(p, '^([0-9]+|[a-zA-Z])\\)') THEN 'list'
+        WHEN regexp_extract(p, '(?i)(Definition|Theorem|Lemma|Corollary)[:\\s+]', 1) <> ''
+             AND strpos(p, regexp_extract(p, '(?i)(Definition|Theorem|Lemma|Corollary)[:\\s+]', 1)) <= 5
+          THEN 'definition'
+        WHEN regexp_extract(p, '(?i)^(Definition|Example|Theorem|Summary|Exercise|Corollary|Lemma|Proof)[:\\s+]', 1) <> ''
+          THEN lower(regexp_extract(p, '(?i)^(Definition|Example|Theorem|Summary|Exercise|Corollary|Lemma|Proof)[:\\s+]', 1))
+        ELSE 'text' END AS chunk_type
+    FROM feats
+    ORDER BY doc, i
+    """,
+)
+def ingest_chunk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I9 chunk-type classifier (`pdf_processor.cpp:298-333`) as a pure
+    expression; n_lines=1 per synthetic line."""
+    from .operators.ingest import SYMBOL_CLASS, chunk_type_col
+
+    fl = _filtered_lines(spark, sf_dir)
+    symbols = F.length("text") - F.length(F.regexp_replace("text", SYMBOL_CLASS, ""))
+    nums = F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
+    return fl.select(
+        "doc",
+        "i",
+        chunk_type_col(F.col("text"), F.lit(1), symbols, nums).alias("chunk_type"),
+    ).orderBy("doc", "i")
+
+
+@register(
+    "i12_doc_identity",
+    oracle="""
+    SELECT doc_id, md5(source || '_' || n_chars::VARCHAR) AS doc_md5
+    FROM documents ORDER BY doc_id
+    """,
+)
+def i12_doc_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ingest import doc_identity
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", doc_identity(F.col("source"), F.col("n_chars")).alias("doc_md5")
+    ).orderBy("doc_id")
+
+
+@register(
+    "i15_section_agg",
+    oracle="""
+    SELECT source,
+           length(substr(string_agg(text, chr(10) ORDER BY doc_id), 1, 5000))::BIGINT AS section_chars,
+           substr(string_agg(text, chr(10) ORDER BY doc_id), 1, 200) AS summary
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def i15_section_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I15 section aggregation for summaries (`mainwindow.cpp:263-267,
+    763-801`): ordered concat per section, first 5000 chars to the
+    summarizer; the summarizer itself is a pluggable UDF — here the
+    deterministic stub (first 200 chars), as FIXTURES.md §C prescribes."""
+    docs = _t(spark, sf_dir, "documents")
+    ordered_concat = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+            lambda s: s["text"],
+        ),
+        "\n",
+    )
+    agg = docs.groupBy("source").agg(ordered_concat.alias("all_text"))
+    section = F.substring(F.col("all_text"), 1, 5000)
+    return agg.select(
+        "source",
+        F.length(section).cast("long").alias("section_chars"),
+        F.substring(section, 1, 200).alias("summary"),
+    ).orderBy("source")
+
+
+@register("ingest_chunker")
+def ingest_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I10 greedy chunker (`pdf_processor.cpp:259-389`) — sequential
+    accumulate/split/overlap per doc via applyInPandas; docs parallelize.
+    No SQL oracle (stateful loop semantics); rows-only driver check +
+    golden unit tests in tests/test_ingest.py."""
+    from .operators.ingest import baseline_font, chunk_documents
+
+    fl = _filtered_lines(spark, sf_dir)
+    blocks = fl.select(
+        "doc",
+        "page",
+        F.col("i").alias("ord"),
+        "text",
+        "font_size",
+        "font_weight",
+        F.lit(1).alias("n_lines"),
+        F.lit(0).alias("symbols"),
+        F.lit(0).alias("nums"),
+    )
+    base = baseline_font(blocks, doc_col="doc", page_col="page")
+    return chunk_documents(blocks, baselines=base).orderBy("doc", "chunk_idx")
+
+
 @register(
     "q15_context_window",
     oracle="""
