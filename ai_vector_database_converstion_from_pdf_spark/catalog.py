@@ -308,21 +308,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.8).orderBy("id_a", "id_b")
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
+def _minhash_oracle(n_hashes: int = 16, band_size: int = 4) -> str:
+    from .operators.dedup import MINHASH_PRIME, X_MOD, _affine
+
+    mh_cols = []
+    for i in range(n_hashes):
+        a, b = _affine(i)
+        mh_cols.append(f"min(({a} * x + {b}) % {MINHASH_PRIME}) AS mh{i}")
+    band_selects = []
+    for bd in range(n_hashes // band_size):
+        parts = " || ',' || ".join(
+            f"mh{bd * band_size + j}::VARCHAR" for j in range(band_size)
+        )
+        band_selects.append(
+            f"SELECT id, {bd} AS band, md5({parts}) AS band_key FROM sigs"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    return f"""
     WITH {_SQL_SHINGLES},
-    mh AS (
-      SELECT id, s.seed AS seed,
-             min(md5(s.seed::VARCHAR || '|' || shingle)) AS mh
-      FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed) s
-      GROUP BY id, s.seed
+    xh AS (
+      SELECT id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {X_MOD} AS x
+      FROM sh
     ),
-    bands AS (
-      SELECT id, (seed // 4) AS band,
-             md5(string_agg(mh, ',' ORDER BY mh)) AS band_key
-      FROM mh GROUP BY id, (seed // 4)
-    ),
+    sigs AS (SELECT id, {", ".join(mh_cols)} FROM xh GROUP BY id),
+    bands AS ({bands_sql}),
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM bands a JOIN bands b
@@ -333,8 +342,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
     WHERE j.jaccard >= 0.8
     ORDER BY c.id_a, c.id_b
-    """,
-)
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import minhash_lsh_pairs
 

@@ -24,12 +24,18 @@ RRF_K = 60.0  # `vector_store.cpp:395`
 
 def rank_branch(df: DataFrame, score_col: str, id_col: str, rank_name: str, depth: int) -> DataFrame:
     """(id, <rank_name>) — rank 1-based by (score desc, id asc), truncated
-    to retrieval depth (`vector_store.cpp:306-319` depth scaling)."""
+    to retrieval depth (`vector_store.cpp:306-319` depth scaling).
+
+    Scale shape: orderBy().limit(depth) FIRST — plans as
+    TakeOrderedAndProject (per-partition k-heap + driver merge, no global
+    sort shuffle); the unpartitioned row_number window then runs over
+    only `depth` rows, not the corpus."""
+    topd = df.select(score_col, id_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    ).limit(depth)
     w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
-    return (
-        df.withColumn(rank_name, F.row_number().over(w).cast("long"))
-        .filter(F.col(rank_name) <= depth)
-        .select(F.col(id_col).alias("id"), rank_name)
+    return topd.withColumn(rank_name, F.row_number().over(w).cast("long")).select(
+        F.col(id_col).alias("id"), rank_name
     )
 
 

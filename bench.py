@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:  {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}
+
+Each query timing includes full plan execution to a count/collect action
+(cold caches within the session, parquet re-read per query — honest
+end-to-end numbers, not cached-DataFrame replays).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "hybrid_rrf",
+    "q1_semantic_topk",
+    "knn_multi",
+    "q3_keyword_search",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "text_profile",
+    "tpch_q1_pricing_summary",
+    "star_join_revenue",
+    "topk_per_group",
+    "events_sessionize",
+    "events_tumbling_window",
+    "q15_context_window",
+    "ingest_chunker",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from ai_vector_database_converstion_from_pdf_spark import catalog
+    from ai_vector_database_converstion_from_pdf_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = catalog.queries()
+
+    # one warmup action so JVM/codegen startup isn't billed to the first query
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
