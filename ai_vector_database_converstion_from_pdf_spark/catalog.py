@@ -964,6 +964,102 @@ def ingest_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(blocks, baselines=base).orderBy("doc", "chunk_idx")
 
 
+# ---------------------------------------------------------------------------
+# Rerank + synthesis (R1-R5, Y1-Y3) — driver-sized sequential ops; the
+# scalable clustering variant is oracle-checked via a recursive CTE
+# ---------------------------------------------------------------------------
+
+@register(
+    "y1_cluster_components",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(
+          list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+          6) >= 0.45
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(s, d) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d
+    )
+    SELECT s AS id, min(d)::BIGINT AS cluster_id
+    FROM reach GROUP BY s ORDER BY id
+    """,
+)
+def y1_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y1 at corpus scale: single-link clusters over cos>threshold edges
+    via iterative min-label propagation (driver-greedy variant for the
+    ≤5-context per-query path is operators/synthesis.greedy_cluster,
+    reference `gemini_api.cpp:390-409`)."""
+    from .operators.synthesis import cluster_embeddings_df
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cluster_embeddings_df(emb, threshold=0.45).orderBy("id")
+
+
+@register("rerank_pipeline")
+def rerank_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1+R2+R5: hybrid top-10 → stub cross-encoder scores → calibration
+    → merge-back top-5 (`gemini_api.cpp:79-178,741-781`). Driver-side over
+    10 rows by design (the reference ships them in one LLM prompt);
+    rows-only check — the LLM scorer has no SQL analog."""
+    from .operators.rerank import Calibrator, rerank_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    cands = hybrid_search(
+        docs, emb, FLAGSHIP_QUERY, _query_vec(spark, sf_dir), k=10
+    )
+    cal = Calibrator(mean=0.3, std=0.2, sample_count=10)
+    return rerank_topk(cands, FLAGSHIP_QUERY, topk=5, n_in=10, calibrator=cal)
+
+
+@register("synthesis_claims")
+def synthesis_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y1→Y3 deep-dive: top-5 hybrid results → neighbor-context windows
+    (Q16) → greedy fact clustering → stub synthesis → validated claims
+    (`mainwindow.cpp:804-824`, `gemini_api.cpp:379-567`). Rows-only."""
+    from .operators.synthesis import SourceContext, synthesize
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    top = hybrid_search(docs, emb, FLAGSHIP_QUERY, _query_vec(spark, sf_dir), k=5)
+    rows = top.collect()
+    vec_map = {
+        r["id"]: list(r["v"])
+        for r in emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+        .join(F.broadcast(top.select("id")), "id", "left_semi")
+        .collect()
+    }
+    ctxs = [
+        SourceContext(
+            prompt_index=i + 1,
+            doc_name=str(r["id"]),
+            trust_score=1.0,
+            chunk_text=(r["text"] or "")[:200],
+            final_score=r["score"],
+            embedding=vec_map.get(r["id"], []),
+        )
+        for i, r in enumerate(rows)
+    ]
+    claims = synthesize(FLAGSHIP_QUERY, ctxs)
+    out = [
+        (c.statement, ",".join(map(str, c.source_indices)), float(c.confidence))
+        for c in claims
+    ]
+    return spark.createDataFrame(
+        out, "statement string, sources string, confidence double"
+    )
+
+
 @register(
     "q15_context_window",
     oracle="""
