@@ -13,9 +13,10 @@ from __future__ import annotations
 import hashlib
 import math
 import re
-from typing import Iterable
+from typing import Iterator
 
 import numpy as np
+import pandas as pd
 
 
 def hash_embed(text: str, dim: int = 64) -> list[float]:
@@ -36,12 +37,11 @@ def hash_embed(text: str, dim: int = 64) -> list[float]:
 def make_embed_udf(dim: int = 64):
     """Iterator-of-series pandas UDF: the batching shape a real HTTP
     provider plugs into (swap the inner loop for a batched POST)."""
-    import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.types import ArrayType, FloatType
 
     @F.pandas_udf(ArrayType(FloatType()))
-    def embed(batches: Iterable[pd.Series]) -> Iterable[pd.Series]:
+    def embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for s in batches:
             yield s.map(lambda t: hash_embed(t or "", dim))
 

@@ -1,0 +1,206 @@
+"""S1-S9 — sinks/DML + the workspace abstraction (SURVEY §2.2).
+
+Reference: one SQLite file per workspace under AppData
+(`mainwindow.cpp:936-952`); INSERTs with paired FTS writes
+(`vector_store.cpp:153-204`), UPDATE boosts (`:789-795`), log appends
+(`:581-608`), KV metadata (`:764-787`), CSV/NumPy exports (`:657-671`,
+`export_for_training.py`).
+
+Spark-first: a workspace is a directory of Parquet tables. The FTS index
+is DERIVED (rebuilt from chunks), never dual-written — eliminating the
+reference's index/row consistency risk. Updates (boost, clear) are
+read-modify-overwrite, the Parquet-without-Delta emulation of MERGE; on
+a Delta/Iceberg deployment these become real MERGE INTO with no API
+change. Appends partition naturally; at 100 TB you'd bucket chunks by
+doc_id so search-side joins co-locate.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators.keyword import build_fts_index
+
+CHUNK_COLUMNS = [
+    "id", "doc_id", "source_file", "page_num", "chunk_idx", "text",
+    "embedding", "model_sig", "model_dim", "heading_path", "heading_level",
+    "chunk_type", "sentence_count", "list_type", "list_length",
+    "boost_factor", "created_at",
+]
+
+LOG_SCHEMA = (
+    "query string, semantic_rank int, keyword_rank int, final_rank int, "
+    "latency_embedding long, latency_search long, latency_fusion long, "
+    "latency_rerank long, top_score double, mmr_penalty double, "
+    "is_exploration int, rank_delta int, stability double, created_at timestamp"
+)
+
+
+class Workspace:
+    """Directory-backed workspace (reference: one SQLite file each)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+
+    def _tbl(self, name: str) -> str:
+        return f"{self.path}/{name}"
+
+    def _exists(self, name: str) -> bool:
+        p = self._tbl(name)
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") for f in os.listdir(p)
+        )
+
+    # -- S1: chunk append with I17 dimension guardrail --------------------
+    def add_chunks(self, chunks: DataFrame) -> None:
+        from .functions.embed import check_dimension
+
+        new_dim_row = chunks.select(
+            F.size(F.col("embedding")).alias("d")
+        ).limit(1).collect()
+        if new_dim_row:
+            new_dim = int(new_dim_row[0]["d"])
+            registered = self.get_metadata("embedding_dimension")
+            check_dimension(int(registered) if registered else None, new_dim)
+            self.set_metadata("embedding_dimension", str(new_dim))
+        chunks.write.mode("append").parquet(self._tbl("chunks"))
+
+    def chunks(self) -> DataFrame:
+        return self.spark.read.parquet(self._tbl("chunks"))
+
+    # -- FTS index: derived, not dual-written (vs vector_store.cpp:192-201)
+    def fts_index(self) -> DataFrame:
+        return build_fts_index(
+            self.chunks(), id_col="id", text_col="text", heading_col="heading_path"
+        )
+
+    # -- S5 / S4 ----------------------------------------------------------
+    def count(self) -> int:
+        return self.chunks().count() if self._exists("chunks") else 0
+
+    def clear(self) -> None:
+        import shutil
+
+        for t in ("chunks",):
+            p = self._tbl(t)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+        self.delete_metadata("embedding_dimension")
+
+    # -- S6: boost update (MERGE emulation) -------------------------------
+    def boost_entry(self, chunk_id: int, amount: float = 0.1) -> None:
+        df = self.chunks()
+        updated = df.withColumn(
+            "boost_factor",
+            F.when(F.col("id") == chunk_id, F.col("boost_factor") + amount).otherwise(
+                F.col("boost_factor")
+            ),
+        )
+        self._overwrite("chunks", updated)
+
+    def _overwrite(self, name: str, df: DataFrame) -> None:
+        tmp = self._tbl(f"_{name}_tmp")
+        df.write.mode("overwrite").parquet(tmp)
+        final = self._tbl(name)
+        import shutil
+
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+
+    # -- S7: interaction feedback (exploration quarantine) ----------------
+    def add_interaction(self, query: str, chunk_id: int, was_exploration: bool, asof) -> None:
+        """`vector_store.cpp:797-811`: log a USER_CLICK row; boost +0.1
+        only when NOT an exploration probe."""
+        self.log_retrieval(
+            query=f"USER_CLICK: {query}", semantic_rank=chunk_id, keyword_rank=0,
+            final_rank=0, top_score=0.0, mmr_penalty=0.0,
+            is_exploration=1 if was_exploration else 0, rank_delta=0,
+            stability=0.0, created_at=asof,
+        )
+        if not was_exploration:
+            self.boost_entry(chunk_id, 0.1)
+
+    # -- S8: retrieval log append -----------------------------------------
+    def log_retrieval(self, **kw) -> None:
+        created = kw.get("created_at")
+        if isinstance(created, str):
+            from datetime import datetime
+
+            created = datetime.fromisoformat(created)
+            kw["created_at"] = created
+        row = (
+            kw.get("query", ""), kw.get("semantic_rank", 0), kw.get("keyword_rank", 0),
+            kw.get("final_rank", 0), kw.get("latency_embedding", 0),
+            kw.get("latency_search", 0), kw.get("latency_fusion", 0),
+            kw.get("latency_rerank", 0), kw.get("top_score", 0.0),
+            kw.get("mmr_penalty", 0.0), kw.get("is_exploration", 0),
+            kw.get("rank_delta", 0), kw.get("stability", 0.0), kw.get("created_at"),
+        )
+        self.spark.createDataFrame([row], LOG_SCHEMA).write.mode("append").parquet(
+            self._tbl("retrieval_logs")
+        )
+
+    def retrieval_logs(self) -> DataFrame | None:
+        return (
+            self.spark.read.parquet(self._tbl("retrieval_logs"))
+            if self._exists("retrieval_logs")
+            else None
+        )
+
+    # -- S9: metadata KV --------------------------------------------------
+    def set_metadata(self, key: str, value: str) -> None:
+        cur = self._metadata()
+        cur[key] = value
+        self._write_metadata(cur)
+
+    def get_metadata(self, key: str) -> str | None:
+        return self._metadata().get(key)
+
+    def delete_metadata(self, key: str) -> None:
+        cur = self._metadata()
+        if key in cur:
+            del cur[key]
+            self._write_metadata(cur)
+
+    def _metadata(self) -> dict[str, str]:
+        if not self._exists("workspace_metadata"):
+            return {}
+        return {
+            r["key"]: r["value"]
+            for r in self.spark.read.parquet(self._tbl("workspace_metadata")).collect()
+        }
+
+    def _write_metadata(self, kv: dict[str, str]) -> None:
+        df = self.spark.createDataFrame(
+            list(kv.items()) or [("", "")], "key string, value string"
+        )
+        if not kv:
+            df = df.limit(0)
+        self._overwrite("workspace_metadata", df)
+
+    # -- S2: CSV export ---------------------------------------------------
+    def export_csv(self, out_path: str) -> None:
+        """(id, source_file, text) with full quoting
+        (`vector_store.cpp:657-671`)."""
+        (
+            self.chunks()
+            .select("id", "source_file", "text")
+            .write.mode("overwrite")
+            .option("quoteAll", True)
+            .option("header", True)
+            .csv(out_path)
+        )
+
+
+def list_workspaces(root: str) -> list[str]:
+    """Workspace enumeration (`mainwindow.cpp:936-952` globs *.sqlite;
+    here: subdirectories containing a chunks table)."""
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d, "chunks"))
+    )

@@ -1,0 +1,90 @@
+"""Structured Streaming — the incremental-ingest analog (SURVEY §2.8).
+
+The reference ingests incrementally: chunks are emitted per page and
+pushed through a queue-driven embed pipeline with backpressure
+(`pdf_processor.cpp:396-404`, `mainwindow.cpp:256-284,713-761`). The
+Spark-native equivalent is a file-source stream → transform → sink with
+checkpointing; watermarked event-time windows handle late data (a
+concept the reference lacks entirely — its "stream" is wall-clock UI
+pumping).
+
+These builders return unstarted streaming DataFrames/queries so tests
+drive them synchronously with a memory sink + processAllAvailable().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str, max_files: int = 1) -> DataFrame:
+    """File-source stream over parquet drops of events (one file per
+    micro-batch keeps tests deterministic)."""
+    return (
+        spark.readStream.format("parquet")
+        .schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .load(path)
+    )
+
+
+def windowed_counts(events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window aggregation — the event-time analog of
+    catalog.events_tumbling_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def streaming_ingest_chunks(spark: SparkSession, docs_stream: DataFrame, dim: int = 16) -> DataFrame:
+    """Incremental chunk+embed: the reference's queue pipeline as a
+    stream transform — tiny-chunk filter (I14) then the batched embed UDF
+    (I16) — ready for an append sink with checkpointing."""
+    from ..functions.embed import make_embed_udf
+
+    embed = make_embed_udf(dim)
+    return (
+        docs_stream.filter(F.length(F.trim(F.col("text"))) > 3)
+        .withColumn("embedding", embed(F.col("text")))
+        .withColumn("model_sig", F.lit(f"hash-embed-{dim}"))
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> None:
+    """Drive a streaming DataFrame to completion synchronously (tests)."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
