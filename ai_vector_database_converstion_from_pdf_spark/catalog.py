@@ -378,6 +378,88 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=0.45).orderBy("id_a", "id_b")
 
 
+def _simhash_sql_core() -> str:
+    from .operators.dedup import SIMHASH_BITS, X_MOD
+
+    sums = ", ".join(
+        f"sum(CASE WHEN (x >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    toks AS (
+      SELECT id, unnest(ts) AS tok FROM (
+        SELECT doc_id AS id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS ts
+        FROM documents)
+    ),
+    xh AS (
+      SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % {X_MOD} AS x
+      FROM toks
+    ),
+    sums AS (SELECT id, {sums} FROM xh GROUP BY id),
+    sigs AS (SELECT id, ({sig})::BIGINT AS simhash FROM sums)
+    """
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_simhash_sql_core()}
+    SELECT id AS doc_id, simhash FROM sigs ORDER BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-weighted SimHash signature per document."""
+    from .operators.dedup import simhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        simhash_signatures(docs)
+        .select(F.col("id").alias("doc_id"), "simhash")
+        .orderBy("doc_id")
+    )
+
+
+def _simhash_pairs_oracle() -> str:
+    from .operators.dedup import SIMHASH_BITS
+
+    band_bits, max_h = 7, 3
+    n_bands = SIMHASH_BITS // band_bits
+    mask = (1 << band_bits) - 1
+    bands = " UNION ALL ".join(
+        f"SELECT id, simhash, {b} AS band, (simhash >> {b * band_bits}) & {mask} AS band_val FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH {_simhash_sql_core()},
+    bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.id < b.id
+    )
+    SELECT id_a, id_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= {max_h}
+    ORDER BY id_a, id_b
+    """
+
+
+@register("dedup_simhash_pairs", oracle=_simhash_pairs_oracle())
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded candidates (pigeonhole over 4x7-bit
+    bands covers Hamming ≤ 3) verified by bit_count(xor)."""
+    from .operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # Text analysis suite (training-data curation extensions)
 # ---------------------------------------------------------------------------
@@ -484,6 +566,118 @@ def knn_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q9 / Q10 / Q16 — intent boosts, stability bias, source-context assembly
+# ---------------------------------------------------------------------------
+
+_SQL_CHUNK_TYPE_SYN = """
+    CASE WHEN doc_id % 7 = 0 THEN 'definition'
+         WHEN doc_id % 7 = 1 THEN 'summary'
+         WHEN doc_id % 7 = 2 THEN 'list'
+         WHEN doc_id % 7 = 3 THEN 'example'
+         ELSE 'text' END
+"""
+
+
+@register(
+    "q9_intent_boost",
+    oracle=f"""
+    SELECT doc_id AS id,
+           ({_SQL_CHUNK_TYPE_SYN}) AS chunk_type,
+           (0.5 * (1.0 / (60.0 + (doc_id % 20) + 1))
+            + CASE WHEN ({_SQL_CHUNK_TYPE_SYN}) = 'definition' THEN 0.5 ELSE 0.0 END
+           ) AS boosted_score
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q9_intent_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 additive intent-type boost (`vector_store.cpp:402-409`) for a
+    'definition' intent over synthetic chunk types + synthetic ranks."""
+    from .operators.fusion import intent_boost_col
+
+    docs = _t(spark, sf_dir, "documents")
+    ct = (
+        F.when(F.col("doc_id") % 7 == 0, "definition")
+        .when(F.col("doc_id") % 7 == 1, "summary")
+        .when(F.col("doc_id") % 7 == 2, "list")
+        .when(F.col("doc_id") % 7 == 3, "example")
+        .otherwise("text")
+    )
+    base = F.lit(0.5) * (F.lit(1.0) / (F.lit(60.0) + (F.col("doc_id") % 20) + 1))
+    out = docs.select(
+        F.col("doc_id").alias("id"),
+        ct.alias("chunk_type"),
+        (base + intent_boost_col("definition", ct, F.lit(0))).alias("boosted_score"),
+    )
+    return out.orderBy("id")
+
+
+@register(
+    "q10_stability_bias",
+    oracle="""
+    SELECT event_type AS query,
+           greatest(0.0, 1.0 - avg(abs(floor(value * 10)::BIGINT % 7 - 3)) / 5.0) AS stability
+    FROM events
+    WHERE event_id % 5 <> 0
+    GROUP BY event_type ORDER BY query
+    """,
+)
+def q10_stability_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 rank-stability aggregate (`vector_store.cpp:430-441`): the
+    events table stands in for retrieval_logs (query=event_type,
+    rank_delta derived, exploration rows excluded)."""
+    from .sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    delta = F.floor(F.col("value") * 10).cast("long") % 7 - 3
+    return (
+        ev.filter(F.col("event_id") % 5 != 0)
+        .groupBy(F.col("event_type").alias("query"))
+        .agg(
+            F.greatest(
+                F.lit(0.0), F.lit(1.0) - F.avg(F.abs(delta)) / F.lit(5.0)
+            ).alias("stability")
+        )
+        .orderBy("query")
+    )
+
+
+@register(
+    "q16_source_context",
+    oracle="""
+    SELECT doc_id,
+           doc_id::VARCHAR || '_' || (doc_id % 100)::VARCHAR AS context_chunk_id,
+           'synthesis' AS retrieval_stage,
+           string_agg(text, ' \n') OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS context
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q16_source_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 context assembly (`vector_store.cpp:706-748`): synthesis stage
+    widens the neighbor frame to ≥3 ('Dynamic Context Packing') and tags
+    a composite chunk id."""
+    from .operators.context import source_context
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "chunk_idx", (F.col("doc_id") % 100).cast("int")
+    )
+    out = source_context(
+        docs, offset=1, stage="synthesis",
+        doc_col="source", idx_col="doc_id", text_col="text",
+    )
+    return out.select(
+        "doc_id",
+        F.concat_ws(
+            "_", F.col("doc_id").cast("string"), F.col("chunk_idx").cast("string")
+        ).alias("context_chunk_id"),
+        "retrieval_stage",
+        "context",
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Relational coverage (§2.8: joins / aggregations / windows / sort-limit)
 # over the TPC-H-ish tables. Double sums go through DECIMAL so the result
 # is independent of accumulation order (engine- and partition-stable).
@@ -519,6 +713,68 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))::DOUBLE AS revenue,
+           epoch(o_orderdate)::BIGINT AS o_orderdate_epoch,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate_epoch ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → 3-way join → agg → top-k.
+    The customer filter reduces to ~1/5 of customers; Catalyst pushes the
+    segment predicate into the parquet scan and AQE picks broadcast for
+    the filtered side."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate")
+            .cast("timestamp")
+            .cast("double")
+            .cast("long")
+            .alias("o_orderdate_epoch"),
+            "o_orderpriority",
+        )
+        .orderBy(
+            F.col("revenue").desc(),
+            F.col("o_orderdate_epoch").asc(),
+            F.col("l_orderkey").asc(),
+        )
+        .limit(10)
     )
 
 
