@@ -70,8 +70,13 @@ def hybrid_search(
     stability = fusion.query_stability(logs, query_text)
     scored = fusion.apply_stability_bias(fused, stability, r.stability_mult)
 
+    # fused ids always come from the corpus, so this is semantically a
+    # left join but can run as inner with the tiny fused side BROADCAST —
+    # the corpus is probed map-side, never shuffled (a left join here
+    # would force a sort-merge shuffle of the full corpus to fetch k texts)
     return (
-        scored.join(corpus, "id", "left")
+        F.broadcast(scored)
+        .join(corpus, "id")
         .select("id", "semantic_rank", "keyword_rank", "score", "text")
         .orderBy(F.col("score").desc(), F.col("id").asc())
         .limit(k)
