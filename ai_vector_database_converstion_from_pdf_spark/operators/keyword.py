@@ -59,14 +59,29 @@ def keyword_search(
     flat_score: bool = False,
 ) -> DataFrame:
     """ids matching any query term, ranked by distinct-term match count
-    (desc), id asc; columns (id, match_cnt, kw_score)."""
-    spark = chunks.sparkSession
-    idx = fts_index if fts_index is not None else build_fts_index(chunks, id_col, text_col)
-    terms = query_terms_df(spark, query_text)
-    matched = (
-        idx.join(F.broadcast(terms), "token")
-        .groupBy("id")
-        .agg(F.count("*").cast("long").alias("match_cnt"))
+    (desc), id asc; columns (id, match_cnt, kw_score).
+
+    Plan shape: the term set becomes an In-predicate applied BEFORE the
+    distinct — only matching postings ever shuffle (and when probing a
+    materialized fts_index table, the In filter pushes into the parquet
+    scan). A broadcast join would work too but adds a build stage for a
+    handful of literals."""
+    import re
+
+    terms = sorted(set(t for t in re.split(r"[^a-z0-9]+", query_text.lower()) if t))
+    if fts_index is not None:
+        matched_src = fts_index.filter(F.col("token").isin(terms))
+    else:
+        matched_src = (
+            chunks.select(
+                F.col(id_col).alias("id"),
+                F.explode(tokens(F.col(text_col))).alias("token"),
+            )
+            .filter(F.col("token").isin(terms))
+            .distinct()
+        )
+    matched = matched_src.groupBy("id").agg(
+        F.count("*").cast("long").alias("match_cnt")
     )
     score = F.lit(0.5) if flat_score else F.col("match_cnt").cast("double")
     return (
