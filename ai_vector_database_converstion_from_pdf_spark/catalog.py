@@ -49,6 +49,10 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver invokes queries() on ITS session (entry()'s tuning may
+    # not have run): pin UTC so NTZ↔TZ conversions and epoch math agree
+    # with the DuckDB oracle regardless of host timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -190,10 +194,14 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q2_trust_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import datetime, timezone
+
     from .sources.tables import load_events
 
     ev = load_events(spark, sf_dir)
-    asof = F.to_timestamp(F.lit(ASOF))
+    # TZ-independent asof: epoch seconds of the ASOF wall-clock in UTC
+    asof_epoch = datetime.fromisoformat(ASOF).replace(tzinfo=timezone.utc).timestamp()
+    asof = F.lit(float(asof_epoch))
     return (
         ev.select(
             "event_id",
@@ -703,7 +711,7 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc * (1 + F.col("l_tax"))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
@@ -741,10 +749,10 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     the filtered side."""
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
     )
     li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
     )
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)

@@ -44,6 +44,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines."""
     from pyspark.sql import functions as F
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
