@@ -1212,7 +1212,9 @@ def ingest_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
     golden unit tests in tests/test_ingest.py."""
     from .operators.ingest import baseline_font, chunk_documents
 
-    fl = _filtered_lines(spark, sf_dir)
+    # persist: the synthetic-lines + noise-filter lineage feeds BOTH the
+    # baseline-font aggregate and the chunker scan
+    fl = _filtered_lines(spark, sf_dir).persist()
     blocks = fl.select(
         "doc",
         "page",

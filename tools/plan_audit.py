@@ -1,0 +1,61 @@
+"""Physical-plan audit: prints `explain(formatted)` extracts for the
+headline queries and asserts the scale-critical plan properties README
+claims. Writes PLANS.md. Usage: python tools/plan_audit.py"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.01"
+
+EXPECT = {
+    "q1_semantic_topk": ["TakeOrderedAndProject"],       # no global sort
+    "q3_keyword_search": ["TakeOrderedAndProject"],
+    "hybrid_rrf": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+    "tpch_q1_pricing_summary": ["PushedFilters: [IsNotNull(l_shipdate)"],
+    "tpch_q3_shipping_priority": ["PushedFilters", "BroadcastHashJoin"],
+    "star_join_revenue": ["BroadcastHashJoin"],
+    "knn_multi": ["BroadcastNestedLoopJoin"],             # deliberate: tiny query side x corpus
+    "dedup_minhash_lsh": [],
+    "dedup_embedding_cosine": ["MapInPandas"],            # GEMM path
+    "events_sessionize": [],
+    "text_profile": [],
+}
+
+
+def main() -> int:
+    from ai_vector_database_converstion_from_pdf_spark import catalog
+    from ai_vector_database_converstion_from_pdf_spark.session import get_spark
+
+    spark = get_spark("plan-audit", cpus=8)
+    qs = catalog.queries()
+    out = ["# PLANS — physical-plan audit (sf0.01)\n"]
+    failures = []
+    for name, wants in EXPECT.items():
+        df = qs[name](spark, SF)
+        qe = df._jdf.queryExecution()
+        plan = qe.executedPlan().toString() + "\n" + qe.toString()
+        marks = {
+            "TakeOrdered": "TakeOrderedAndProject" in plan,
+            "BroadcastHJ": "BroadcastHashJoin" in plan,
+            "SortMergeJ": "SortMergeJoin" in plan,
+            "BroadcastNLJ": "BroadcastNestedLoopJoin" in plan,
+            "PandasUDF": "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan,
+            "Pushed": "PushedFilters: [" in plan and "PushedFilters: []" not in plan.replace("PushedFilters: [", "PF["),
+            "Exchanges": plan.count("Exchange"),
+        }
+        missing = [w for w in wants if w not in plan]
+        status = "OK" if not missing else f"MISSING {missing}"
+        if missing:
+            failures.append(name)
+        out.append(f"## {name} — {status}\n\n`{marks}`\n")
+        print(name, status, marks)
+    with open("/root/repo/PLANS.md", "w") as f:
+        f.write("\n".join(out))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
