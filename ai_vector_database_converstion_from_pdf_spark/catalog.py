@@ -179,6 +179,87 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch hybrid — N queries, one corpus scan per branch (set-at-a-time
+# reformulation of the reference's one-query-at-a-time loop)
+# ---------------------------------------------------------------------------
+
+@register(
+    "hybrid_rrf_batch",
+    oracle="""
+    WITH q AS (
+      SELECT d.doc_id AS qid, d.text AS qtext, e.embedding AS qvec
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+      WHERE d.doc_id < 3
+    ),
+    sem AS (
+      SELECT q.qid, d.doc_id AS id,
+             round(
+               list_dot_product(e.embedding::DOUBLE[], q.qvec::DOUBLE[])
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[]))), 6) AS sim
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id CROSS JOIN q
+    ),
+    sem_ranked AS (
+      SELECT qid, id,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id ASC)::BIGINT AS semantic_rank
+      FROM sem QUALIFY semantic_rank <= 20
+    ),
+    qt AS (
+      SELECT DISTINCT qid, tok FROM (
+        SELECT qid, unnest(regexp_split_to_array(lower(qtext), '[^a-z0-9]+')) AS tok FROM q
+      ) WHERE tok <> ''
+    ),
+    dt AS (
+      SELECT DISTINCT id, tok FROM (
+        SELECT doc_id AS id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    matches AS (
+      SELECT qt.qid, dt.id, count(*)::BIGINT AS match_cnt
+      FROM dt JOIN qt USING (tok) GROUP BY 1, 2
+    ),
+    kw_ranked AS (
+      SELECT qid, id,
+             row_number() OVER (PARTITION BY qid ORDER BY match_cnt DESC, id ASC)::BIGINT AS keyword_rank
+      FROM matches QUALIFY keyword_rank <= 20
+    ),
+    fused AS (
+      SELECT coalesce(s.qid, w.qid) AS q_id, coalesce(s.id, w.id) AS id,
+             coalesce(s.semantic_rank, 0)::BIGINT AS semantic_rank,
+             coalesce(w.keyword_rank, 0)::BIGINT AS keyword_rank,
+             (CASE WHEN s.semantic_rank IS NOT NULL
+                   THEN 0.5 / (60.0 + s.semantic_rank) ELSE 0.0 END
+              + CASE WHEN w.keyword_rank IS NOT NULL
+                     THEN 0.5 / (60.0 + w.keyword_rank) ELSE 0.0 END
+              + 0.05) AS score
+      FROM sem_ranked s FULL OUTER JOIN kw_ranked w
+        ON s.qid = w.qid AND s.id = w.id
+    )
+    SELECT q_id, id, semantic_rank, keyword_rank, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, id ASC)::BIGINT AS rank
+      FROM fused) WHERE rank <= 5
+    ORDER BY q_id, rank
+    """,
+)
+def hybrid_rrf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.hybrid_batch import hybrid_search_batch
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qset = (
+        docs.filter(F.col("doc_id") < 3)
+        .join(emb, docs.doc_id == emb.vec_id)
+        .select(
+            F.col("doc_id").alias("q_id"),
+            F.col("text").alias("q_text"),
+            F.col("embedding").alias("q_vec"),
+        )
+    )
+    return hybrid_search_batch(qset, docs, emb, k=5).orderBy("q_id", "rank")
+
+
+# ---------------------------------------------------------------------------
 # Q2 — trust/recency decay scoring  [vector_store.cpp:221-225]
 # ---------------------------------------------------------------------------
 

@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "hybrid_rrf",
+    "hybrid_rrf_batch",
     "q1_semantic_topk",
     "knn_multi",
     "q3_keyword_search",
