@@ -766,6 +766,28 @@ def q16_source_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register("ann_lsh_topk")
+def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH (scale path for Q1).
+    Rows-only: ANN results are approximate by contract; recall vs brute
+    force is asserted in tests/test_similarity_ann.py."""
+    from .operators.similarity import ann_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(emb, _query_vec(spark, sf_dir), k=10, dim=64, n_planes=4, n_tables=8)
+
+
+@register("ann_ivf_topk")
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF cells (rows-only; recall tested)."""
+    from .operators.similarity import ivf_assign, ivf_topk, sample_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sample_centroids(emb, 16)
+    assign = ivf_assign(emb, cents)
+    return ivf_topk(emb, _query_vec(spark, sf_dir), k=10, centroids=cents, assignments=assign, n_probe=4)
+
+
 # ---------------------------------------------------------------------------
 # Relational coverage (§2.8: joins / aggregations / windows / sort-limit)
 # over the TPC-H-ish tables. Double sums go through DECIMAL so the result
@@ -926,6 +948,63 @@ def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name", "r_name")
     )
+
+
+@register(
+    "distinct_agg_per_nation",
+    oracle="""
+    SELECT n_name,
+           count(DISTINCT o_custkey)::BIGINT AS n_active_customers,
+           count(*)::BIGINT AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def distinct_agg_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (expand-based two-phase plan in Spark)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_active_customers"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "semi_anti_join_customers",
+    oracle="""
+    SELECT 'with_orders' AS cohort, count(*)::BIGINT AS n FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'without_orders' AS cohort, count(*)::BIGINT AS n FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    ORDER BY cohort
+    """,
+)
+def semi_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit left-semi / left-anti joins (the FTS `id IN (subquery)`
+    pattern of `vector_store.cpp:251-252`, relational form)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    semi = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    anti = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    out = semi.agg(F.count("*").cast("long").alias("n")).select(
+        F.lit("with_orders").alias("cohort"), "n"
+    ).unionByName(
+        anti.agg(F.count("*").cast("long").alias("n")).select(
+            F.lit("without_orders").alias("cohort"), "n"
+        )
+    )
+    return out.orderBy("cohort")
 
 
 @register(
