@@ -1,0 +1,187 @@
+"""PvdbEngine — the user-facing facade mirroring the reference's full
+lifecycle (SURVEY §3): index → search → deep-dive → feedback.
+
+A user of the reference app drives it through three entry points
+(`mainwindow.cpp`): "Select PDF" (index), "Search" (hybrid retrieval with
+optional rerank/MMR/exploration), "Deep Dive Synthesis" (clustered cited
+claims) — plus click feedback. This class exposes the same surface over
+a Parquet workspace, wiring together every operator family with the
+session-state components (latency governor, query cache, MMR entropy
+EMA, rerank calibrator).
+
+All model touchpoints (embed/rerank/synthesize) default to the
+deterministic local stubs; pass real providers via the same interfaces.
+"""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .functions.embed import hash_embed, make_embed_udf
+from .operators import fusion, intent as intent_mod, mmr as mmr_mod
+from .operators.context import source_context
+from .operators.rerank import Calibrator, rerank_rows
+from .operators.synthesis import SourceContext, synthesize
+from .plans.hybrid import hybrid_search
+from .serving import LatencyGovernor, QueryCache
+from .sinks import Workspace
+
+
+class PvdbEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        workspace_path: str,
+        dim: int = 64,
+        embedder=None,
+        asof: str | None = None,
+    ):
+        self.spark = spark
+        self.workspace = Workspace(spark, workspace_path)
+        self.dim = dim
+        self.embed_text = embedder or (lambda t: hash_embed(t, dim))
+        self.governor = LatencyGovernor()
+        self.cache = QueryCache()
+        self.mmr_state = mmr_mod.MmrState()
+        self.calibrator = Calibrator()
+        self.asof = asof or datetime.now(timezone.utc).isoformat(sep=" ", timespec="seconds").replace("+00:00", "")
+
+    # -- indexing (SURVEY §3.1) ------------------------------------------
+    def index_documents(self, docs: DataFrame, source_file: str = "batch") -> int:
+        """Index pre-chunked documents (doc_id, text): tiny-chunk filter
+        (I14) → batched embed UDF (I16) → workspace append with dim
+        guardrail (I17/S1). Returns rows indexed."""
+        embed = make_embed_udf(self.dim)
+        chunks = (
+            docs.filter(F.length(F.trim(F.col("text"))) > 3)
+            .select(
+                F.col("doc_id").cast("long").alias("id"),
+                F.col("doc_id").cast("string").alias("doc_id"),
+                F.lit(source_file).alias("source_file"),
+                F.lit(1).alias("page_num"),
+                F.col("doc_id").cast("int").alias("chunk_idx"),
+                "text",
+            )
+            .withColumn("embedding", embed(F.col("text")))
+            .withColumn("model_sig", F.lit(f"hash-embed-{self.dim}"))
+            .withColumn("model_dim", F.lit(self.dim))
+            .withColumn("heading_path", F.lit(""))
+            .withColumn("heading_level", F.lit(0))
+            .withColumn("chunk_type", F.lit("text"))
+            .withColumn("sentence_count", F.lit(1))
+            .withColumn("list_type", F.lit(""))
+            .withColumn("list_length", F.lit(0))
+            .withColumn("boost_factor", F.lit(1.0))
+            .withColumn("created_at", F.lit(self.asof).cast("timestamp"))
+        )
+        self.workspace.add_chunks(chunks)
+        return self.workspace.count()
+
+    # -- search (SURVEY §3.2) --------------------------------------------
+    def search(
+        self,
+        query: str,
+        k: int = 5,
+        use_rerank: bool = False,
+        use_mmr: bool = False,
+        use_exploration: bool = False,
+    ) -> list[dict]:
+        """Full hybrid pipeline with serving-state wiring. Returns ranked
+        result dicts (id, text, score, semantic_rank, keyword_rank, ...)."""
+        qvec = self.embed_text(query)
+        cached = self.cache.get(query, qvec)
+        if cached is not None:
+            return cached
+
+        t0 = time.perf_counter()
+        it = intent_mod.detect_intent(query)
+        plan = self.governor.plan(k, intent_mod.route(it).depth_mult, it)
+
+        chunks = self.workspace.chunks()
+        corpus = chunks.select(F.col("id").alias("doc_id"), "text")
+        vecs = chunks.select(F.col("id").alias("vec_id"), "embedding")
+        logs = self.workspace.retrieval_logs()
+
+        if not plan["vector_branch"]:
+            from .operators.keyword import keyword_search
+
+            rows = [
+                {"id": r["id"], "text": None, "score": 0.5,
+                 "semantic_rank": 0, "keyword_rank": i + 1}
+                for i, r in enumerate(
+                    keyword_search(corpus, query, plan["depth"],
+                                   id_col="doc_id", text_col="text").collect()
+                )
+            ][:k]
+        else:
+            fused = hybrid_search(corpus, vecs, query, qvec, k=plan["depth"], logs=logs)
+            rows = [r.asDict() for r in fused.collect()]
+
+        stability = fusion.query_stability(logs, query)
+        if use_mmr and len(rows) > 1:
+            lam = mmr_mod.mmr_lambda(query, it)
+            entropy = mmr_mod.doc_entropy(rows, doc_key="id")
+            avg_entropy = self.mmr_state.update_entropy(entropy)
+            rows, _pen = mmr_mod.mmr_select(
+                rows, k, lam, avg_entropy, doc_key="id", path_key="text"
+            )
+        if use_exploration:
+            rows, _injected = mmr_mod.exploration_inject(
+                rows, rows, k, stability, it, trust_key="score"
+            )
+        if use_rerank:
+            rows = rerank_rows(query, rows, topk=k, calibrator=self.calibrator)
+        rows = rows[:k]
+
+        self.governor.observe((time.perf_counter() - t0) * 1000)
+        self.workspace.log_retrieval(
+            query=query,
+            semantic_rank=rows[0].get("semantic_rank", 0) if rows else 0,
+            keyword_rank=rows[0].get("keyword_rank", 0) if rows else 0,
+            final_rank=1,
+            top_score=float(rows[0]["score"]) if rows else 0.0,
+            stability=stability,
+            created_at=self.asof,
+        )
+        self.cache.put(query, rows, qvec)
+        return rows
+
+    # -- deep dive (SURVEY §3.3) -----------------------------------------
+    def deep_dive(self, query: str, k: int = 5, offset: int = 2):
+        """Top-k search → neighbor-window contexts (Q15/Q16) → fact
+        clustering → synthesis → validated claims (Y1-Y3)."""
+        top = self.search(query, k)
+        if not top:
+            return []
+        ids = [r["id"] for r in top]
+        chunks = self.workspace.chunks()
+        ctx_df = source_context(
+            chunks.filter(F.col("id").isin(ids) | F.lit(True)),
+            offset,
+            stage="synthesis",
+            doc_col="doc_id",
+            idx_col="chunk_idx",
+            text_col="text",
+        ).filter(F.col("id").isin(ids))
+        ctx_rows = {r["id"]: r for r in ctx_df.collect()}
+        contexts = []
+        for i, r in enumerate(top):
+            c = ctx_rows.get(r["id"])
+            contexts.append(
+                SourceContext(
+                    prompt_index=i + 1,
+                    doc_name=str(r["id"]),
+                    trust_score=1.0,
+                    chunk_text=(c["context"] if c else (r.get("text") or ""))[:500],
+                    final_score=float(r["score"]),
+                    embedding=self.embed_text((r.get("text") or "")),
+                )
+            )
+        return synthesize(query, contexts)
+
+    # -- feedback (S6/S7) -------------------------------------------------
+    def click(self, query: str, chunk_id: int, was_exploration: bool = False) -> None:
+        self.workspace.add_interaction(query, chunk_id, was_exploration, self.asof)

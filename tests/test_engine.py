@@ -1,0 +1,74 @@
+"""End-to-end lifecycle test through the PvdbEngine facade — the
+reference's §3 user journey: index → search (all toggles) → deep dive →
+click feedback → cache behavior."""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+
+
+def test_full_lifecycle(spark, tmp_path):
+    from ai_vector_database_converstion_from_pdf_spark.engine import PvdbEngine
+
+    eng = PvdbEngine(spark, str(tmp_path / "eng_ws"), dim=32, asof="2024-06-01 00:00:00")
+    docs = (
+        spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .limit(60)
+        .select("doc_id", "text")
+    )
+    n = eng.index_documents(docs)
+    assert n == 60
+
+    # plain hybrid search
+    res = eng.search("merge fast table join")
+    assert len(res) == 5
+    assert all("score" in r for r in res)
+    top1 = res[0]
+
+    # cache: second identical query must hit L1
+    misses_before = eng.cache.misses
+    res2 = eng.search("merge fast table join")
+    assert res2 == res
+    assert eng.cache.misses == misses_before
+    assert eng.cache.hits >= 1
+
+    # toggles
+    res_mmr = eng.search("merge fast table join value", use_mmr=True)
+    assert len(res_mmr) == 5
+    res_rr = eng.search("big vector scan", use_rerank=True)
+    assert len(res_rr) == 5
+    assert all("rerank_score" in r or "score" in r for r in res_rr)
+
+    # deep dive produces grounded claims citing real sources
+    claims = eng.deep_dive("merge fast table join")
+    assert claims
+    assert all(c.source_indices for c in claims)
+    assert all(0.0 <= c.confidence <= 1.0 for c in claims)
+
+    # click feedback boosts the clicked chunk
+    eng.click("merge fast table join", top1["id"])
+    boosted = (
+        eng.workspace.chunks().filter(F.col("id") == top1["id"]).collect()[0]
+    )
+    assert abs(boosted["boost_factor"] - 1.1) < 1e-9
+
+    # retrieval log captured the searches
+    logs = eng.workspace.retrieval_logs()
+    assert logs.filter(~F.col("query").startswith("USER_CLICK:")).count() >= 3
+
+
+def test_critical_latency_degrades_to_keyword_only(spark, tmp_path):
+    from ai_vector_database_converstion_from_pdf_spark.engine import PvdbEngine
+
+    eng = PvdbEngine(spark, str(tmp_path / "eng_ws2"), dim=16, asof="2024-06-01 00:00:00")
+    docs = (
+        spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .limit(30)
+        .select("doc_id", "text")
+    )
+    eng.index_documents(docs)
+    eng.governor.avg_ms = 5000.0  # force the Q6 critical path
+    res = eng.search("table join")
+    assert res
+    assert all(r["semantic_rank"] == 0 for r in res)  # FTS-only results
+    assert all(r["score"] == 0.5 for r in res)        # flat score (vector_store.cpp:329)
