@@ -178,6 +178,47 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_search(docs, emb, FLAGSHIP_QUERY, _query_vec(spark, sf_dir), k=5)
 
 
+@register(
+    "q3_bm25_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT id, unnest(ts) AS token FROM (
+        SELECT doc_id AS id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS ts
+        FROM documents)
+    ),
+    dl AS (SELECT id, count(*)::DOUBLE AS dl FROM toks GROUP BY id),
+    stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+    hits AS (SELECT id, token FROM toks WHERE token IN {_SQL_TERMS}),
+    tf AS (SELECT id, token, count(*)::DOUBLE AS tf FROM hits GROUP BY 1, 2),
+    dfreq AS (SELECT token, count(*)::DOUBLE AS df FROM (
+      SELECT DISTINCT id, token FROM hits) GROUP BY 1),
+    scored AS (
+      SELECT tf.id,
+             ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS term_score
+      FROM tf
+      JOIN dfreq USING (token)
+      JOIN dl ON dl.id = tf.id
+      CROSS JOIN stats s
+    )
+    SELECT id, round(sum(term_score), 6) AS bm25
+    FROM scored GROUP BY id
+    ORDER BY bm25 DESC, id ASC
+    LIMIT 20
+    """,
+)
+def q3_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword ranking — the Q3 'BM25-lite' extension SURVEY §2.4
+    declares (FTS5 ranks bm25 internally; the reference flattens it)."""
+    from .operators.keyword import bm25_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_search(docs, FLAGSHIP_QUERY, 20, id_col="doc_id", text_col="text")
+
+
 # ---------------------------------------------------------------------------
 # Batch hybrid — N queries, one corpus scan per branch (set-at-a-time
 # reformulation of the reference's one-query-at-a-time loop)

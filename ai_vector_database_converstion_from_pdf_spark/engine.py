@@ -137,12 +137,15 @@ class PvdbEngine:
         rows = rows[:k]
 
         self.governor.observe((time.perf_counter() - t0) * 1000)
+        top_sem = int(rows[0].get("semantic_rank", 0) or 0) if rows else 0
         self.workspace.log_retrieval(
             query=query,
-            semantic_rank=rows[0].get("semantic_rank", 0) if rows else 0,
+            semantic_rank=top_sem,
             keyword_rank=rows[0].get("keyword_rank", 0) if rows else 0,
             final_rank=1,
             top_score=float(rows[0]["score"]) if rows else 0.0,
+            # rank_delta vs the pure-semantic top (vector_store.cpp:565)
+            rank_delta=max(0, top_sem - 1),
             stability=stability,
             created_at=self.asof,
         )

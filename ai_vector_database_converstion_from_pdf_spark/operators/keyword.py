@@ -18,7 +18,7 @@ buckets instead of scanning all postings.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from ..functions.text import tokens
 
@@ -41,12 +41,69 @@ def build_fts_index(
     )
 
 
-def query_terms_df(spark: SparkSession, query_text: str) -> DataFrame:
-    """The query's distinct token set as a 1-column DataFrame."""
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search(
+    chunks: DataFrame,
+    query_text: str,
+    limit: int,
+    id_col: str = "id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 ranking — the "BM25-lite" extension SURVEY §2.4 declares for
+    Q3 (the reference's FTS5 scores a flat 0.5; FTS5 itself ranks bm25
+    internally, so this is the faithful upgrade).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf = ln( (N − df + 0.5)/(df + 0.5) + 1 ).
+
+    Plan shape: one token explode, query-term In-filter BEFORE any
+    aggregation, df/tf from map-side-combined groupBys, N and avgdl as
+    broadcast scalars. Shuffles are keyed by token (bounded by query
+    terms) and by doc id (matched docs only).
+    """
+    import math
     import re
 
     terms = sorted(set(t for t in re.split(r"[^a-z0-9]+", query_text.lower()) if t))
-    return spark.createDataFrame([(t,) for t in terms], "token string")
+    toks = chunks.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    # doc lengths + corpus stats (tiny aggregates, computed once)
+    dl = toks.groupBy("id").agg(F.count("*").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = float(stats["n"]), float(stats["avgdl"])
+
+    hits = toks.filter(F.col("token").isin(terms))
+    tf = hits.groupBy("id", "token").agg(F.count("*").cast("double").alias("tf"))
+    df_ = hits.select("id", "token").distinct().groupBy("token").agg(
+        F.count("*").cast("double").alias("df")
+    )
+    idf = F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, "id")
+        .select(
+            "id",
+            (
+                idf
+                * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+            ).alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("id").asc())
+        .limit(limit)
+    )
 
 
 def keyword_search(

@@ -29,6 +29,18 @@ CHAR_SCHEMA = (
 )
 
 
+def ocr_pdf_provider(pdf_bytes: bytes, prompt: str = "Extract all text") -> str:
+    """I13 — cloud OCR provider slot (`GeminiApi::processPdf`,
+    `gemini_api.cpp:275-314`: base64 the whole PDF into a generateContent
+    call). Out of the correctness path (SURVEY §2.1); a deployment wires
+    a real multimodal-LLM client here. Raises by contract when unset."""
+    raise NotImplementedError(
+        "cloud OCR requires a configured multimodal provider; "
+        "the local layout pipeline (read_pdf_chars -> operators/ingest) "
+        "is the correctness path"
+    )
+
+
 def have_pdfium() -> bool:
     try:
         import pypdfium2  # noqa: F401
