@@ -807,6 +807,39 @@ def q16_source_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "quantize_roundtrip",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+      FROM embeddings
+    ),
+    recon AS (
+      SELECT vec_id, embedding,
+             CASE WHEN scale = 0
+                  THEN list_transform(embedding, x -> 0.0)
+                  ELSE list_transform(embedding, x -> round(x::DOUBLE / scale) * scale)
+             END AS r
+      FROM q
+    )
+    SELECT vec_id,
+           round(
+             list_dot_product(embedding::DOUBLE[], r)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(r, r))), 6) AS cos_recon
+    FROM recon ORDER BY vec_id
+    """,
+)
+def quantize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 symmetric quantization round-trip quality (4x storage cut;
+    scale path for the 12KB/row float32 BLOBs the reference ships)."""
+    from .operators.quantize import reconstruction_report
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return reconstruction_report(emb).orderBy("vec_id")
+
+
 @register("ann_lsh_topk")
 def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH (scale path for Q1).

@@ -66,7 +66,6 @@ def bm25_search(
     broadcast scalars. Shuffles are keyed by token (bounded by query
     terms) and by doc id (matched docs only).
     """
-    import math
     import re
 
     terms = sorted(set(t for t in re.split(r"[^a-z0-9]+", query_text.lower()) if t))

@@ -69,6 +69,12 @@ class Workspace:
         chunks.write.mode("append").parquet(self._tbl("chunks"))
 
     def chunks(self) -> DataFrame:
+        if not self._exists("chunks"):
+            raise ValueError(
+                f"workspace {self.path!r} has no chunks table — "
+                "index documents first (Workspace.add_chunks / "
+                "PvdbEngine.index_documents)"
+            )
         return self.spark.read.parquet(self._tbl("chunks"))
 
     # -- FTS index: derived, not dual-written (vs vector_store.cpp:192-201)
