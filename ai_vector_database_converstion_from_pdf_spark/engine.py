@@ -101,7 +101,9 @@ class PvdbEngine:
         plan = self.governor.plan(k, intent_mod.route(it).depth_mult, it)
 
         chunks = self.workspace.chunks()
-        corpus = chunks.select(F.col("id").alias("doc_id"), "text")
+        corpus = chunks.select(
+            F.col("id").alias("doc_id"), "text", "chunk_type", "heading_level"
+        )
         vecs = chunks.select(F.col("id").alias("vec_id"), "embedding")
         logs = self.workspace.retrieval_logs()
 
@@ -117,7 +119,10 @@ class PvdbEngine:
                 )
             ][:k]
         else:
-            fused = hybrid_search(corpus, vecs, query, qvec, k=plan["depth"], logs=logs)
+            fused = hybrid_search(
+                corpus, vecs, query, qvec, k=plan["depth"], logs=logs,
+                chunk_type_col="chunk_type", heading_level_col="heading_level",
+            )
             rows = [r.asDict() for r in fused.collect()]
 
         stability = fusion.query_stability(logs, query)

@@ -40,8 +40,16 @@ def hybrid_search(
     vec_col: str = "embedding",
     logs: DataFrame | None = None,
     fts_index: DataFrame | None = None,
+    chunk_type_col: str | None = None,
+    heading_level_col: str | None = None,
 ) -> DataFrame:
-    """Returns (id, semantic_rank, keyword_rank, score, text) top-k."""
+    """Returns (id, semantic_rank, keyword_rank, score, text) top-k.
+
+    When the corpus carries chunk metadata (chunk_type / heading_level —
+    the workspace `chunks` schema does), the Q9 additive intent boosts
+    are applied to semantic-branch rows exactly as the reference does
+    (`vector_store.cpp:402-409`); the driver fixtures lack those
+    columns, so the flagship oracle path runs without them."""
     it = intent_mod.detect_intent(query_text)
     r = intent_mod.route(it)
     depth = k * r.depth_mult
@@ -67,6 +75,24 @@ def hybrid_search(
     )
 
     fused = fusion.rrf_fuse(sem_ranked, kw_ranked, r.w_semantic, r.w_keyword)
+
+    # Q9: intent-type boosts on rows that entered via the semantic branch
+    # (reference applies them while walking semanticRes). Metadata joins
+    # against the tiny fused set — broadcast, no corpus shuffle.
+    if chunk_type_col is not None:
+        meta_cols = [F.col(doc_id).alias("id"), F.col(chunk_type_col).alias("_ct")]
+        if heading_level_col is not None:
+            meta_cols.append(F.col(heading_level_col).alias("_hl"))
+        meta = docs.select(*meta_cols)
+        fused = F.broadcast(fused).join(meta, "id", "left")
+        hl = F.coalesce(F.col("_hl"), F.lit(0)) if heading_level_col else F.lit(0)
+        boost = fusion.intent_boost_col(it, F.coalesce(F.col("_ct"), F.lit("")), hl)
+        fused = fused.withColumn(
+            "rrf_score",
+            F.col("rrf_score")
+            + F.when(F.col("semantic_rank") > 0, boost).otherwise(0.0),
+        ).drop("_ct", "_hl")
+
     stability = fusion.query_stability(logs, query_text)
     scored = fusion.apply_stability_bias(fused, stability, r.stability_mult)
 
