@@ -77,6 +77,47 @@ def streaming_ingest_chunks(spark: SparkSession, docs_stream: DataFrame, dim: in
     )
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running (event count, value sum) that persists across
+    micro-batches — the streaming analog of the reference's cross-batch
+    session state (latency EMA / calibration stats are kept on the
+    driver there; here state lives in the state store, sharded by key,
+    which is the 100 TB-correct place for it).
+
+    Emits one row per (user, micro-batch) with the running totals."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, batch_events long, total_events long, total_value double"
+    )
+    state_schema = "total_events long, total_value double"
+
+    def fn(key, pdf_iter, state: GroupState):
+        total_events, total_value = (
+            state.get if state.exists else (0, 0.0)
+        )
+        batch_events = 0
+        for pdf in pdf_iter:
+            batch_events += len(pdf)
+            total_events += len(pdf)
+            total_value += float(pdf["value"].sum())
+        state.update((total_events, total_value))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "batch_events": [batch_events],
+                "total_events": [total_events],
+                "total_value": [total_value],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str) -> None:
     """Drive a streaming DataFrame to completion synchronously (tests)."""
     q = (
