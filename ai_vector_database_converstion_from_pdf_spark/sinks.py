@@ -50,12 +50,21 @@ class Workspace:
 
     def _exists(self, name: str) -> bool:
         p = self._tbl(name)
-        return os.path.isdir(p) and any(
-            f.endswith(".parquet") for f in os.listdir(p)
-        )
+        if not os.path.isdir(p):
+            return False
+        for _root, _dirs, files in os.walk(p):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     # -- S1: chunk append with I17 dimension guardrail --------------------
-    def add_chunks(self, chunks: DataFrame) -> None:
+    def add_chunks(self, chunks: DataFrame, partition_buckets: int | None = None) -> None:
+        """Append chunks. With `partition_buckets`, rows land in
+        hash-of-doc_id directory partitions (`_bucket=k/`): doc-scoped
+        reads (context windows, point lookups, per-doc rebuilds) then
+        prune to one directory instead of scanning the corpus — the
+        100 TB layout. Mixing bucketed and unbucketed appends in one
+        workspace is rejected."""
         from .functions.embed import check_dimension
 
         new_dim_row = chunks.select(
@@ -66,7 +75,42 @@ class Workspace:
             registered = self.get_metadata("embedding_dimension")
             check_dimension(int(registered) if registered else None, new_dim)
             self.set_metadata("embedding_dimension", str(new_dim))
-        chunks.write.mode("append").parquet(self._tbl("chunks"))
+
+        registered_buckets = self.get_metadata("partition_buckets")
+        if registered_buckets is not None and int(registered_buckets) != (
+            partition_buckets or 0
+        ):
+            raise ValueError(
+                f"workspace is partitioned with {registered_buckets} buckets; "
+                f"append requested {partition_buckets or 0}"
+            )
+        if partition_buckets:
+            self.set_metadata("partition_buckets", str(partition_buckets))
+            (
+                chunks.withColumn(
+                    "_bucket",
+                    F.pmod(F.xxhash64(F.col("doc_id")), F.lit(partition_buckets)),
+                )
+                .write.mode("append")
+                .partitionBy("_bucket")
+                .parquet(self._tbl("chunks"))
+            )
+        else:
+            self.set_metadata("partition_buckets", "0")
+            chunks.write.mode("append").parquet(self._tbl("chunks"))
+
+    def chunks_for_doc(self, doc_id: str) -> DataFrame:
+        """Doc-scoped read. On a bucketed workspace the `_bucket`
+        predicate is a partition filter — Spark lists exactly one
+        directory (partition pruning), the point of the layout."""
+        df = self.chunks()
+        buckets = self.get_metadata("partition_buckets")
+        if buckets and int(buckets) > 0:
+            df = df.filter(
+                F.col("_bucket")
+                == F.pmod(F.xxhash64(F.lit(doc_id)), F.lit(int(buckets)))
+            )
+        return df.filter(F.col("doc_id") == doc_id)
 
     def chunks(self) -> DataFrame:
         if not self._exists("chunks"):
