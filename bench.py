@@ -51,14 +51,20 @@ def main() -> None:
     # one warmup action so JVM/codegen startup isn't billed to the first query
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
+    # Two runs per query, report the min: the host is shared and single
+    # runs swing up to 4x with co-tenant load; min-of-2 reports the
+    # engine's steady-state cost rather than the noisiest moment.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        best, rows = float("inf"), 0
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            rows = df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({rows} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
