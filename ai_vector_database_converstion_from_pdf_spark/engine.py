@@ -119,9 +119,14 @@ class PvdbEngine:
                 )
             ][:k]
         else:
+            # k governs the route depth inside hybrid_search; MMR /
+            # exploration / rerank need the FULL fused candidate set, so
+            # fetch it untruncated and resize to k at the end (same order
+            # of operations as the reference, vector_store.cpp:460-556)
             fused = hybrid_search(
-                corpus, vecs, query, qvec, k=plan["depth"], logs=logs,
+                corpus, vecs, query, qvec, k=k, logs=logs,
                 chunk_type_col="chunk_type", heading_level_col="heading_level",
+                return_fused=True,
             )
             rows = [r.asDict() for r in fused.collect()]
 
@@ -166,8 +171,10 @@ class PvdbEngine:
             return []
         ids = [r["id"] for r in top]
         chunks = self.workspace.chunks()
+        # windows need neighbor rows, so the frame runs over all chunks
+        # and only the output is filtered to the hit ids
         ctx_df = source_context(
-            chunks.filter(F.col("id").isin(ids) | F.lit(True)),
+            chunks,
             offset,
             stage="synthesis",
             doc_col="doc_id",

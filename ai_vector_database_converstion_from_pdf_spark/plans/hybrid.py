@@ -42,6 +42,7 @@ def hybrid_search(
     fts_index: DataFrame | None = None,
     chunk_type_col: str | None = None,
     heading_level_col: str | None = None,
+    return_fused: bool = False,
 ) -> DataFrame:
     """Returns (id, semantic_rank, keyword_rank, score, text) top-k.
 
@@ -100,10 +101,14 @@ def hybrid_search(
     # left join but can run as inner with the tiny fused side BROADCAST —
     # the corpus is probed map-side, never shuffled (a left join here
     # would force a sort-merge shuffle of the full corpus to fetch k texts)
-    return (
+    out = (
         F.broadcast(scored)
         .join(corpus, "id")
         .select("id", "semantic_rank", "keyword_rank", "score", "text")
         .orderBy(F.col("score").desc(), F.col("id").asc())
-        .limit(k)
     )
+    # return_fused: the FULL fused candidate set (<= 2x depth rows) for
+    # callers that post-process before truncating — the reference's MMR
+    # and exploration operate on all fused candidates, not the top-k
+    # (`vector_store.cpp:460-554` runs before the final resize)
+    return out if return_fused else out.limit(k)

@@ -153,7 +153,13 @@ class Workspace:
 
     def _overwrite(self, name: str, df: DataFrame) -> None:
         tmp = self._tbl(f"_{name}_tmp")
-        df.write.mode("overwrite").parquet(tmp)
+        writer = df.write.mode("overwrite")
+        if "_bucket" in df.columns:
+            # preserve the hash-bucket directory layout through updates —
+            # a flat rewrite would silently demote _bucket to a data
+            # column and lose partition pruning
+            writer = writer.partitionBy("_bucket")
+        writer.parquet(tmp)
         final = self._tbl(name)
         import shutil
 

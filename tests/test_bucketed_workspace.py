@@ -48,3 +48,14 @@ def test_bucketed_layout_and_pruning(spark, tmp_path):
         k=5,
     ).collect()
     assert len(res) == 5
+
+    # updates (boost = read-modify-overwrite) must preserve the bucketed
+    # directory layout, not flatten it into a plain parquet dir
+    ws.boost_entry(7, 0.1)
+    dirs_after = [
+        d for d in os.listdir(ws._tbl("chunks")) if d.startswith("_bucket=")
+    ]
+    assert sorted(dirs_after) == sorted(dirs)
+    assert abs(
+        ws.chunks_for_doc("7").collect()[0]["boost_factor"] - 1.1
+    ) < 1e-9
