@@ -663,6 +663,48 @@ def text_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_profile(docs).orderBy("doc_id")
 
 
+@register(
+    "winnowing_fingerprints",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id AS id,
+             array_to_string(
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> ''), '') AS norm
+      FROM documents
+    ),
+    grams AS (
+      SELECT id, length(norm) AS len, i AS pos, substr(norm, i, 5) AS gram
+      FROM base, unnest(range(1, greatest(length(norm) - 4, 0) + 1)) AS u(i)
+    ),
+    hashed AS (
+      SELECT id, len, pos,
+             ('0x' || substr(md5(gram), 1, 15))::BIGINT % 1073741824 AS x
+      FROM grams
+    ),
+    mins AS (
+      SELECT DISTINCT id, wmin FROM (
+        SELECT id, pos, len,
+               min(x) OVER (PARTITION BY id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        FROM hashed)
+      WHERE pos <= len - 4 - 4 + 1
+    )
+    SELECT id, count(*)::BIGINT AS n_fingerprints,
+           md5(string_agg(wmin::VARCHAR, ',' ORDER BY wmin)) AS digest
+    FROM mins GROUP BY id
+    ORDER BY id
+    """,
+)
+def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing fingerprints (rolling k-gram window minima):
+    the document-fingerprinting scale op (k=5, w=4)."""
+    from .operators.textstats import winnowing_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs).orderBy("id")
+
+
 # ---------------------------------------------------------------------------
 # Similarity search — multi-query brute-force kNN (exact); ANN paths are
 # recall-tested in tests/ (approximate results have no equality oracle)

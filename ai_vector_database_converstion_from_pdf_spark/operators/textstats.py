@@ -114,6 +114,70 @@ def detect_lang(text: Column) -> Column:
     return expr
 
 
+WINNOW_K = 5  # char-gram length
+WINNOW_W = 4  # window width
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Winnowing (MOSS-style) document fingerprints: hash every char
+    k-gram of the normalized token stream, keep the minimum hash of each
+    sliding w-window, dedupe. Guarantees any shared substring of length
+    ≥ k+w-1 yields a shared fingerprint — the rolling-hash scheme for
+    plagiarism/near-dup detection at corpus scale (fingerprints per doc
+    ≈ 2·len/(w+1), a ~(w+1)/2 compression of the gram stream).
+
+    Output: (id, n_fingerprints, digest) where digest = md5 of the
+    sorted fingerprint multiset — two docs with equal digests share all
+    fingerprints. Pure window/agg ops; one shuffle on doc id."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import shingle_base_hash
+
+    norm = F.array_join(tokens(F.col(text_col)), "")
+    base = docs.select(F.col(id_col).alias("id"), norm.alias("_norm"))
+    grams = base.select(
+        "id",
+        F.length("_norm").alias("_len"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(_norm) - {k - 1}, 0)),"
+                f" i -> substr(_norm, i, {k}))"
+            )
+        ).alias("pos", "gram"),
+    )
+    hashed = grams.select(
+        "id", "_len", "pos", shingle_base_hash(F.col("gram")).alias("x")
+    )
+    win = (
+        Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    # windows fully inside the gram stream: 1-based start ≤ n_grams − w + 1
+    # (posexplode positions are 0-based, hence the +1)
+    mins = (
+        hashed.withColumn("wmin", F.min("x").over(win))
+        .filter(F.col("pos") + 1 <= F.col("_len") - (k - 1) - w + 1)
+        .select("id", "wmin")
+        .distinct()
+    )
+    digest = F.md5(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("wmin")), lambda v: v.cast("string")
+            ),
+            ",",
+        )
+    )
+    return mins.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_fingerprints"), digest.alias("digest")
+    )
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of the normalized token stream (rolling-
     hash analog that is order-sensitive but whitespace/punct-insensitive)."""
