@@ -1254,6 +1254,37 @@ def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_asof_join",
+    oracle="""
+    SELECT l.event_id, l.user_id, r.value AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    ORDER BY l.event_id
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent click
+    at-or-before it (composed from union + ordered window — Spark has no
+    native as-of; DuckDB's ASOF JOIN is the oracle)."""
+    from .operators.asof import asof_join
+    from .sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases, clicks, key="user_id", ts_col="ts",
+        right_value_col="value", out_col="asof_value",
+    )
+    return out.select("event_id", "user_id", "asof_value").orderBy("event_id")
+
+
 # ---------------------------------------------------------------------------
 # Events: sessionization + tumbling-window aggregation (batch analogs of
 # the streaming path; reference analog = per-page incremental emission,
