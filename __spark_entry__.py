@@ -8,9 +8,16 @@ with DuckDB oracles. Implementations live in
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# the engine package lives beside this file; make the import CWD-independent
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from ai_vector_database_converstion_from_pdf_spark import catalog
 from ai_vector_database_converstion_from_pdf_spark.session import tune_for_session
