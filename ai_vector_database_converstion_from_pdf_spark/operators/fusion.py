@@ -50,10 +50,30 @@ def rrf_fuse(
     is reported as rank 0 (reference `semanticRanks.value(id, 0)`).
 
     Output: (id, semantic_rank, keyword_rank, rrf_score).
-    """
-    sem = sem_ranked.withColumnRenamed(sem_ranked.columns[1], "semantic_rank")
-    kw = kw_ranked.withColumnRenamed(kw_ranked.columns[1], "keyword_rank")
-    merged = sem.join(kw, "id", "full_outer")
+
+    Shape: the full-outer semantics are expressed as union + groupBy(max)
+    rather than a FULL OUTER join — Spark cannot broadcast a full-outer
+    join, so the join form always plans as SortMergeJoin (two sorts + two
+    exchanges) even over these ≤depth-row inputs; the union form is one
+    tiny hash-aggregate exchange."""
+    sem = sem_ranked.select(
+        F.col(sem_ranked.columns[0]).alias("id"),
+        F.col(sem_ranked.columns[1]).cast("long").alias("semantic_rank"),
+        F.lit(None).cast("long").alias("keyword_rank"),
+    )
+    kw = kw_ranked.select(
+        F.col(kw_ranked.columns[0]).alias("id"),
+        F.lit(None).cast("long").alias("semantic_rank"),
+        F.col(kw_ranked.columns[1]).cast("long").alias("keyword_rank"),
+    )
+    merged = (
+        sem.unionByName(kw)
+        .groupBy("id")
+        .agg(
+            F.max("semantic_rank").alias("semantic_rank"),
+            F.max("keyword_rank").alias("keyword_rank"),
+        )
+    )
     sem_term = F.when(
         F.col("semantic_rank").isNotNull(),
         F.lit(w_semantic) * (F.lit(1.0) / (F.lit(k) + F.col("semantic_rank"))),

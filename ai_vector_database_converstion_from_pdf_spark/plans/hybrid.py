@@ -58,9 +58,13 @@ def hybrid_search(
     corpus = docs.select(F.col(doc_id).alias("id"), F.col(text_col).alias("text"))
     vecs = embeddings.select(F.col(vec_id).alias("id"), F.col(vec_col).alias("vec"))
 
-    sem_scored = semantic.score_cosine(
-        corpus.join(vecs, "id"), query_vec, vec_col="vec", out_col="sim"
-    )
+    # Semantic branch scores the embedding table ALONE — joining text in
+    # here would sort-merge-shuffle two corpus-sized tables per query
+    # (the round-1 plan's one flaw). Contract: embedding ids ⊆ doc ids
+    # (the workspace stores both in one chunks table, so this holds by
+    # construction); any vec-only id would be dropped by the final inner
+    # text join regardless.
+    sem_scored = semantic.score_cosine(vecs, query_vec, vec_col="vec", out_col="sim")
     sem_ranked = fusion.rank_branch(sem_scored, "sim", "id", "semantic_rank", depth)
 
     kw = keyword.keyword_search(corpus, query_text, depth, id_col="id", text_col="text")
@@ -85,7 +89,12 @@ def hybrid_search(
         if heading_level_col is not None:
             meta_cols.append(F.col(heading_level_col).alias("_hl"))
         meta = docs.select(*meta_cols)
-        fused = F.broadcast(fused).join(meta, "id", "left")
+        # inner, not left: every fused id that can survive the final inner
+        # text join has a meta row, and Spark can only honor a broadcast
+        # hint on the stream side of a LEFT join for the build=right case —
+        # inner lets the tiny fused set be the build side (BuildLeft), so
+        # the corpus-sized meta is probed map-side, never shuffled
+        fused = F.broadcast(fused).join(meta, "id")
         hl = F.coalesce(F.col("_hl"), F.lit(0)) if heading_level_col else F.lit(0)
         boost = fusion.intent_boost_col(it, F.coalesce(F.col("_ct"), F.lit("")), hl)
         fused = fused.withColumn(

@@ -47,11 +47,13 @@ def hybrid_search_batch(
     depth = k * depth_mult
     corpus = docs.select(F.col(doc_id).alias("id"), F.col(text_col).alias("text"))
     vecs = embeddings.select(F.col(vec_id).alias("id"), F.col(vec_col).alias("vec"))
-    withvec = corpus.join(vecs, "id")
 
-    # --- semantic branch: one scan, queries broadcast ---
+    # --- semantic branch: one scan of the EMBEDDING table alone, queries
+    # broadcast. The branch needs no text, so joining the corpus here
+    # (round-1 shape) was a pure corpus⋈corpus shuffle tax. Contract:
+    # embedding ids ⊆ doc ids (workspace stores both in one table).
     qv = queries.select(F.col(q_id).alias("qid"), F.col(q_vec).alias("qvec"))
-    sem_scored = withvec.crossJoin(F.broadcast(qv)).select(
+    sem_scored = vecs.crossJoin(F.broadcast(qv)).select(
         "qid", "id", cosine_rounded(F.col("vec"), F.col("qvec")).alias("sim")
     )
     wsem = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("id").asc())
@@ -83,7 +85,24 @@ def hybrid_search_batch(
     )
 
     # --- per-query RRF full-outer merge + uniform stability bias ---
-    merged = sem_ranked.join(kw_ranked, ["qid", "id"], "full_outer")
+    # union + groupBy(max) instead of a FULL OUTER join: full-outer always
+    # plans as SortMergeJoin (never broadcastable); the union form is one
+    # hash-aggregate exchange keyed by (qid, id)
+    merged = (
+        sem_ranked.select(
+            "qid", "id", "semantic_rank", F.lit(None).cast("long").alias("keyword_rank")
+        )
+        .unionByName(
+            kw_ranked.select(
+                "qid", "id", F.lit(None).cast("long").alias("semantic_rank"), "keyword_rank"
+            )
+        )
+        .groupBy("qid", "id")
+        .agg(
+            F.max("semantic_rank").alias("semantic_rank"),
+            F.max("keyword_rank").alias("keyword_rank"),
+        )
+    )
     sem_term = F.when(
         F.col("semantic_rank").isNotNull(),
         F.lit(w_semantic) / (F.lit(RRF_K) + F.col("semantic_rank")),

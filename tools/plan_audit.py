@@ -13,7 +13,7 @@ SF = "/root/testdata/sf0.01"
 EXPECT = {
     "q1_semantic_topk": ["TakeOrderedAndProject"],       # no global sort
     "q3_keyword_search": ["TakeOrderedAndProject"],
-    "hybrid_rrf": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+    "hybrid_rrf": ["BroadcastHashJoin", "TakeOrderedAndProject", "!SortMergeJoin"],
     "tpch_q1_pricing_summary": ["PushedFilters: [IsNotNull(l_shipdate)"],
     "tpch_q3_shipping_priority": ["PushedFilters", "BroadcastHashJoin"],
     "star_join_revenue": ["BroadcastHashJoin"],
@@ -46,7 +46,12 @@ def main() -> int:
             "Pushed": "PushedFilters: [" in plan and "PushedFilters: []" not in plan.replace("PushedFilters: [", "PF["),
             "Exchanges": plan.count("Exchange"),
         }
-        missing = [w for w in wants if w not in plan]
+        # "!X" asserts X must NOT appear in the plan
+        missing = [
+            w
+            for w in wants
+            if ((w[1:] in plan) if w.startswith("!") else (w not in plan))
+        ]
         status = "OK" if not missing else f"MISSING {missing}"
         if missing:
             failures.append(name)
