@@ -1,0 +1,90 @@
+"""Materialize golden oracles for deterministic non-SQL-expressible queries.
+
+The chunker (I10), rerank pipeline (R1-R5) and synthesis claims (Y1-Y3)
+are sequential/stateful by semantics (reference `pdf_processor.cpp:259-389`,
+`gemini_api.cpp:79-178,379-567`) so no *computed* DuckDB oracle exists —
+but every one is fully deterministic over the fixed sf0.01 fixture, so the
+oracle can be the expected output itself.  This script runs each query on
+Spark and emits `tests/golden/<name>.sql` containing a `VALUES` literal of
+the result; `catalog.py` loads those files as the oracle_sql() entries and
+`tests/test_goldens.py` re-runs the comparison so drift is caught before
+the driver sees it.
+
+Regenerate (ONLY after an intentional semantic change, with the diff
+reviewed): python tools/make_goldens.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+GOLDEN_NAMES = ["ingest_chunker", "rerank_pipeline", "synthesis_claims"]
+GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "golden"
+)
+SF_DIR = "/root/testdata/sf0.01"
+
+# Spark simpleString -> DuckDB cast target.  Only scalar types appear in
+# the golden queries; anything else should fail loudly.
+_DUCK_TYPE = {
+    "string": "VARCHAR",
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "double": "DOUBLE",
+    "float": "DOUBLE",
+    "boolean": "BOOLEAN",
+}
+
+
+def _sql_literal(v, duck_type: str) -> str:
+    if v is None:
+        return f"CAST(NULL AS {duck_type})"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, float):
+        return repr(v)  # shortest round-trip repr; canon is 9 sig digits anyway
+    return str(v)
+
+
+def golden_sql(df) -> str:
+    cols = df.columns
+    types = [_DUCK_TYPE[f.dataType.simpleString()] for f in df.schema.fields]
+    rows = df.collect()
+    if not rows:
+        raise SystemExit("golden query returned 0 rows — refusing to encode")
+    lines = []
+    for r in rows:
+        vals = ", ".join(_sql_literal(v, t) for v, t in zip(tuple(r), types))
+        lines.append(f"  ({vals})")
+    body = ",\n".join(lines)
+    sel = ", ".join(
+        f"CAST({c} AS {t}) AS {c}" for c, t in zip(cols, types)
+    )
+    return (
+        f"SELECT {sel} FROM (VALUES\n{body}\n) AS golden({', '.join(cols)})\n"
+    )
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from ai_vector_database_converstion_from_pdf_spark.session import get_spark
+
+    spark = get_spark("make-goldens", cpus=8)
+    qs = entry_mod.queries()
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for name in GOLDEN_NAMES:
+        df = qs[name](spark, SF_DIR)
+        sql = golden_sql(df)
+        path = os.path.join(GOLDEN_DIR, f"{name}.sql")
+        with open(path, "w") as f:
+            f.write(sql)
+        print(f"wrote {path} ({sql.count(chr(10))} lines)")
+
+
+if __name__ == "__main__":
+    main()
