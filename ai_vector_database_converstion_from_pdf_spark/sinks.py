@@ -8,11 +8,19 @@ Reference: one SQLite file per workspace under AppData
 
 Spark-first: a workspace is a directory of Parquet tables. The FTS index
 is DERIVED (rebuilt from chunks), never dual-written — eliminating the
-reference's index/row consistency risk. Updates (boost, clear) are
-read-modify-overwrite, the Parquet-without-Delta emulation of MERGE; on
-a Delta/Iceberg deployment these become real MERGE INTO with no API
-change. Appends partition naturally; at 100 TB you'd bucket chunks by
-doc_id so search-side joins co-locate.
+reference's index/row consistency risk. Boost updates are APPEND-ONLY:
+each +delta lands in a tiny `boosts` table and `chunks()` folds
+`boost_factor + sum(deltas)` in at read time via a broadcast join, so a
+single click never rewrites the corpus (the reference's UPDATE,
+`vector_store.cpp:789-795`, touches one row; a full-table rewrite at
+100 TB would not). `compact_boosts()` folds them in with one rewrite
+when the delta table grows. On a Delta/Iceberg deployment boost/clear
+become real MERGE INTO/DELETE with no API change.
+
+Durability scope: workspace paths must be LOCAL filesystem paths —
+existence checks and the overwrite swap use os/shutil, and the
+rmtree+rename swap is not atomic for concurrent readers. A multi-writer
+or object-store deployment should use the Delta path above.
 """
 
 from __future__ import annotations
@@ -42,6 +50,12 @@ class Workspace:
     """Directory-backed workspace (reference: one SQLite file each)."""
 
     def __init__(self, spark: SparkSession, path: str):
+        if "://" in path:
+            raise ValueError(
+                f"workspace path {path!r} has a URI scheme; workspaces are "
+                "local-filesystem-only (see module docstring) — use the "
+                "Delta/Iceberg deployment for remote storage"
+            )
         self.spark = spark
         self.path = path.rstrip("/")
 
@@ -67,14 +81,23 @@ class Workspace:
         workspace is rejected."""
         from .functions.embed import check_dimension
 
-        new_dim_row = chunks.select(
-            F.size(F.col("embedding")).alias("d")
-        ).limit(1).collect()
-        if new_dim_row:
-            new_dim = int(new_dim_row[0]["d"])
+        # I17 guardrail over the WHOLE batch (first-row-only would let a
+        # mixed-dimension batch through), one aggregate job
+        stats = chunks.agg(
+            F.count("*").alias("n"),
+            F.countDistinct(F.size("embedding")).alias("ndims"),
+            F.max(F.size("embedding")).alias("d"),
+        ).collect()[0]
+        new_dim = None
+        if stats["n"]:
+            if stats["ndims"] != 1:
+                raise ValueError(
+                    f"mixed embedding dimensions in one batch "
+                    f"({stats['ndims']} distinct sizes)"
+                )
+            new_dim = int(stats["d"])
             registered = self.get_metadata("embedding_dimension")
             check_dimension(int(registered) if registered else None, new_dim)
-            self.set_metadata("embedding_dimension", str(new_dim))
 
         registered_buckets = self.get_metadata("partition_buckets")
         if registered_buckets is not None and int(registered_buckets) != (
@@ -85,7 +108,6 @@ class Workspace:
                 f"append requested {partition_buckets or 0}"
             )
         if partition_buckets:
-            self.set_metadata("partition_buckets", str(partition_buckets))
             (
                 chunks.withColumn(
                     "_bucket",
@@ -96,8 +118,12 @@ class Workspace:
                 .parquet(self._tbl("chunks"))
             )
         else:
-            self.set_metadata("partition_buckets", "0")
             chunks.write.mode("append").parquet(self._tbl("chunks"))
+        # register metadata only after the write succeeded, so a failed
+        # append cannot leave a stale dimension/bucket registration
+        if new_dim is not None:
+            self.set_metadata("embedding_dimension", str(new_dim))
+        self.set_metadata("partition_buckets", str(partition_buckets or 0))
 
     def chunks_for_doc(self, doc_id: str) -> DataFrame:
         """Doc-scoped read. On a bucketed workspace the `_bucket`
@@ -112,14 +138,35 @@ class Workspace:
             )
         return df.filter(F.col("doc_id") == doc_id)
 
-    def chunks(self) -> DataFrame:
+    def chunks(self, fold_boosts: bool = True) -> DataFrame:
+        """Chunk table with effective boost folded in: `boost_factor` is
+        the stored base plus the summed `boosts` deltas (broadcast join
+        against the tiny delta table). `fold_boosts=False` returns the
+        raw stored rows (compaction/export internals)."""
         if not self._exists("chunks"):
             raise ValueError(
                 f"workspace {self.path!r} has no chunks table — "
                 "index documents first (Workspace.add_chunks / "
                 "PvdbEngine.index_documents)"
             )
-        return self.spark.read.parquet(self._tbl("chunks"))
+        df = self.spark.read.parquet(self._tbl("chunks"))
+        if fold_boosts and self._exists("boosts"):
+            deltas = (
+                self.spark.read.parquet(self._tbl("boosts"))
+                .groupBy(F.col("chunk_id").alias("id"))
+                .agg(F.sum("delta").alias("_boost_delta"))
+            )
+            cols = df.columns
+            df = (
+                df.join(F.broadcast(deltas), "id", "left")
+                .withColumn(
+                    "boost_factor",
+                    F.col("boost_factor")
+                    + F.coalesce(F.col("_boost_delta"), F.lit(0.0)),
+                )
+                .select(*cols)
+            )
+        return df
 
     # -- FTS index: derived, not dual-written (vs vector_store.cpp:192-201)
     def fts_index(self) -> DataFrame:
@@ -134,22 +181,33 @@ class Workspace:
     def clear(self) -> None:
         import shutil
 
-        for t in ("chunks",):
+        for t in ("chunks", "boosts"):
             p = self._tbl(t)
             if os.path.isdir(p):
                 shutil.rmtree(p)
         self.delete_metadata("embedding_dimension")
 
-    # -- S6: boost update (MERGE emulation) -------------------------------
+    # -- S6: boost update (append-only delta, folded at read) -------------
     def boost_entry(self, chunk_id: int, amount: float = 0.1) -> None:
-        df = self.chunks()
-        updated = df.withColumn(
-            "boost_factor",
-            F.when(F.col("id") == chunk_id, F.col("boost_factor") + amount).otherwise(
-                F.col("boost_factor")
-            ),
-        )
-        self._overwrite("chunks", updated)
+        """One click = one appended (chunk_id, delta) row; the corpus is
+        never rewritten (reference UPDATE semantics,
+        `vector_store.cpp:789-795`, without the 100 TB rewrite)."""
+        self.spark.createDataFrame(
+            [(int(chunk_id), float(amount))], "chunk_id long, delta double"
+        ).write.mode("append").parquet(self._tbl("boosts"))
+
+    def compact_boosts(self) -> None:
+        """Fold accumulated boost deltas into the stored chunk rows with
+        one rewrite and drop the delta table. Run periodically when the
+        boosts table grows; reads see identical effective boosts before
+        and after."""
+        import shutil
+
+        if not self._exists("boosts"):
+            return
+        folded = self.chunks(fold_boosts=True)
+        self._overwrite("chunks", folded)
+        shutil.rmtree(self._tbl("boosts"), ignore_errors=True)
 
     def _overwrite(self, name: str, df: DataFrame) -> None:
         tmp = self._tbl(f"_{name}_tmp")

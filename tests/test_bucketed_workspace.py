@@ -49,8 +49,8 @@ def test_bucketed_layout_and_pruning(spark, tmp_path):
     ).collect()
     assert len(res) == 5
 
-    # updates (boost = read-modify-overwrite) must preserve the bucketed
-    # directory layout, not flatten it into a plain parquet dir
+    # boosts are append-only deltas: the bucketed chunk layout must be
+    # untouched and the effective boost folded in at read time
     ws.boost_entry(7, 0.1)
     dirs_after = [
         d for d in os.listdir(ws._tbl("chunks")) if d.startswith("_bucket=")
