@@ -78,6 +78,7 @@ class PvdbEngine:
             .withColumn("created_at", F.lit(self.asof).cast("timestamp"))
         )
         self.workspace.add_chunks(chunks)
+        self.cache.clear()  # cached results are stale once the corpus grows
         return self.workspace.count()
 
     # -- search (SURVEY §3.2) --------------------------------------------
@@ -92,7 +93,8 @@ class PvdbEngine:
         """Full hybrid pipeline with serving-state wiring. Returns ranked
         result dicts (id, text, score, semantic_rank, keyword_rank, ...)."""
         qvec = self.embed_text(query)
-        cached = self.cache.get(query, qvec)
+        variant = f"k={k};r={int(use_rerank)};m={int(use_mmr)};x={int(use_exploration)}"
+        cached = self.cache.get(query, qvec, variant=variant)
         if cached is not None:
             return cached
 
@@ -139,8 +141,29 @@ class PvdbEngine:
                 rows, k, lam, avg_entropy, doc_key="id", path_key="text"
             )
         if use_exploration:
+            # semantic-branch candidates in semantic-rank order, cosine
+            # sims attached by hybrid_search(return_fused): the reference
+            # walks semanticRes with the 0.65 threshold on cosine and
+            # trust on the stored boost factor (vector_store.cpp:533-554)
+            sem_cands = sorted(
+                (r for r in rows if (r.get("semantic_rank") or 0) > 0),
+                key=lambda r: r["semantic_rank"],
+            )
+            probe_ids = [r["id"] for r in sem_cands[k:]]
+            trust = (
+                {
+                    t["id"]: float(t["boost_factor"])
+                    for t in chunks.filter(F.col("id").isin(probe_ids))
+                    .select("id", "boost_factor")
+                    .collect()
+                }
+                if probe_ids
+                else {}
+            )
+            for r in sem_cands:
+                r["trust"] = trust.get(r["id"], 1.0)
             rows, _injected = mmr_mod.exploration_inject(
-                rows, rows, k, stability, it, trust_key="score"
+                rows, sem_cands, k, stability, it, trust_key="trust", sim_key="sim"
             )
         if use_rerank:
             rows = rerank_rows(query, rows, topk=k, calibrator=self.calibrator)
@@ -159,7 +182,7 @@ class PvdbEngine:
             stability=stability,
             created_at=self.asof,
         )
-        self.cache.put(query, rows, qvec)
+        self.cache.put(query, rows, qvec, variant=variant)
         return rows
 
     # -- deep dive (SURVEY §3.3) -----------------------------------------
@@ -170,11 +193,21 @@ class PvdbEngine:
         if not top:
             return []
         ids = [r["id"] for r in top]
-        chunks = self.workspace.chunks()
-        # windows need neighbor rows, so the frame runs over all chunks
-        # and only the output is filtered to the hit ids
+        # the context window only needs SAME-DOC neighbors, so restrict
+        # the scan to the hit documents BEFORE the window — a filter after
+        # the window cannot prune through it, and would shuffle the whole
+        # corpus per deep-dive. On a bucketed workspace chunks_for_docs
+        # partition-prunes to the hit buckets.
+        hit_docs = [
+            r["doc_id"]
+            for r in self.workspace.chunks()
+            .filter(F.col("id").isin(ids))
+            .select("doc_id")
+            .distinct()
+            .collect()
+        ]
         ctx_df = source_context(
-            chunks,
+            self.workspace.chunks_for_docs(hit_docs),
             offset,
             stage="synthesis",
             doc_col="doc_id",
@@ -200,3 +233,5 @@ class PvdbEngine:
     # -- feedback (S6/S7) -------------------------------------------------
     def click(self, query: str, chunk_id: int, was_exploration: bool = False) -> None:
         self.workspace.add_interaction(query, chunk_id, was_exploration, self.asof)
+        if not was_exploration:
+            self.cache.clear()  # the boost changed cached scores

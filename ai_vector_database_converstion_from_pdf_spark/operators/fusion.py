@@ -22,9 +22,19 @@ from pyspark.sql import DataFrame, Window, functions as F
 RRF_K = 60.0  # `vector_store.cpp:395`
 
 
-def rank_branch(df: DataFrame, score_col: str, id_col: str, rank_name: str, depth: int) -> DataFrame:
-    """(id, <rank_name>) — rank 1-based by (score desc, id asc), truncated
-    to retrieval depth (`vector_store.cpp:306-319` depth scaling).
+def rank_branch(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    rank_name: str,
+    depth: int,
+    keep_score: bool = False,
+) -> DataFrame:
+    """(id, <rank_name>[, <score_col>]) — rank 1-based by (score desc,
+    id asc), truncated to retrieval depth (`vector_store.cpp:306-319`
+    depth scaling). `keep_score` carries the branch score through for
+    callers that need it post-fusion (exploration compares the 0.65
+    threshold against the semantic cosine, `vector_store.cpp:543-546`).
 
     Scale shape: orderBy().limit(depth) FIRST — plans as
     TakeOrderedAndProject (per-partition k-heap + driver merge, no global
@@ -34,9 +44,10 @@ def rank_branch(df: DataFrame, score_col: str, id_col: str, rank_name: str, dept
         F.col(score_col).desc(), F.col(id_col).asc()
     ).limit(depth)
     w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
-    return topd.withColumn(rank_name, F.row_number().over(w).cast("long")).select(
-        F.col(id_col).alias("id"), rank_name
-    )
+    cols = [F.col(id_col).alias("id"), F.col(rank_name)]
+    if keep_score:
+        cols.append(F.col(score_col))
+    return topd.withColumn(rank_name, F.row_number().over(w).cast("long")).select(*cols)
 
 
 def rrf_fuse(

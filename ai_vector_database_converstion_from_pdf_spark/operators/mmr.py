@@ -108,11 +108,17 @@ def exploration_inject(
     enabled: bool = True,
     trust_key: str = "trust_score",
     score_key: str = "score",
+    sim_key: str | None = None,
 ) -> tuple[list[dict], bool]:
     """Q12 (`vector_store.cpp:533-554`): if stability ≥ 0.6 and intent is
     not definition/procedure, the first semantic candidate beyond the
     top-limit with trust ≤ 1.0 and similarity > 0.65 is flagged and
-    inserted at position 2 with score = top1·0.95."""
+    inserted at position 2 with score = top1·0.95.
+
+    `semantic_rows` must be the SEMANTIC-branch candidates ordered by
+    semantic rank, and the 0.65 threshold applies to their cosine
+    similarity (`sim_key`, falling back to `score_key`) — fused RRF
+    scores are bounded ~1/61 and would never pass it."""
     if (
         not enabled
         or stability < 0.6
@@ -121,8 +127,9 @@ def exploration_inject(
     ):
         return final_rows, False
     out = list(final_rows)
+    simk = sim_key or score_key
     for cand in semantic_rows[limit:]:
-        if cand.get(trust_key, 1.0) <= 1.0 and cand[score_key] > 0.65:
+        if cand.get(trust_key, 1.0) <= 1.0 and (cand.get(simk) or 0.0) > 0.65:
             probe = dict(cand)
             probe["is_exploration"] = True
             probe[score_key] = out[0][score_key] * 0.95

@@ -65,7 +65,12 @@ def hybrid_search(
     # construction); any vec-only id would be dropped by the final inner
     # text join regardless.
     sem_scored = semantic.score_cosine(vecs, query_vec, vec_col="vec", out_col="sim")
-    sem_ranked = fusion.rank_branch(sem_scored, "sim", "id", "semantic_rank", depth)
+    sem_with_sim = fusion.rank_branch(
+        sem_scored, "sim", "id", "semantic_rank", depth, keep_score=return_fused
+    )
+    sem_ranked = (
+        sem_with_sim.select("id", "semantic_rank") if return_fused else sem_with_sim
+    )
 
     kw = keyword.keyword_search(corpus, query_text, depth, id_col="id", text_col="text")
     kw_ranked = (
@@ -110,10 +115,17 @@ def hybrid_search(
     # left join but can run as inner with the tiny fused side BROADCAST —
     # the corpus is probed map-side, never shuffled (a left join here
     # would force a sort-merge shuffle of the full corpus to fetch k texts)
+    out_cols = ["id", "semantic_rank", "keyword_rank", "score", "text"]
+    if return_fused:
+        # carry the semantic cosine through (tiny left join between two
+        # <=depth-row sets): exploration's 0.65 threshold applies to THIS
+        # value, never the fused RRF score (`vector_store.cpp:543-546`)
+        scored = scored.join(F.broadcast(sem_with_sim.select("id", "sim")), "id", "left")
+        out_cols.append("sim")
     out = (
         F.broadcast(scored)
         .join(corpus, "id")
-        .select("id", "semantic_rank", "keyword_rank", "score", "text")
+        .select(*out_cols)
         .orderBy(F.col("score").desc(), F.col("id").asc())
     )
     # return_fused: the FULL fused candidate set (<= 2x depth rows) for

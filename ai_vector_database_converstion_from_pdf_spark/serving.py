@@ -70,29 +70,45 @@ class QueryCache:
     def canonical(query: str) -> str:
         return query.strip().lower()  # vector_store.cpp:281
 
-    def get(self, query: str, embedding: list[float] | None = None):
-        key = self.canonical(query)
+    def get(self, query: str, embedding: list[float] | None = None, variant: str = ""):
+        """`variant` disambiguates result-shaping options (k, rerank/mmr/
+        exploration flags): a hit for one option set must not be served
+        for another — the reference keys only on query text but also
+        returns the same shape every time; here shapes differ."""
+        key = (self.canonical(query), variant)
         if key in self._exact:
             self._exact.move_to_end(key)
             self.hits += 1
             return self._exact[key]
         if embedding is not None:
-            for emb, value in self._semantic:
-                if _cosine(embedding, emb) > self.semantic_threshold:
+            for emb, var, value in self._semantic:
+                if var == variant and _cosine(embedding, emb) > self.semantic_threshold:
                     self.hits += 1
                     return value
         self.misses += 1
         return None
 
-    def put(self, query: str, value, embedding: list[float] | None = None) -> None:
-        key = self.canonical(query)
+    def put(
+        self,
+        query: str,
+        value,
+        embedding: list[float] | None = None,
+        variant: str = "",
+    ) -> None:
+        key = (self.canonical(query), variant)
         self._exact[key] = value
         self._exact.move_to_end(key)
         while len(self._exact) > self.capacity:
             self._exact.popitem(last=False)
         if embedding is not None:
-            self._semantic.append((embedding, value))
+            self._semantic.append((embedding, variant, value))
             del self._semantic[: max(0, len(self._semantic) - self.capacity)]
+
+    def clear(self) -> None:
+        """Invalidate everything — called on workspace mutations (index,
+        boost): cached rows embed text/scores that a mutation can change."""
+        self._exact.clear()
+        self._semantic.clear()
 
 
 def warmup(df) -> int:

@@ -138,6 +138,30 @@ class Workspace:
             )
         return df.filter(F.col("doc_id") == doc_id)
 
+    def chunks_for_docs(self, doc_ids: list[str]) -> DataFrame:
+        """Multi-doc scoped read (deep-dive context fetch). On a bucketed
+        workspace the `_bucket IN (...)` predicate partition-prunes to the
+        hit buckets; the bucket values for the literal doc ids are
+        computed with one tiny local job (xxhash64 is a Spark expression,
+        not reproducible driver-side)."""
+        df = self.chunks()
+        if not doc_ids:
+            return df.limit(0)
+        buckets = self.get_metadata("partition_buckets")
+        if buckets and int(buckets) > 0:
+            b = int(buckets)
+            hit_buckets = [
+                r["b"]
+                for r in self.spark.createDataFrame(
+                    [(d,) for d in doc_ids], "doc_id string"
+                )
+                .select(F.pmod(F.xxhash64("doc_id"), F.lit(b)).alias("b"))
+                .distinct()
+                .collect()
+            ]
+            df = df.filter(F.col("_bucket").isin(hit_buckets))
+        return df.filter(F.col("doc_id").isin(list(doc_ids)))
+
     def chunks(self, fold_boosts: bool = True) -> DataFrame:
         """Chunk table with effective boost folded in: `boost_factor` is
         the stored base plus the summed `boosts` deltas (broadcast join
