@@ -2,11 +2,12 @@
 
 I1 (local layout extraction): `spark.read.format("binaryFile")` over PDF
 paths → mapInPandas decode emitting per-char boxes, the input to
-operators/ingest.chars_to_lines. The PDFium binding (pypdfium2) is NOT in
-this container, so the decode body is import-gated: with the lib present
-the real path runs; without it the source raises NotImplementedError (the
-plumbing — schema, batching, downstream pipeline — is exercised by tests
-through synthetic char tables instead; see tests/test_ingest.py).
+operators/ingest.chars_to_lines. Two decode backends, resolved per
+executor batch: pypdfium2 (full PDFium fidelity) when installed, else
+the dependency-free `minipdf` parser (public PDF-spec subset: plain or
+FlateDecode content streams, classic text operators) — enough to run
+real machine-generated PDFs end-to-end in this container; see
+tests/test_pdf_e2e.py for the full I1-I10 proof on a real file.
 
 Reference: `PdfProcessor::extractChunksAsync` (`pdf_processor.cpp:23-95`)
 — single-threaded PDFium loop; here each PDF decodes independently in a
@@ -58,12 +59,21 @@ def read_pdf_chars(spark: SparkSession, path_glob: str) -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         try:
             import pypdfium2 as pdfium
-        except ImportError as e:  # pragma: no cover - env without the lib
-            raise NotImplementedError(
-                "pypdfium2 not installed in this environment; PDF char "
-                "extraction unavailable (plumbing tested via synthetic "
-                "char tables)"
-            ) from e
+        except ImportError:
+            from . import minipdf
+
+            for pdf in batches:
+                rows: list[dict] = []
+                for r in pdf.itertuples(index=False):
+                    rows.extend(minipdf.extract_chars(bytes(r.content), r.path))
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc", "page", "left", "top", "right", "bottom",
+                        "ch", "font_size", "font_weight",
+                    ],
+                )
+            return
         for pdf in batches:
             rows = {k: [] for k in (
                 "doc", "page", "left", "top", "right", "bottom", "ch",
