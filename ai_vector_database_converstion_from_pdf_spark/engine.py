@@ -128,6 +128,9 @@ class PvdbEngine:
             fused = hybrid_search(
                 corpus, vecs, query, qvec, k=k, logs=logs,
                 chunk_type_col="chunk_type", heading_level_col="heading_level",
+                # heading-augmented FTS probe (vector_store.cpp:195-200):
+                # a query hitting only a section title still matches
+                fts_index=self.workspace.fts_index(),
                 return_fused=True,
             )
             rows = [r.asDict() for r in fused.collect()]

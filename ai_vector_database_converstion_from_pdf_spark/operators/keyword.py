@@ -105,6 +105,56 @@ def bm25_search(
     )
 
 
+def phrase_search(
+    chunks: DataFrame,
+    phrase: str,
+    limit: int,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """FTS5 phrase-MATCH parity (`vector_store.cpp:251-262`: a quoted
+    FTS5 query matches consecutive tokens): ids whose token stream
+    contains the query tokens ADJACENTLY, with the occurrence count.
+    Columns (id, phrase_cnt, kw_score) — kw_score flat 0.5 like the
+    reference's FTS branch.
+
+    Shape: one posexplode scan; per (id, token-of-phrase) the positions
+    aggregate into arrays, and adjacency is a pure array expression —
+    positions of term k, shifted by −k, intersected across terms (a
+    match start is a position present in every shifted set). Only
+    postings of the phrase's terms ever shuffle."""
+    import re
+
+    terms = [t for t in re.split(r"[^a-z0-9]+", phrase.lower()) if t]
+    if not terms:
+        raise ValueError("empty phrase")
+    postings = chunks.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
+    ).filter(F.col("token").isin(sorted(set(terms))))
+    per_term = postings.groupBy("id", "token").agg(
+        F.collect_list("pos").alias("ps")
+    )
+    byid = per_term.groupBy("id").agg(
+        F.map_from_entries(F.collect_list(F.struct("token", "ps"))).alias("tp")
+    )
+    starts = F.coalesce(F.col("tp")[terms[0]], F.array().cast("array<int>"))
+    for k, t in enumerate(terms[1:], start=1):
+        nxt = F.coalesce(F.col("tp")[t], F.array().cast("array<int>"))
+        # NB: the lambda must be unary — a second parameter would be
+        # interpreted by transform() as the element INDEX. The expression
+        # tree is built eagerly, so closing over the loop variable is safe.
+        shift = F.lit(int(k))
+        starts = F.array_intersect(starts, F.transform(nxt, lambda p: p - shift))
+    return (
+        byid.withColumn("phrase_cnt", F.size(starts).cast("long"))
+        .filter(F.col("phrase_cnt") > 0)
+        .select("id", "phrase_cnt", F.lit(0.5).alias("kw_score"))
+        .orderBy(F.col("phrase_cnt").desc(), F.col("id").asc())
+        .limit(limit)
+    )
+
+
 def keyword_search(
     chunks: DataFrame,
     query_text: str,

@@ -72,7 +72,13 @@ def hybrid_search(
         sem_with_sim.select("id", "semantic_rank") if return_fused else sem_with_sim
     )
 
-    kw = keyword.keyword_search(corpus, query_text, depth, id_col="id", text_col="text")
+    # keyword branch probes the materialized fts_index when provided
+    # (heading-augmented postings — reference `vector_store.cpp:195-200`
+    # indexes `[CONTEXT: <heading>]` with the body); else tokenizes the
+    # corpus inline
+    kw = keyword.keyword_search(
+        corpus, query_text, depth, id_col="id", text_col="text", fts_index=fts_index
+    )
     kw_ranked = (
         kw.select("id", "match_cnt")
         .withColumn(
