@@ -139,8 +139,9 @@ def sample_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> list[tuple[int, list[float]]]:
-    """Deterministic centroid pick: the n rows with smallest id (stand-in
-    for a seeded k-means; adequate for IVF bucketing semantics)."""
+    """Deterministic centroid pick: the n rows with smallest id. Kept for
+    tests/back-compat; `kmeans_centroids` is the quality path (smallest-id
+    rows degenerate when ids correlate with content)."""
     rows = (
         embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .orderBy("id")
@@ -148,6 +149,64 @@ def sample_centroids(
         .collect()
     )
     return [(i, list(r["v"])) for i, r in enumerate(rows)]
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int,
+    n_iter: int = 3,
+    sample_size: int = 2048,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Seeded k-means over a deterministic sample (VERDICT r1 fix #8):
+    k-means++ init + `n_iter` Lloyd steps on cosine geometry (vectors
+    L2-normalized, so squared-euclidean k-means == spherical k-means).
+
+    Scale shape: the sample is the xxhash64-smallest `sample_size` rows —
+    a TakeOrdered scan (no shuffle, deterministic, content-independent);
+    everything after runs on a ≤(sample_size × dim) numpy matrix on the
+    driver. The corpus-wide assignment stays in `ivf_assign` (broadcast
+    literal centroids, one map-side pass)."""
+    rows = (
+        embeddings.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(X, axis=1)
+    X = X[nrm > 0] / nrm[nrm > 0, None]
+    n = len(X)
+    if n == 0:
+        raise ValueError("no non-zero vectors to cluster")
+    k = min(n_centroids, n)
+    rng = np.random.default_rng(seed)
+
+    # k-means++ seeding
+    cents = [X[int(rng.integers(n))]]
+    d2 = np.full(n, np.inf)
+    for _ in range(1, k):
+        d2 = np.minimum(d2, ((X - cents[-1]) ** 2).sum(axis=1))
+        tot = d2.sum()
+        if tot <= 0:
+            cents.append(X[int(rng.integers(n))])
+            continue
+        cents.append(X[int(rng.choice(n, p=d2 / tot))])
+    C = np.stack(cents)
+
+    for _ in range(n_iter):
+        # assign to nearest centroid (cosine == dot on normalized rows)
+        lab = (X @ C.T).argmax(axis=1)
+        for j in range(k):
+            pts = X[lab == j]
+            if len(pts):
+                m = pts.mean(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    C[j] = m / nm
+    return [(i, [float(x) for x in C[i]]) for i in range(k)]
 
 
 def ivf_topk(
