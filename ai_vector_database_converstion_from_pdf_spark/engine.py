@@ -46,7 +46,10 @@ class PvdbEngine:
         self.governor = LatencyGovernor()
         self.cache = QueryCache()
         self.mmr_state = mmr_mod.MmrState()
-        self.calibrator = Calibrator()
+        # calibration state survives sessions via workspace metadata
+        # (reference persists on close and reloads on open,
+        # `mainwindow.cpp:499-503`); a fresh workspace yields defaults
+        self.calibrator = Calibrator.from_kv("rerank", self.workspace._metadata())
         self.asof = asof or datetime.now(timezone.utc).isoformat(sep=" ", timespec="seconds").replace("+00:00", "")
 
     # -- indexing (SURVEY §3.1) ------------------------------------------
@@ -232,6 +235,14 @@ class PvdbEngine:
                 )
             )
         return synthesize(query, contexts)
+
+    # -- session-state persistence (`mainwindow.cpp:499-503`) -------------
+    def save_session_state(self) -> None:
+        """Persist the rerank calibrator's μ/σ into workspace metadata so
+        the next session resumes calibrated (the reference writes these
+        on window close). Call at session end — or any checkpoint."""
+        for k, v in self.calibrator.to_kv("rerank").items():
+            self.workspace.set_metadata(k, v)
 
     # -- feedback (S6/S7) -------------------------------------------------
     def click(self, query: str, chunk_id: int, was_exploration: bool = False) -> None:

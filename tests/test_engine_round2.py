@@ -69,3 +69,30 @@ def test_deep_dive_still_grounded_after_pruning(spark, tmp_path):
     claims = eng.deep_dive("alpha beta gamma delta variant 0", k=3)
     assert claims
     assert all(c.source_indices for c in claims)
+
+
+def test_calibrator_state_survives_sessions(spark, tmp_path):
+    """VERDICT r1 #10: μ/σ persisted via workspace metadata round-trip
+    into a brand-new engine instance (mainwindow.cpp:499-503)."""
+    path = str(tmp_path / "calib_ws")
+    eng1 = PvdbEngine(spark, path, dim=16, asof="2024-06-01 00:00:00")
+    eng1.index_documents(
+        spark.createDataFrame(
+            [(i, f"text number {i} about joins") for i in range(6)],
+            "doc_id long, text string",
+        )
+    )
+    # drive the calibrator through a rerank so its state moves off default
+    eng1.search("joins text number", k=3, use_rerank=True)
+    assert eng1.calibrator.sample_count > 0
+    eng1.save_session_state()
+    mu, sigma = eng1.calibrator.mean, eng1.calibrator.std
+
+    eng2 = PvdbEngine(spark, path, dim=16, asof="2024-06-01 00:00:00")
+    assert eng2.calibrator.mean == mu
+    assert eng2.calibrator.std == sigma
+    assert eng2.calibrator.sample_count == 10  # warm-start marker
+
+    # a workspace with no saved state still yields defaults
+    eng3 = PvdbEngine(spark, str(tmp_path / "fresh_ws"), dim=16)
+    assert eng3.calibrator.sample_count == 0
