@@ -37,12 +37,20 @@ class PvdbEngine:
         workspace_path: str,
         dim: int = 64,
         embedder=None,
+        embed_udf=None,
         asof: str | None = None,
     ):
+        """`embedder`: text→vector for query-side embedding (driver,
+        one call per search). `embed_udf`: a pandas UDF column function
+        for BULK indexing (e.g. providers.make_http_embed_udf — one POST
+        per Arrow batch); defaults to the deterministic hash stub. Both
+        must produce the same space, as in the reference where one
+        configured model serves both sides."""
         self.spark = spark
         self.workspace = Workspace(spark, workspace_path)
         self.dim = dim
         self.embed_text = embedder or (lambda t: hash_embed(t, dim))
+        self.embed_udf = embed_udf
         self.governor = LatencyGovernor()
         self.cache = QueryCache()
         self.mmr_state = mmr_mod.MmrState()
@@ -57,7 +65,7 @@ class PvdbEngine:
         """Index pre-chunked documents (doc_id, text): tiny-chunk filter
         (I14) → batched embed UDF (I16) → workspace append with dim
         guardrail (I17/S1). Returns rows indexed."""
-        embed = make_embed_udf(self.dim)
+        embed = self.embed_udf or make_embed_udf(self.dim)
         chunks = (
             docs.filter(F.length(F.trim(F.col("text"))) > 3)
             .select(
