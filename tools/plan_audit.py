@@ -20,8 +20,12 @@ EXPECT = {
     "knn_multi": ["BroadcastNestedLoopJoin"],             # deliberate: tiny query side x corpus
     "dedup_minhash_lsh": [],
     "dedup_embedding_cosine": ["MapInPandas"],            # GEMM path
+    "dedup_ngram_jaccard": ["!SortMergeJoin"],            # posting-list pair explode
     "events_sessionize": [],
     "text_profile": [],
+    "q3_phrase_search": ["TakeOrderedAndProject"],
+    "q3_heading_context_search": ["TakeOrderedAndProject"],
+    "hybrid_rrf_batch": ["!SortMergeJoin"],
 }
 
 
