@@ -72,36 +72,14 @@ def cluster_embeddings_df(
     each round is one join + groupBy over the edge list."""
     from .dedup import embedding_near_dup_pairs
 
+    from .graph import connected_components
+
     edges = embedding_near_dup_pairs(embeddings, threshold, id_col, vec_col).select(
         "id_a", "id_b"
     )
-    # undirected edge list, persisted once — labels iterate over it
-    sym = edges.union(edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))).persist()
-    labels = embeddings.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
-    for _ in range(max_iters):
-        neighbor_min = (
-            sym.join(labels, sym.id_b == labels.id)
-            .groupBy("id_a")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.id_a, "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
-            )
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.persist()
-        if changed == 0:
-            break
-    return labels.select("id", F.col("label").alias("cluster_id"))
+    nodes = embeddings.select(F.col(id_col).alias("id"))
+    cc = connected_components(nodes, edges, max_iters=max_iters)
+    return cc.select("id", F.col("component").alias("cluster_id"))
 
 
 @dataclass

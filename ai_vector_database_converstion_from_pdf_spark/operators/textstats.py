@@ -197,3 +197,42 @@ def text_profile(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         detect_lang(t).alias("lang_pred"),
         doc_fingerprint(t).alias("fingerprint"),
     )
+
+
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 5000
+GOPHER_MIN_MEAN_WLEN = 2.0
+GOPHER_MAX_MEAN_WLEN = 10.0
+GOPHER_MAX_PUNCT = 0.25
+GOPHER_MIN_STOPWORD = 0.02
+
+
+def gopher_flags(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021 §A1.1 rule
+    family, adapted to the stats this module already defines): word
+    count, mean word length, symbol ratio, and stopword-presence bounds
+    compose into one `keep` flag. Per-rule booleans are emitted so a
+    pipeline can report WHY a doc dropped — the curation-debugging
+    contract. Pure expressions: no shuffle, scan-speed at 100 TB."""
+    t = F.col(text_col)
+    out = docs.select(
+        F.col(id_col),
+        ws_token_count(t).alias("n_words"),
+        F.round(mean_word_len(t), 6).alias("mean_wlen"),
+        F.round(punct_ratio(t), 6).alias("p_ratio"),
+        F.round(stopword_ratio(t), 6).alias("sw_ratio"),
+    )
+    keep_words = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    keep_wlen = F.col("mean_wlen").between(GOPHER_MIN_MEAN_WLEN, GOPHER_MAX_MEAN_WLEN)
+    keep_punct = F.col("p_ratio") <= GOPHER_MAX_PUNCT
+    keep_stop = F.col("sw_ratio") >= GOPHER_MIN_STOPWORD
+    return out.select(
+        "*",
+        keep_words.alias("keep_words"),
+        keep_wlen.alias("keep_wlen"),
+        keep_punct.alias("keep_punct"),
+        keep_stop.alias("keep_stop"),
+        (keep_words & keep_wlen & keep_punct & keep_stop).alias("keep"),
+    )

@@ -1,0 +1,79 @@
+"""Round-2 curation operators: dup-cluster resolution, deterministic
+sampling, Gopher-style quality gating."""
+
+import pyspark.sql.functions as F
+
+from ai_vector_database_converstion_from_pdf_spark.operators.dedup import (
+    resolve_duplicates,
+)
+from ai_vector_database_converstion_from_pdf_spark.operators.sampling import (
+    deterministic_sample,
+    stratified_sample,
+)
+from ai_vector_database_converstion_from_pdf_spark.operators.textstats import (
+    gopher_flags,
+)
+
+
+def test_resolve_duplicates_chains_and_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    # chain 1-2-3 (transitive cluster), pair 4-5, nothing for... all in
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: (r["canonical_id"], r["is_dup"])
+        for r in resolve_duplicates(docs, pairs, id_col="doc_id").collect()
+    }
+    assert got == {
+        1: (1, False), 2: (1, True), 3: (1, True),
+        4: (4, False), 5: (4, True),
+    }
+    keep = sorted(i for i, (_c, d) in got.items() if not d)
+    assert keep == [1, 4]
+
+
+def test_deterministic_sample_partition_invariant(spark):
+    docs = spark.createDataFrame([(i, "x") for i in range(2000)], "doc_id long, text string")
+    a = sorted(r["doc_id"] for r in deterministic_sample(docs, 0.3).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in deterministic_sample(docs.repartition(17), 0.3).collect()
+    )
+    assert a == b  # membership is content-stable, not layout-dependent
+    assert 0.25 < len(a) / 2000 < 0.35
+    # a different salt draws an independent sample of similar size
+    c = sorted(r["doc_id"] for r in deterministic_sample(docs, 0.3, salt="v2").collect())
+    assert c != a
+    assert 0.25 < len(c) / 2000 < 0.35
+
+
+def test_stratified_rates(spark):
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(docs, {"en": 0.5, "fr": 0.05}, strat_col="lang")
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert 0.4 < counts["en"] / 1000 < 0.6
+    assert counts.get("fr", 0) / 1000 < 0.12
+    # unknown strata use default_rate (0.0 -> dropped entirely)
+    docs2 = spark.createDataFrame([(1, "zz")], "doc_id long, lang string")
+    assert stratified_sample(docs2, {"en": 0.5}, strat_col="lang").count() == 0
+
+
+def test_gopher_rules(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again today"),
+            (2, "too short"),                                   # n_words < 10
+            (3, "(((((~~~!!! ??? &&& ***))))) " * 6),           # symbol soup
+            (4, " ".join(["pneumonoultramicroscopic"] * 20)),   # mean_wlen > 10
+            (5, " ".join(f"w{i}" for i in range(30))),          # no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_flags(docs).collect()}
+    assert got[1]["keep"]
+    assert not got[2]["keep"] and not got[2]["keep_words"]
+    assert not got[3]["keep"] and not got[3]["keep_punct"]
+    assert not got[4]["keep"] and not got[4]["keep_wlen"]
+    assert not got[5]["keep"] and not got[5]["keep_stop"]
