@@ -1,0 +1,94 @@
+"""10x scale-up stress for the round-2 scale paths.
+
+Replicates the sf0.1 corpus 10x with shifted ids (every doc gains 9
+exact replicas — known planted duplicate structure) and times the ops
+whose scale shape changed this round:
+- ngram_jaccard_pairs (posting-list pair explosion + hot-shingle cap)
+- resolve_duplicates (connected components over the pair graph)
+- embedding_near_dup_pairs (streamed blocked-broadcast GEMM; also run
+  with a small block_bytes to prove block-count insensitivity)
+
+Usage: python tools/stress10x.py   (appends nothing; prints a table)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.1"
+REPLICAS = 10
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from ai_vector_database_converstion_from_pdf_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        resolve_duplicates,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.session import get_spark
+
+    spark = get_spark("stress10x")
+    docs0 = spark.read.parquet(f"{SF}/documents.parquet")
+    emb0 = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n0 = docs0.count()
+
+    reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+    docs = (
+        docs0.crossJoin(reps)
+        .select((F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"), "text")
+        .persist()
+    )
+    emb = (
+        emb0.crossJoin(reps)
+        .select((F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"), "embedding")
+        .persist()
+    )
+    nd, ne = docs.count(), emb.count()
+    print(f"docs {n0} -> {nd}; vectors -> {ne}")
+
+    def timed(label, fn):
+        t = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t
+        print(f"STRESS {label}: {dt:.1f}s  ({out})")
+        return out
+
+    mh_pairs = minhash_lsh_pairs(docs, threshold=0.8).persist()
+    timed("minhash_lsh(50k docs)", lambda: f"{mh_pairs.count()} pairs")
+    timed(
+        "resolve_duplicates(50k docs, LSH pairs)",
+        lambda: "{} kept of {}".format(
+            resolve_duplicates(docs, mh_pairs).filter(~F.col("is_dup")).count(), nd
+        ),
+    )
+    # cap sized like a real pipeline: ~5x the expected dup-group size.
+    # (With the cap at 500 the same run costs ~400s — sum C(df,2) over
+    # near-unbounded posting lists; the cap IS the scale control.)
+    timed(
+        "ngram_jaccard(50k docs, cap=50)",
+        lambda: "{} pairs".format(
+            ngram_jaccard_pairs(docs, threshold=0.8, max_doc_freq=50).count()
+        ),
+    )
+    timed(
+        "gemm near-dup(50k vecs, default 64MB blocks)",
+        lambda: f"{embedding_near_dup_pairs(emb, threshold=0.45).count()} pairs",
+    )
+    timed(
+        "gemm near-dup(50k vecs, 4MB blocks)",
+        lambda: "{} pairs".format(
+            embedding_near_dup_pairs(
+                emb, threshold=0.45, block_bytes=4 << 20
+            ).count()
+        ),
+    )
+
+
+if __name__ == "__main__":
+    main()
