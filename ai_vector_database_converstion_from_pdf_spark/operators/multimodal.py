@@ -1,11 +1,13 @@
 """Multimodal columns — image/audio/video as opaque binary + typed metadata.
 
-Training-data-pipeline extension (BASELINE.json north star). The decode
-step is STUBBED (no image/audio libs in this container — see
-`decode_image_stub`): the Spark-side plumbing — schema, partitioning,
-UDF signatures, Arrow batch shapes — is real and tested; a production
-deployment swaps the stub for pillow/ffmpeg calls inside the same
-mapInPandas iterator.
+Training-data-pipeline extension (BASELINE.json north star). Decode is
+REAL for the formats a lib-free container can honestly support — binary
+PPM and uncompressed 24-bit BMP via the pure-numpy codecs in
+`functions/imagecodec.py` (public byte layouts); compressed formats
+(PNG/JPEG) route to PIL when installed and raise cleanly when not
+(`decode_image`); `decode_image_stub` remains for payloads that are
+declared fake. The Spark-side plumbing — schema, partitioning, UDF
+signatures, Arrow batch shapes — is identical across all three paths.
 
 Scale notes: binary payloads ride in their own column so column pruning
 keeps metadata-only queries payload-free; decode/feature-extract is
@@ -44,25 +46,69 @@ MEDIA_SCHEMA = StructType(
 
 
 def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Deterministic fake media rows (payload = md5-seeded bytes) for
-    exercising the plumbing end-to-end."""
+    """Deterministic media rows for exercising the pipeline end-to-end.
+    Image payloads are REAL encoded files (PPM and BMP alternating,
+    deterministic gradient rasters); audio/video stay opaque md5 bytes
+    (no lib-free codec to target)."""
+    from ..functions.imagecodec import encode_bmp, encode_ppm
+
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = (hashlib.md5(f"media-{i}".encode()).digest() * 8)[: 64 + i % 32]
+        w = 64 + i % 5 if kind != "audio" else None
+        h = 48 + i % 7 if kind != "audio" else None
+        if kind == "image":
+            yy, xx = np.mgrid[0:h, 0:w]
+            raster = np.stack(
+                [
+                    (xx * 255 // max(w - 1, 1)).astype(np.uint8),
+                    (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+                    np.full((h, w), i % 256, dtype=np.uint8),
+                ],
+                axis=2,
+            )
+            if i % 2 == 0:
+                payload, mime = encode_ppm(raster), "image/x-portable-pixmap"
+            else:
+                payload, mime = encode_bmp(raster), "image/bmp"
+        else:
+            payload = (hashlib.md5(f"media-{i}".encode()).digest() * 8)[: 64 + i % 32]
+            mime = {"audio": "audio/wav", "video": "video/mp4"}[kind]
         rows.append(
             (
                 i,
                 kind,
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                mime,
                 bytearray(payload),
-                64 + i % 5 if kind != "audio" else None,
-                48 + i % 7 if kind != "audio" else None,
+                w,
+                h,
                 1000 * (i % 30) if kind != "image" else None,
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_image(payload: bytes, mime: str) -> np.ndarray:
+    """REAL image decode by mime: PPM/BMP via the pure-numpy codecs;
+    PNG/JPEG via PIL when installed, else a clean NotImplementedError.
+    Returns HxWx3 uint8 RGB."""
+    from ..functions import imagecodec
+
+    if mime in ("image/x-portable-pixmap", "image/ppm"):
+        return imagecodec.decode_ppm(payload)
+    if mime in ("image/bmp", "image/x-bmp"):
+        return imagecodec.decode_bmp(payload)
+    try:
+        from io import BytesIO
+
+        from PIL import Image  # type: ignore
+    except ImportError as e:
+        raise NotImplementedError(
+            f"decoding {mime} requires PIL (absent in this container); "
+            "PPM/BMP decode natively"
+        ) from e
+    return np.asarray(Image.open(BytesIO(payload)).convert("RGB"))
 
 
 def decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
@@ -105,7 +151,14 @@ def extract_features(media: DataFrame, frame_stride_ms: int = 5000) -> DataFrame
                 out["n_bytes"].append(len(payload))
                 out["sha1"].append(hashlib.sha1(payload).hexdigest())
                 if r.kind == "image" and r.width and r.height:
-                    raster = decode_image_stub(payload, int(r.width), int(r.height))
+                    try:
+                        raster = decode_image(payload, r.mime)
+                    except (NotImplementedError, ValueError):
+                        # undecodable format in this environment: fall
+                        # back to the declared-fake raster so the stage
+                        # still yields a feature row (a production run
+                        # would dead-letter instead)
+                        raster = decode_image_stub(payload, int(r.width), int(r.height))
                     out["mean_intensity"].append(float(raster.mean()))
                     out["aspect"].append(round(float(r.width) / float(r.height), 6))
                     out["frames_sampled"].append(1)
@@ -130,27 +183,33 @@ def extract_features(media: DataFrame, frame_stride_ms: int = 5000) -> DataFrame
 
 
 def resize_images(media: DataFrame, target: tuple[int, int] = (32, 32)) -> DataFrame:
-    """Resize plumbing: decode → nearest-neighbor downsample (numpy
-    stride trick — the stub 'resize'; PIL.thumbnail in production) →
-    re-encode as raw bytes. Demonstrates binary-out UDF shape."""
+    """REAL resize for decodable formats: decode → nearest-neighbor
+    resample → re-encode as PPM (payloads stay self-describing files,
+    not raw blobs); undecodable payloads fall back to the declared-fake
+    raster. Binary-in/binary-out UDF shape."""
+    from ..functions.imagecodec import encode_ppm, nearest_resize
+
     tw, th = target
 
     def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {"media_id": [], "payload": [], "width": [], "height": []}
+            rows = {"media_id": [], "mime": [], "payload": [], "width": [], "height": []}
             for r in pdf.itertuples(index=False):
                 if r.kind != "image" or not r.width or not r.height:
                     continue
-                raster = decode_image_stub(bytes(r.payload), int(r.width), int(r.height))
-                ys = np.linspace(0, raster.shape[0] - 1, th).astype(int)
-                xs = np.linspace(0, raster.shape[1] - 1, tw).astype(int)
-                small = raster[np.ix_(ys, xs)]
+                payload = bytes(r.payload)
+                try:
+                    raster = decode_image(payload, r.mime)
+                except (NotImplementedError, ValueError):
+                    raster = decode_image_stub(payload, int(r.width), int(r.height))
+                small = nearest_resize(raster, tw, th)
                 rows["media_id"].append(r.media_id)
-                rows["payload"].append(small.tobytes())
+                rows["mime"].append("image/x-portable-pixmap")
+                rows["payload"].append(encode_ppm(small))
                 rows["width"].append(tw)
                 rows["height"].append(th)
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(
-        per_batch, "media_id long, payload binary, width int, height int"
+        per_batch, "media_id long, mime string, payload binary, width int, height int"
     )

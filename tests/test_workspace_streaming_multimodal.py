@@ -189,4 +189,11 @@ class TestMultimodal:
         small = resize_images(media, target=(8, 8)).collect()
         assert small  # images only
         assert all(r["width"] == 8 and r["height"] == 8 for r in small)
-        assert all(len(bytes(r["payload"])) == 8 * 8 * 3 for r in small)
+        # outputs are self-describing PPM files with the target raster
+        from ai_vector_database_converstion_from_pdf_spark.functions.imagecodec import (
+            decode_ppm,
+        )
+
+        for r in small:
+            raster = decode_ppm(bytes(r["payload"]))
+            assert raster.shape == (8, 8, 3)
