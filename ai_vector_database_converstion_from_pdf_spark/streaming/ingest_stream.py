@@ -129,3 +129,56 @@ def run_to_memory(stream_df: DataFrame, name: str) -> None:
     )
     q.processAllAvailable()
     q.stop()
+
+
+def streaming_exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Streaming EXACT dedup: emit each document the FIRST time its
+    normalized-content hash is seen, across all micro-batches — the
+    incremental counterpart of dedup.exact_dedup (a batch groupBy cannot
+    run on an unbounded stream).
+
+    State = one row per distinct content hash (keeper id + seen count),
+    sharded by hash in the state store — the 100 TB shape: no driver
+    membership set, no shuffle beyond the per-key grouping every
+    stateful op needs. Emits (id, text_hash, is_first, dup_of): every
+    row is tagged rather than silently dropped so the sink can route
+    dups to a side channel (quarantine/metrics) instead of losing them."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.dedup import content_hash
+
+    hashed = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(text_col).alias("text"),
+        content_hash(F.col(text_col)).alias("text_hash"),
+    )
+    out_schema = "id long, text_hash string, is_first boolean, dup_of long"
+    state_schema = "keeper_id long, seen long"
+
+    def fn(key, pdf_iter, state: GroupState):
+        keeper, seen = state.get if state.exists else (None, 0)
+        ids, firsts, dups = [], [], []
+        for pdf in pdf_iter:
+            # order within a batch is nondeterministic; min id first so
+            # the keeper choice is stable and engine-reproducible
+            for i in sorted(int(x) for x in pdf["id"]):
+                seen += 1
+                if keeper is None:
+                    keeper = i
+                    ids.append(i); firsts.append(True); dups.append(None)
+                else:
+                    ids.append(i); firsts.append(False); dups.append(keeper)
+        state.update((keeper, seen))
+        yield pd.DataFrame(
+            {
+                "id": ids,
+                "text_hash": [key[0]] * len(ids),
+                "is_first": firsts,
+                "dup_of": pd.array(dups, dtype="Int64"),
+            }
+        )
+
+    return hashed.groupBy("text_hash").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
