@@ -234,7 +234,17 @@ class Workspace:
         shutil.rmtree(self._tbl("boosts"), ignore_errors=True)
 
     def _overwrite(self, name: str, df: DataFrame) -> None:
+        """Versioned-directory swap: write tmp → move current aside →
+        move tmp in → drop the old version. The table data is never
+        deleted before its replacement exists, so the worst crash leaves
+        either the old version in place or both `_old` and the final dir
+        on disk (recoverable) — never an empty workspace. (True
+        multi-reader atomicity needs the Delta path; see module doc.)"""
+        import shutil
+
         tmp = self._tbl(f"_{name}_tmp")
+        old = self._tbl(f"_{name}_old")
+        shutil.rmtree(old, ignore_errors=True)  # leftover from a crash
         writer = df.write.mode("overwrite")
         if "_bucket" in df.columns:
             # preserve the hash-bucket directory layout through updates —
@@ -243,11 +253,10 @@ class Workspace:
             writer = writer.partitionBy("_bucket")
         writer.parquet(tmp)
         final = self._tbl(name)
-        import shutil
-
         if os.path.isdir(final):
-            shutil.rmtree(final)
+            os.rename(final, old)
         os.rename(tmp, final)
+        shutil.rmtree(old, ignore_errors=True)
 
     # -- S7: interaction feedback (exploration quarantine) ----------------
     def add_interaction(self, query: str, chunk_id: int, was_exploration: bool, asof) -> None:
