@@ -257,3 +257,10 @@ class PvdbEngine:
         self.workspace.add_interaction(query, chunk_id, was_exploration, self.asof)
         if not was_exploration:
             self.cache.clear()  # the boost changed cached scores
+
+    # -- row-level DML (reference UPDATE/DELETE, `vector_store.cpp:789-795`)
+    def delete_document(self, doc_id: str) -> None:
+        """Drop one document's chunks (bucket-scoped on a bucketed
+        workspace) and invalidate cached results that may cite it."""
+        self.workspace.delete_doc(doc_id)
+        self.cache.clear()

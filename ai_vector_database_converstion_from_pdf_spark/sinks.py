@@ -13,8 +13,11 @@ each +delta lands in a tiny `boosts` table and `chunks()` folds
 `boost_factor + sum(deltas)` in at read time via a broadcast join, so a
 single click never rewrites the corpus (the reference's UPDATE,
 `vector_store.cpp:789-795`, touches one row; a full-table rewrite at
-100 TB would not). `compact_boosts()` folds them in with one rewrite
-when the delta table grows. On a Delta/Iceberg deployment boost/clear
+100 TB would not). `compact_boosts()` folds them into only the buckets
+that hold boosted chunks. Row-level DML is bucket-scoped too:
+`merge_chunks` (upsert) and `delete_doc` rewrite only the `_bucket=k`
+directories the touched doc_ids hash to — Delta-style MERGE INTO /
+DELETE semantics on plain Parquet. On a Delta/Iceberg deployment they
 become real MERGE INTO/DELETE with no API change.
 
 Durability scope: workspace paths must be LOCAL filesystem paths —
@@ -149,18 +152,23 @@ class Workspace:
             return df.limit(0)
         buckets = self.get_metadata("partition_buckets")
         if buckets and int(buckets) > 0:
-            b = int(buckets)
-            hit_buckets = [
-                r["b"]
-                for r in self.spark.createDataFrame(
-                    [(d,) for d in doc_ids], "doc_id string"
-                )
-                .select(F.pmod(F.xxhash64("doc_id"), F.lit(b)).alias("b"))
-                .distinct()
-                .collect()
-            ]
-            df = df.filter(F.col("_bucket").isin(hit_buckets))
+            df = df.filter(
+                F.col("_bucket").isin(self._doc_buckets(doc_ids, int(buckets)))
+            )
         return df.filter(F.col("doc_id").isin(list(doc_ids)))
+
+    def _doc_buckets(self, doc_ids: list[str], b: int) -> list[int]:
+        """Bucket ids the given doc_ids hash to, via one tiny local job
+        (xxhash64 is a Spark expression, not reproducible driver-side)."""
+        return sorted(
+            r["b"]
+            for r in self.spark.createDataFrame(
+                [(d,) for d in doc_ids], "doc_id string"
+            )
+            .select(F.pmod(F.xxhash64("doc_id"), F.lit(b)).alias("b"))
+            .distinct()
+            .collect()
+        )
 
     def chunks(self, fold_boosts: bool = True) -> DataFrame:
         """Chunk table with effective boost folded in: `boost_factor` is
@@ -221,17 +229,146 @@ class Workspace:
         ).write.mode("append").parquet(self._tbl("boosts"))
 
     def compact_boosts(self) -> None:
-        """Fold accumulated boost deltas into the stored chunk rows with
-        one rewrite and drop the delta table. Run periodically when the
-        boosts table grows; reads see identical effective boosts before
-        and after."""
+        """Fold accumulated boost deltas into the stored chunk rows and
+        drop the delta table. On a bucketed workspace only the buckets
+        that actually contain boosted chunks are rewritten (found with a
+        column-pruned (id, _bucket) scan + broadcast semi-join — thin
+        read, no corpus rewrite); unbucketed falls back to one full
+        rewrite. Reads see identical effective boosts before and after."""
         import shutil
 
         if not self._exists("boosts"):
             return
-        folded = self.chunks(fold_boosts=True)
-        self._overwrite("chunks", folded)
+        b = int(self.get_metadata("partition_buckets") or 0)
+        if b <= 0:
+            self._overwrite("chunks", self.chunks(fold_boosts=True))
+        else:
+            boosted = (
+                self.spark.read.parquet(self._tbl("boosts"))
+                .select(F.col("chunk_id").alias("id"))
+                .distinct()
+            )
+            affected = sorted(
+                r["_bucket"]
+                for r in self.spark.read.parquet(self._tbl("chunks"))
+                .join(F.broadcast(boosted), "id", "left_semi")
+                .select("_bucket")
+                .distinct()
+                .collect()
+            )
+            if affected:
+                folded = self.chunks(fold_boosts=True).filter(
+                    F.col("_bucket").isin(affected)
+                )
+                self._swap_buckets("chunks", folded, affected)
         shutil.rmtree(self._tbl("boosts"), ignore_errors=True)
+
+    # -- MERGE/DELETE: bucket-scoped DML (reference UPDATE/DELETE rows,
+    # `vector_store.cpp:789-795`; Delta-style MERGE INTO semantics
+    # without the Delta dependency) ---------------------------------------
+    def merge_chunks(self, updates: DataFrame, key: str = "id") -> None:
+        """Upsert: rows in `updates` replace stored rows with the same
+        `key`; unmatched rows are inserted. On a bucketed workspace only
+        the `_bucket=k` directories the updated doc_ids hash to are read
+        and rewritten — re-indexing one changed document touches one
+        bucket out of the corpus, which is what makes updates viable at
+        100 TB. `updates` must carry full chunk rows (CHUNK_COLUMNS,
+        including doc_id); a row's `key` is assumed to stay within its
+        doc's bucket (ids are minted per document)."""
+        from .functions.embed import check_dimension
+
+        updates = updates.select(*CHUNK_COLUMNS)
+        # same whole-batch I17 guardrail as add_chunks
+        stats = updates.agg(
+            F.count("*").alias("n"),
+            F.countDistinct(F.size("embedding")).alias("ndims"),
+            F.max(F.size("embedding")).alias("d"),
+        ).collect()[0]
+        if not stats["n"]:
+            return
+        if stats["ndims"] != 1:
+            raise ValueError(
+                f"mixed embedding dimensions in one merge batch "
+                f"({stats['ndims']} distinct sizes)"
+            )
+        registered = self.get_metadata("embedding_dimension")
+        check_dimension(int(registered) if registered else None, int(stats["d"]))
+
+        b = int(self.get_metadata("partition_buckets") or 0)
+        if not self._exists("chunks"):
+            self.add_chunks(updates, partition_buckets=b or None)
+            return
+        if b <= 0:
+            merged = (
+                self.chunks(fold_boosts=False)
+                .join(updates.select(key).distinct(), key, "left_anti")
+                .unionByName(updates)
+            )
+            self._overwrite("chunks", merged)
+            return
+        updates_b = updates.withColumn(
+            "_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(b))
+        )
+        affected = self._doc_buckets(
+            [r["doc_id"] for r in updates.select("doc_id").distinct().collect()], b
+        )
+        current = self.spark.read.parquet(self._tbl("chunks")).filter(
+            F.col("_bucket").isin(affected)  # partition-pruned read
+        )
+        merged = current.join(
+            F.broadcast(updates_b.select(key).distinct()), key, "left_anti"
+        ).unionByName(updates_b)
+        self._swap_buckets("chunks", merged, affected)
+
+    def delete_doc(self, doc_id: str) -> None:
+        """Remove every chunk of one document. Bucketed: rewrites only
+        the single bucket directory the doc hashes to. Orphaned boost
+        deltas (if the doc's chunks were boosted) are inert — the fold
+        join finds no matching id — and vanish at the next compact."""
+        if not self._exists("chunks"):
+            return
+        b = int(self.get_metadata("partition_buckets") or 0)
+        if b <= 0:
+            remaining = self.chunks(fold_boosts=False).filter(
+                F.col("doc_id") != doc_id
+            )
+            self._overwrite("chunks", remaining)
+            return
+        affected = self._doc_buckets([doc_id], b)
+        remaining = (
+            self.spark.read.parquet(self._tbl("chunks"))
+            .filter(F.col("_bucket").isin(affected))
+            .filter(F.col("doc_id") != doc_id)
+        )
+        self._swap_buckets("chunks", remaining, affected)
+
+    def _swap_buckets(self, name: str, df: DataFrame, buckets: list[int]) -> None:
+        """Per-bucket versioned swap: write only the given `_bucket`
+        partitions of `df` to a tmp table, then swap each bucket
+        directory into place. Untouched bucket directories are never
+        read, written, or renamed. The displaced version is parked at
+        the workspace root (NOT inside the table dir — a leftover
+        `...=...` directory inside it would be misread as a partition),
+        so the worst crash leaves the old bucket recoverable beside the
+        table, never a half-written bucket in it."""
+        import shutil
+
+        tmp = self._tbl(f"_{name}_tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
+        final = self._tbl(name)
+        for k in buckets:
+            src = os.path.join(tmp, f"_bucket={k}")
+            dst = os.path.join(final, f"_bucket={k}")
+            old = self._tbl(f"_{name}_old_bucket_{k}")
+            shutil.rmtree(old, ignore_errors=True)  # leftover from a crash
+            if os.path.isdir(dst):
+                os.rename(dst, old)
+            if os.path.isdir(src):
+                os.rename(src, dst)
+            # else: every row in this bucket was deleted — dir stays gone
+            shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
 
     def _overwrite(self, name: str, df: DataFrame) -> None:
         """Versioned-directory swap: write tmp → move current aside →

@@ -1,0 +1,146 @@
+"""Bucket-scoped MERGE/DELETE (reference row UPDATE/DELETE,
+`vector_store.cpp:789-795`): upserting or deleting a document on a
+hash-bucketed workspace must rewrite ONLY the bucket directories the
+touched doc_ids hash to — every other bucket's files stay byte-for-byte
+untouched (the property that makes updates viable at 100 TB)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_vector_database_converstion_from_pdf_spark.engine import PvdbEngine
+from ai_vector_database_converstion_from_pdf_spark.sinks import Workspace
+from tests.test_workspace_streaming_multimodal import _chunks_df
+
+
+def _snapshot(table_dir):
+    """relative file path -> (size, mtime_ns) for every bucket dir."""
+    out = {}
+    for root, _dirs, files in os.walk(table_dir):
+        for f in files:
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            out[os.path.relpath(p, table_dir)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def _bucket_of(ws, doc_id):
+    return ws._doc_buckets([doc_id], int(ws.get_metadata("partition_buckets")))[0]
+
+
+def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    ws = Workspace(spark, str(tmp_path / "m1"))
+    ws.add_chunks(_chunks_df(spark, n=40), partition_buckets=8)
+    before = _snapshot(ws._tbl("chunks"))
+    k = _bucket_of(ws, "7")
+
+    updates = (
+        _chunks_df(spark, n=40)
+        .filter(F.col("doc_id") == "7")
+        .withColumn("text", F.lit("REWRITTEN BODY"))
+    )
+    ws.merge_chunks(updates)
+
+    # content: the row changed, the count did not
+    assert ws.count() == 40
+    assert ws.chunks_for_doc("7").collect()[0]["text"] == "REWRITTEN BODY"
+
+    # physics: only files under _bucket=<k> changed
+    after = _snapshot(ws._tbl("chunks"))
+    touched_before = {p: v for p, v in before.items() if p.startswith(f"_bucket={k}/")}
+    touched_after = {p: v for p, v in after.items() if p.startswith(f"_bucket={k}/")}
+    rest_before = {p: v for p, v in before.items() if not p.startswith(f"_bucket={k}/")}
+    rest_after = {p: v for p, v in after.items() if not p.startswith(f"_bucket={k}/")}
+    assert rest_before == rest_after
+    assert touched_before != touched_after
+
+    # pruned reads still work after the swap
+    plan = ws.chunks_for_doc("7")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_bucket" in plan
+
+
+def test_merge_inserts_unmatched_rows(spark, tmp_path):
+    ws = Workspace(spark, str(tmp_path / "m2"))
+    ws.add_chunks(_chunks_df(spark, n=10), partition_buckets=4)
+    inserts = (
+        _chunks_df(spark, n=1)
+        .withColumn("id", F.lit(999).cast("long"))
+        .withColumn("doc_id", F.lit("999"))
+        .withColumn("text", F.lit("fresh document"))
+    )
+    ws.merge_chunks(inserts)
+    assert ws.count() == 11
+    assert ws.chunks_for_doc("999").collect()[0]["text"] == "fresh document"
+
+
+def test_merge_rejects_mixed_dimensions(spark, tmp_path):
+    ws = Workspace(spark, str(tmp_path / "m3"))
+    ws.add_chunks(_chunks_df(spark, n=10), partition_buckets=4)
+    bad = _chunks_df(spark, n=2, dim=8)
+    with pytest.raises(ValueError):
+        ws.merge_chunks(bad)
+
+
+def test_delete_doc_rewrites_one_bucket(spark, tmp_path):
+    ws = Workspace(spark, str(tmp_path / "d1"))
+    ws.add_chunks(_chunks_df(spark, n=40), partition_buckets=8)
+    before = _snapshot(ws._tbl("chunks"))
+    k = _bucket_of(ws, "7")
+
+    ws.delete_doc("7")
+    assert ws.count() == 39
+    assert ws.chunks_for_doc("7").count() == 0
+
+    after = _snapshot(ws._tbl("chunks"))
+    rest_before = {p: v for p, v in before.items() if not p.startswith(f"_bucket={k}/")}
+    rest_after = {p: v for p, v in after.items() if not p.startswith(f"_bucket={k}/")}
+    assert rest_before == rest_after
+
+
+def test_unbucketed_merge_and_delete_fallback(spark, tmp_path):
+    ws = Workspace(spark, str(tmp_path / "u1"))
+    ws.add_chunks(_chunks_df(spark, n=10))
+    updates = (
+        _chunks_df(spark, n=10)
+        .filter(F.col("doc_id") == "3")
+        .withColumn("text", F.lit("patched"))
+    )
+    ws.merge_chunks(updates)
+    assert ws.count() == 10
+    assert ws.chunks_for_doc("3").collect()[0]["text"] == "patched"
+    ws.delete_doc("3")
+    assert ws.count() == 9
+
+
+def test_compact_boosts_is_bucket_scoped(spark, tmp_path):
+    ws = Workspace(spark, str(tmp_path / "c1"))
+    ws.add_chunks(_chunks_df(spark, n=40), partition_buckets=8)
+    ws.boost_entry(7, 0.1)
+    ws.boost_entry(7, 0.1)
+    before = _snapshot(ws._tbl("chunks"))
+    k = _bucket_of(ws, "7")
+
+    ws.compact_boosts()
+
+    # effective boost is now stored, delta table gone
+    assert not ws._exists("boosts")
+    assert abs(ws.chunks_for_doc("7").collect()[0]["boost_factor"] - 1.2) < 1e-9
+
+    # only the boosted chunk's bucket was rewritten
+    after = _snapshot(ws._tbl("chunks"))
+    rest_before = {p: v for p, v in before.items() if not p.startswith(f"_bucket={k}/")}
+    rest_after = {p: v for p, v in after.items() if not p.startswith(f"_bucket={k}/")}
+    assert rest_before == rest_after
+
+
+def test_engine_delete_document_invalidates_cache(spark, tmp_path):
+    eng = PvdbEngine(spark, str(tmp_path / "e1"), dim=32, asof="2024-06-01 00:00:00")
+    rows = [(i, f"alpha beta gamma delta variant {i}") for i in range(10)]
+    eng.index_documents(spark.createDataFrame(rows, "doc_id long, text string"))
+    res = eng.search("alpha beta gamma delta variant 3", k=3)
+    assert any(r["id"] == 3 for r in res)
+    eng.delete_document("3")
+    # cache was cleared: the same query re-executes and no longer cites 3
+    res2 = eng.search("alpha beta gamma delta variant 3", k=3)
+    assert not any(r["id"] == 3 for r in res2)
