@@ -236,3 +236,37 @@ def gopher_flags(
         keep_stop.alias("keep_stop"),
         (keep_words & keep_wlen & keep_punct & keep_stop).alias("keep"),
     )
+
+
+# -- PII redaction -----------------------------------------------------------
+# Patterns are deliberately lookaround-free ASCII regexes so Spark (Java
+# regex) and the DuckDB oracle (RE2) match the exact same spans. Order
+# matters: SSN (3-2-4) is scrubbed before phone (3-3-4); emails before
+# anything that could eat an '@'-adjacent token. Counting happens BEFORE
+# any replacement so later patterns can't uncount earlier matches.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Scrub emails / SSNs / phone numbers / IPv4s to typed markers and
+    count each kind. Output: (id, redacted, n_email, n_ssn, n_phone,
+    n_ipv4). Pure regexp expressions — a 100 TB scrub is one map-side
+    scan, no shuffle, no UDF."""
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _marker in PII_PATTERNS
+    ]
+    red = t
+    for _name, pat, marker in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, marker)
+    return docs.select(
+        F.col(id_col).alias("id"), red.alias("redacted"), *counts
+    )

@@ -1,0 +1,84 @@
+"""Decontamination (n-gram collision) and PII redaction unit tests."""
+
+from pyspark.sql import functions as F
+
+from ai_vector_database_converstion_from_pdf_spark.operators.decontaminate import (
+    contaminated_ids,
+    ngram_contamination,
+)
+from ai_vector_database_converstion_from_pdf_spark.operators.textstats import redact_pii
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+EVAL_SENT = "the quick brown fox jumps over the lazy dog near the river bank today"
+
+
+def test_contamination_flags_copied_span(spark):
+    train = _docs(
+        spark,
+        [
+            # doc 1 embeds the eval sentence verbatim -> many 13-gram hits
+            (1, f"some filler text then {EVAL_SENT} and a conclusion"),
+            # doc 2 shares nothing
+            (2, "completely unrelated content about database partitioning"),
+        ],
+    )
+    ev = _docs(spark, [(100, EVAL_SENT)])
+    hits = ngram_contamination(train, ev, n=13).collect()
+    assert [(r["train_id"], r["eval_id"]) for r in hits] == [(1, 100)]
+    assert hits[0]["n_hits"] >= 1
+
+    drop = contaminated_ids(train, ev, n=13)
+    assert [r["train_id"] for r in drop.collect()] == [1]
+    kept = train.join(
+        drop.withColumnRenamed("train_id", "doc_id"), "doc_id", "left_anti"
+    )
+    assert [r["doc_id"] for r in kept.collect()] == [2]
+
+
+def test_contamination_respects_min_hits(spark):
+    # exactly one shared 3-gram ("alpha beta gamma")
+    train = _docs(spark, [(1, "alpha beta gamma unrelated tail words here")])
+    ev = _docs(spark, [(100, "alpha beta gamma different ending entirely now")])
+    assert ngram_contamination(train, ev, n=3, min_hits=1).count() == 1
+    assert ngram_contamination(train, ev, n=3, min_hits=5).count() == 0
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    train = _docs(spark, [(1, EVAL_SENT)])
+    ev = _docs(spark, [(100, EVAL_SENT)])
+    plan = (
+        ngram_contamination(train, ev, n=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the training side must meet the eval set in a broadcast join —
+    # no shuffle of the (100 TB) training corpus
+    assert "BroadcastHashJoin" in plan
+
+
+def test_redact_pii_markers_and_counts(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "mail alice.smith+x@corp.example.com and bob@ex.org today"),
+            (2, "call 555-867-5309 or 555.867.5309 ssn 123-45-6789"),
+            (3, "server at 192.168.1.100 responded"),
+            (4, "no sensitive content here"),
+        ],
+    )
+    rows = {r["id"]: r for r in redact_pii(docs).collect()}
+    assert rows[1]["n_email"] == 2
+    assert rows[1]["redacted"] == "mail <EMAIL> and <EMAIL> today"
+    assert rows[2]["n_phone"] == 2 and rows[2]["n_ssn"] == 1
+    assert rows[2]["redacted"] == "call <PHONE> or <PHONE> ssn <SSN>"
+    assert rows[3]["n_ipv4"] == 1
+    assert rows[3]["redacted"] == "server at <IP> responded"
+    assert rows[4]["redacted"] == "no sensitive content here"
+    assert all(
+        rows[4][c] == 0 for c in ("n_email", "n_ssn", "n_phone", "n_ipv4")
+    )
