@@ -278,12 +278,23 @@ class Workspace:
         from .functions.embed import check_dimension
 
         updates = updates.select(*CHUNK_COLUMNS)
-        # same whole-batch I17 guardrail as add_chunks
-        stats = updates.agg(
+        b = int(self.get_metadata("partition_buckets") or 0)
+        updates_b = updates
+        if b > 0:
+            updates_b = updates.withColumn(
+                "_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(b))
+            )
+        # ONE job computes the whole-batch I17 guardrail (as add_chunks)
+        # AND the affected-bucket set (collect_set is bounded by the
+        # bucket count, never the batch size)
+        aggs = [
             F.count("*").alias("n"),
             F.countDistinct(F.size("embedding")).alias("ndims"),
             F.max(F.size("embedding")).alias("d"),
-        ).collect()[0]
+        ]
+        if b > 0:
+            aggs.append(F.collect_set("_bucket").alias("buckets"))
+        stats = updates_b.agg(*aggs).collect()[0]
         if not stats["n"]:
             return
         if stats["ndims"] != 1:
@@ -294,30 +305,26 @@ class Workspace:
         registered = self.get_metadata("embedding_dimension")
         check_dimension(int(registered) if registered else None, int(stats["d"]))
 
-        b = int(self.get_metadata("partition_buckets") or 0)
         if not self._exists("chunks"):
             self.add_chunks(updates, partition_buckets=b or None)
             return
+        # build side of the anti-join: the raw key column, no distinct —
+        # left_anti only tests existence, and skipping distinct() skips
+        # a full shuffle stage
+        keys = F.broadcast(updates_b.select(key))
         if b <= 0:
             merged = (
                 self.chunks(fold_boosts=False)
-                .join(updates.select(key).distinct(), key, "left_anti")
+                .join(keys, key, "left_anti")
                 .unionByName(updates)
             )
             self._overwrite("chunks", merged)
             return
-        updates_b = updates.withColumn(
-            "_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(b))
-        )
-        affected = self._doc_buckets(
-            [r["doc_id"] for r in updates.select("doc_id").distinct().collect()], b
-        )
+        affected = sorted(stats["buckets"])
         current = self.spark.read.parquet(self._tbl("chunks")).filter(
             F.col("_bucket").isin(affected)  # partition-pruned read
         )
-        merged = current.join(
-            F.broadcast(updates_b.select(key).distinct()), key, "left_anti"
-        ).unionByName(updates_b)
+        merged = current.join(keys, key, "left_anti").unionByName(updates_b)
         self._swap_buckets("chunks", merged, affected)
 
     def delete_doc(self, doc_id: str) -> None:
