@@ -40,3 +40,45 @@ def test_gemm_block_count_invariant(spark):
         )
     )
     assert blocked == one
+
+
+SF_ORACLE_DIR = "/root/testdata/sf0.01"
+
+
+def test_lsh_near_dup_subset_of_exact(spark):
+    """method='lsh' verifies candidates with EXACT cosine, so its output
+    must be a subset of the brute-force pair set with identical scores
+    (no false positives — the honest ANN contract)."""
+    emb = spark.read.parquet(f"{SF_ORACLE_DIR}/embeddings.parquet")
+    exact = dict(
+        ((a, b), c) for a, b, c in _pairs(embedding_near_dup_pairs(emb, 0.45))
+    )
+    lsh = _pairs(embedding_near_dup_pairs(emb, 0.45, method="lsh"))
+    assert len(lsh) > 0
+    assert all((a, b) in exact and exact[(a, b)] == c for a, b, c in lsh)
+
+
+def test_lsh_near_dup_full_recall_with_more_tables(spark):
+    """Deterministic planes (seed 42) + the fixed fixture: at planes=4 /
+    tables=16 the LSH path recovers ALL 14 planted pairs — recall is a
+    tunable, not a hope."""
+    emb = spark.read.parquet(f"{SF_ORACLE_DIR}/embeddings.parquet")
+    exact = _pairs(embedding_near_dup_pairs(emb, 0.45))
+    lsh = _pairs(
+        embedding_near_dup_pairs(
+            emb, 0.45, method="lsh", n_planes=4, n_tables=16
+        )
+    )
+    assert lsh == exact
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """max_bucket_size=1 drops every bucket (all have >=2 members when a
+    pair exists) -> zero candidates: the cap bounds the explosion."""
+    emb = spark.read.parquet(f"{SF_ORACLE_DIR}/embeddings.parquet")
+    assert (
+        embedding_near_dup_pairs(
+            emb, 0.45, method="lsh", max_bucket_size=1
+        ).count()
+        == 0
+    )
