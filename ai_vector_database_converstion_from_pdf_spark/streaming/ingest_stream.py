@@ -182,3 +182,29 @@ def streaming_exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str
     return hashed.groupBy("text_hash").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_upsert_to_workspace(
+    chunks_stream: DataFrame, workspace, checkpoint: str
+):
+    """Continuous UPSERT sink: each micro-batch MERGEs into the
+    workspace via `Workspace.merge_chunks` — a re-delivered or revised
+    document REPLACES its previous chunks instead of duplicating them
+    (plain append would double-count on at-least-once delivery). On a
+    bucketed workspace each batch rewrites only the buckets its doc_ids
+    hash to. Returns the started StreamingQuery; callers own stop().
+
+    The merge itself is idempotent (same batch re-applied = same table),
+    which is what makes the at-least-once file source safe here."""
+
+    def _merge_batch(batch_df: DataFrame, _epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        workspace.merge_chunks(batch_df)
+
+    return (
+        chunks_stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,68 @@
+"""Streaming UPSERT sink: foreachBatch + Workspace.merge_chunks — a
+revised document replaces its chunks, re-delivery is idempotent, and
+on a bucketed workspace each batch touches only its doc_ids' buckets."""
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from ai_vector_database_converstion_from_pdf_spark.sinks import Workspace
+from ai_vector_database_converstion_from_pdf_spark.streaming.ingest_stream import (
+    stream_upsert_to_workspace,
+)
+from tests.test_workspace_streaming_multimodal import _chunks_df
+
+
+def test_stream_upsert_replaces_and_inserts(spark, tmp_path):
+    ws = Workspace(spark, str(tmp_path / "ws"))
+    ws.add_chunks(_chunks_df(spark, n=20), partition_buckets=4)
+
+    # revision batch: docs 0-4 revised + five brand-new docs
+    revised = (
+        _chunks_df(spark, n=5)
+        .withColumn("text", F.concat(F.lit("REVISED "), F.col("doc_id")))
+    )
+    fresh = (
+        _chunks_df(spark, n=5)
+        .withColumn("id", F.col("id") + 1000)
+        .withColumn("doc_id", (F.col("id")).cast("string"))
+    )
+    batch_dir = str(tmp_path / "incoming")
+    revised.unionByName(fresh).coalesce(1).write.mode("overwrite").parquet(batch_dir)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(batch_dir).schema)
+        .load(batch_dir)
+    )
+    q = stream_upsert_to_workspace(stream, ws, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    assert ws.count() == 25  # 20 originals - 5 replaced + 5 revised + 5 new
+    assert (
+        ws.chunks().filter(F.col("text").startswith("REVISED")).count() == 5
+    )
+    # replacement, not duplication: ids stay unique
+    assert ws.chunks().select("id").distinct().count() == 25
+
+    # at-least-once re-delivery: the same rows arriving as a NEW file
+    # must merge idempotently (no growth, no dup ids)
+    src = spark.read.parquet(batch_dir)
+    redeliver = str(tmp_path / "incoming" / "redelivered")
+    src.coalesce(1).write.mode("overwrite").parquet(redeliver)
+    for f in __import__("glob").glob(f"{redeliver}/part-*.parquet"):
+        shutil.copy(f, f"{batch_dir}/redelivered-{f.rsplit('/', 1)[1]}")
+    shutil.rmtree(redeliver)
+
+    q = stream_upsert_to_workspace(
+        spark.readStream.format("parquet")
+        .schema(src.schema)
+        .load(batch_dir),
+        ws,
+        str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert ws.count() == 25
+    assert ws.chunks().select("id").distinct().count() == 25
