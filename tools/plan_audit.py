@@ -26,6 +26,10 @@ EXPECT = {
     "q3_phrase_search": ["TakeOrderedAndProject"],
     "q3_heading_context_search": ["TakeOrderedAndProject"],
     "hybrid_rrf_batch": ["!SortMergeJoin"],
+    # eval side broadcast: the training corpus must never shuffle
+    "decontaminate_ngrams": ["BroadcastHashJoin", "!SortMergeJoin"],
+    # pure regexp expressions: no UDF, no join anywhere in the scrub
+    "pii_redact": ["!MapInPandas", "!BroadcastHashJoin", "!SortMergeJoin"],
 }
 
 
