@@ -61,10 +61,17 @@ class PvdbEngine:
         self.asof = asof or datetime.now(timezone.utc).isoformat(sep=" ", timespec="seconds").replace("+00:00", "")
 
     # -- indexing (SURVEY §3.1) ------------------------------------------
-    def index_documents(self, docs: DataFrame, source_file: str = "batch") -> int:
+    def index_documents(
+        self, docs: DataFrame, source_file: str = "batch", upsert: bool = False
+    ) -> int:
         """Index pre-chunked documents (doc_id, text): tiny-chunk filter
         (I14) → batched embed UDF (I16) → workspace append with dim
-        guardrail (I17/S1). Returns rows indexed."""
+        guardrail (I17/S1). Returns rows indexed.
+
+        upsert=True re-indexes changed documents in place (the reference
+        flow when a PDF is re-added): rows MERGE by id instead of
+        appending, so the revised version replaces the old chunks —
+        bucket-scoped on a bucketed workspace."""
         embed = self.embed_udf or make_embed_udf(self.dim)
         chunks = (
             docs.filter(F.length(F.trim(F.col("text"))) > 3)
@@ -88,8 +95,11 @@ class PvdbEngine:
             .withColumn("boost_factor", F.lit(1.0))
             .withColumn("created_at", F.lit(self.asof).cast("timestamp"))
         )
-        self.workspace.add_chunks(chunks)
-        self.cache.clear()  # cached results are stale once the corpus grows
+        if upsert:
+            self.workspace.merge_chunks(chunks)
+        else:
+            self.workspace.add_chunks(chunks)
+        self.cache.clear()  # cached results are stale once the corpus changes
         return self.workspace.count()
 
     # -- search (SURVEY §3.2) --------------------------------------------

@@ -217,7 +217,11 @@ class Workspace:
             p = self._tbl(t)
             if os.path.isdir(p):
                 shutil.rmtree(p)
+        # a cleared workspace is a FRESH workspace: both the dimension
+        # and the bucket-layout registration must go, or the next
+        # add_chunks would be locked to the old layout
         self.delete_metadata("embedding_dimension")
+        self.delete_metadata("partition_buckets")
 
     # -- S6: boost update (append-only delta, folded at read) -------------
     def boost_entry(self, chunk_id: int, amount: float = 0.1) -> None:

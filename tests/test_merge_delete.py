@@ -144,3 +144,30 @@ def test_engine_delete_document_invalidates_cache(spark, tmp_path):
     # cache was cleared: the same query re-executes and no longer cites 3
     res2 = eng.search("alpha beta gamma delta variant 3", k=3)
     assert not any(r["id"] == 3 for r in res2)
+
+
+def test_clear_resets_bucket_layout(spark, tmp_path):
+    ws = Workspace(spark, str(tmp_path / "cl1"))
+    ws.add_chunks(_chunks_df(spark, n=8), partition_buckets=4)
+    ws.clear()
+    # a cleared workspace accepts a DIFFERENT layout (it's fresh)
+    ws.add_chunks(_chunks_df(spark, n=8))
+    assert ws.count() == 8
+    assert ws.get_metadata("partition_buckets") == "0"
+
+
+def test_engine_upsert_reindexes_in_place(spark, tmp_path):
+    eng = PvdbEngine(spark, str(tmp_path / "up1"), dim=32, asof="2024-06-01 00:00:00")
+    rows = [(i, f"alpha beta gamma delta topic {i}") for i in range(10)]
+    eng.index_documents(spark.createDataFrame(rows, "doc_id long, text string"))
+    # revised doc 3 arrives: upsert replaces, count stays 10
+    n = eng.index_documents(
+        spark.createDataFrame(
+            [(3, "entirely new revised content about joins")],
+            "doc_id long, text string",
+        ),
+        upsert=True,
+    )
+    assert n == 10
+    txt = eng.workspace.chunks().filter(F.col("id") == 3).collect()[0]["text"]
+    assert txt.startswith("entirely new revised")
