@@ -35,6 +35,8 @@ HEADLINE = [
     "events_tumbling_window",
     "q15_context_window",
     "ingest_chunker",
+    "decontaminate_ngrams",
+    "pii_redact",
 ]
 
 
