@@ -281,7 +281,10 @@ class Workspace:
         doc's bucket (ids are minted per document)."""
         from .functions.embed import check_dimension
 
-        updates = updates.select(*CHUNK_COLUMNS)
+        # within-batch dedupe: at-least-once delivery can put the same
+        # row in ONE batch twice (e.g. a redelivered file in the same
+        # micro-batch); without this both copies would be inserted
+        updates = updates.select(*CHUNK_COLUMNS).dropDuplicates([key])
         b = int(self.get_metadata("partition_buckets") or 0)
         updates_b = updates
         if b > 0:

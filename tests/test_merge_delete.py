@@ -171,3 +171,12 @@ def test_engine_upsert_reindexes_in_place(spark, tmp_path):
     assert n == 10
     txt = eng.workspace.chunks().filter(F.col("id") == 3).collect()[0]["text"]
     assert txt.startswith("entirely new revised")
+
+
+def test_merge_dedupes_within_batch(spark, tmp_path):
+    ws = Workspace(spark, str(tmp_path / "wb1"))
+    ws.add_chunks(_chunks_df(spark, n=10), partition_buckets=4)
+    one = _chunks_df(spark, n=1).withColumn("text", F.lit("twice-delivered"))
+    ws.merge_chunks(one.unionByName(one))  # same row twice in ONE batch
+    assert ws.count() == 10
+    assert ws.chunks().filter(F.col("text") == "twice-delivered").count() == 1
