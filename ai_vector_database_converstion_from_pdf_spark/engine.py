@@ -264,7 +264,12 @@ class PvdbEngine:
 
     # -- feedback (S6/S7) -------------------------------------------------
     def click(self, query: str, chunk_id: int, was_exploration: bool = False) -> None:
-        self.workspace.add_interaction(query, chunk_id, was_exploration, self.asof)
+        # index_documents mints id = cast(doc_id as long), so the clicked
+        # chunk's doc_id is recoverable here — carrying it lets boost
+        # compaction map deltas to buckets without any corpus read
+        self.workspace.add_interaction(
+            query, chunk_id, was_exploration, self.asof, doc_id=str(chunk_id)
+        )
         if not was_exploration:
             self.cache.clear()  # the boost changed cached scores
 

@@ -242,8 +242,11 @@ def gopher_flags(
 # Patterns are deliberately lookaround-free ASCII regexes so Spark (Java
 # regex) and the DuckDB oracle (RE2) match the exact same spans. Order
 # matters: SSN (3-2-4) is scrubbed before phone (3-3-4); emails before
-# anything that could eat an '@'-adjacent token. Counting happens BEFORE
-# any replacement so later patterns can't uncount earlier matches.
+# anything that could eat an '@'-adjacent token. Each pattern is counted
+# on the text AFTER the previous patterns' replacements, so every count
+# equals the number of that pattern's markers actually emitted (a span
+# consumed by an earlier pattern — '555-867-5309@x.com' swallowed by the
+# email rule — is not double-reported as a phone).
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
@@ -259,13 +262,12 @@ def redact_pii(
     count each kind. Output: (id, redacted, n_email, n_ssn, n_phone,
     n_ipv4). Pure regexp expressions — a 100 TB scrub is one map-side
     scan, no shuffle, no UDF."""
-    t = F.col(text_col)
-    counts = [
-        F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}")
-        for name, pat, _marker in PII_PATTERNS
-    ]
-    red = t
-    for _name, pat, marker in PII_PATTERNS:
+    red = F.col(text_col)
+    counts = []
+    for name, pat, marker in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(red, F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
         red = F.regexp_replace(red, pat, marker)
     return docs.select(
         F.col(id_col).alias("id"), red.alias("redacted"), *counts

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .operators.keyword import build_fts_index
 
@@ -74,6 +74,30 @@ class Workspace:
                 return True
         return False
 
+    def _guarded_batch_stats(self, batch: DataFrame, extra_aggs: list = ()):
+        """ONE aggregate job running the whole-batch I17 dimension
+        guardrail (first-row-only would let a mixed-dimension batch
+        through) plus any caller aggregates. Returns the stats row, or
+        None for an empty batch. Raises on mixed dims / dim mismatch."""
+        from .functions.embed import check_dimension
+
+        stats = batch.agg(
+            F.count("*").alias("n"),
+            F.countDistinct(F.size("embedding")).alias("ndims"),
+            F.max(F.size("embedding")).alias("d"),
+            *extra_aggs,
+        ).collect()[0]
+        if not stats["n"]:
+            return None
+        if stats["ndims"] != 1:
+            raise ValueError(
+                f"mixed embedding dimensions in one batch "
+                f"({stats['ndims']} distinct sizes)"
+            )
+        registered = self.get_metadata("embedding_dimension")
+        check_dimension(int(registered) if registered else None, int(stats["d"]))
+        return stats
+
     # -- S1: chunk append with I17 dimension guardrail --------------------
     def add_chunks(self, chunks: DataFrame, partition_buckets: int | None = None) -> None:
         """Append chunks. With `partition_buckets`, rows land in
@@ -82,25 +106,8 @@ class Workspace:
         prune to one directory instead of scanning the corpus — the
         100 TB layout. Mixing bucketed and unbucketed appends in one
         workspace is rejected."""
-        from .functions.embed import check_dimension
-
-        # I17 guardrail over the WHOLE batch (first-row-only would let a
-        # mixed-dimension batch through), one aggregate job
-        stats = chunks.agg(
-            F.count("*").alias("n"),
-            F.countDistinct(F.size("embedding")).alias("ndims"),
-            F.max(F.size("embedding")).alias("d"),
-        ).collect()[0]
-        new_dim = None
-        if stats["n"]:
-            if stats["ndims"] != 1:
-                raise ValueError(
-                    f"mixed embedding dimensions in one batch "
-                    f"({stats['ndims']} distinct sizes)"
-                )
-            new_dim = int(stats["d"])
-            registered = self.get_metadata("embedding_dimension")
-            check_dimension(int(registered) if registered else None, new_dim)
+        stats = self._guarded_batch_stats(chunks)
+        new_dim = int(stats["d"]) if stats is not None else None
 
         registered_buckets = self.get_metadata("partition_buckets")
         if registered_buckets is not None and int(registered_buckets) != (
@@ -224,12 +231,18 @@ class Workspace:
         self.delete_metadata("partition_buckets")
 
     # -- S6: boost update (append-only delta, folded at read) -------------
-    def boost_entry(self, chunk_id: int, amount: float = 0.1) -> None:
-        """One click = one appended (chunk_id, delta) row; the corpus is
-        never rewritten (reference UPDATE semantics,
-        `vector_store.cpp:789-795`, without the 100 TB rewrite)."""
+    def boost_entry(
+        self, chunk_id: int, amount: float = 0.1, doc_id: str | None = None
+    ) -> None:
+        """One click = one appended (chunk_id, delta, doc_id) row; the
+        corpus is never rewritten (reference UPDATE semantics,
+        `vector_store.cpp:789-795`, without the 100 TB rewrite). Pass
+        the chunk's doc_id when the caller knows it: compaction can then
+        map deltas to buckets from the tiny boosts table alone, instead
+        of scanning the corpus' (id, _bucket) columns."""
         self.spark.createDataFrame(
-            [(int(chunk_id), float(amount))], "chunk_id long, delta double"
+            [(int(chunk_id), float(amount), doc_id)],
+            "chunk_id long, delta double, doc_id string",
         ).write.mode("append").parquet(self._tbl("boosts"))
 
     def compact_boosts(self) -> None:
@@ -247,19 +260,27 @@ class Workspace:
         if b <= 0:
             self._overwrite("chunks", self.chunks(fold_boosts=True))
         else:
-            boosted = (
-                self.spark.read.parquet(self._tbl("boosts"))
-                .select(F.col("chunk_id").alias("id"))
-                .distinct()
+            boosts = self.spark.read.parquet(self._tbl("boosts"))
+            known = (
+                [r["doc_id"] for r in boosts.select("doc_id").distinct().collect()]
+                if "doc_id" in boosts.columns
+                else [None]
             )
-            affected = sorted(
-                r["_bucket"]
-                for r in self.spark.read.parquet(self._tbl("chunks"))
-                .join(F.broadcast(boosted), "id", "left_semi")
-                .select("_bucket")
-                .distinct()
-                .collect()
-            )
+            if None not in known:
+                # every delta carries its doc_id: bucket set comes from
+                # the tiny boosts table, zero corpus reads
+                affected = self._doc_buckets(known, b)
+            else:
+                # fallback: thin column-pruned (id, _bucket) scan
+                boosted = boosts.select(F.col("chunk_id").alias("id")).distinct()
+                affected = sorted(
+                    r["_bucket"]
+                    for r in self.spark.read.parquet(self._tbl("chunks"))
+                    .join(F.broadcast(boosted), "id", "left_semi")
+                    .select("_bucket")
+                    .distinct()
+                    .collect()
+                )
             if affected:
                 folded = self.chunks(fold_boosts=True).filter(
                     F.col("_bucket").isin(affected)
@@ -271,58 +292,52 @@ class Workspace:
     # `vector_store.cpp:789-795`; Delta-style MERGE INTO semantics
     # without the Delta dependency) ---------------------------------------
     def merge_chunks(self, updates: DataFrame, key: str = "id") -> None:
-        """Upsert: rows in `updates` replace stored rows with the same
-        `key`; unmatched rows are inserted. On a bucketed workspace only
-        the `_bucket=k` directories the updated doc_ids hash to are read
-        and rewritten — re-indexing one changed document touches one
-        bucket out of the corpus, which is what makes updates viable at
-        100 TB. `updates` must carry full chunk rows (CHUNK_COLUMNS,
-        including doc_id); a row's `key` is assumed to stay within its
-        doc's bucket (ids are minted per document)."""
-        from .functions.embed import check_dimension
-
-        # within-batch dedupe: at-least-once delivery can put the same
-        # row in ONE batch twice (e.g. a redelivered file in the same
-        # micro-batch); without this both copies would be inserted
-        updates = updates.select(*CHUNK_COLUMNS).dropDuplicates([key])
+        """Document-level upsert (the reference's re-index flow): every
+        stored chunk of a doc_id present in `updates` is dropped and the
+        doc's new chunks are inserted — so a revision with FEWER chunks
+        leaves no stale survivors (an id-keyed merge would). Docs not in
+        `updates` are untouched; previously-unknown docs are inserted.
+        On a bucketed workspace only the `_bucket=k` directories the
+        updated doc_ids hash to are read and rewritten — re-indexing one
+        changed document touches one bucket out of the corpus, which is
+        what makes updates viable at 100 TB. `updates` must carry full
+        chunk rows (CHUNK_COLUMNS, including doc_id)."""
+        # within-batch dedupe with a DETERMINISTIC winner: at-least-once
+        # delivery can put the same chunk in ONE batch twice — possibly
+        # as two versions (v1 + v2 files landing in the same micro-
+        # batch). Latest created_at wins; an arbitrary dropDuplicates
+        # pick could silently keep the stale version forever.
+        w = Window.partitionBy(key).orderBy(F.col("created_at").desc())
+        updates = (
+            updates.select(*CHUNK_COLUMNS)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         b = int(self.get_metadata("partition_buckets") or 0)
         updates_b = updates
+        extra = []
         if b > 0:
             updates_b = updates.withColumn(
                 "_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(b))
             )
-        # ONE job computes the whole-batch I17 guardrail (as add_chunks)
-        # AND the affected-bucket set (collect_set is bounded by the
-        # bucket count, never the batch size)
-        aggs = [
-            F.count("*").alias("n"),
-            F.countDistinct(F.size("embedding")).alias("ndims"),
-            F.max(F.size("embedding")).alias("d"),
-        ]
-        if b > 0:
-            aggs.append(F.collect_set("_bucket").alias("buckets"))
-        stats = updates_b.agg(*aggs).collect()[0]
-        if not stats["n"]:
+            # collect_set is bounded by the bucket count, never batch size
+            extra = [F.collect_set("_bucket").alias("buckets")]
+        # ONE job: I17 guardrail + affected-bucket set
+        stats = self._guarded_batch_stats(updates_b, extra)
+        if stats is None:
             return
-        if stats["ndims"] != 1:
-            raise ValueError(
-                f"mixed embedding dimensions in one merge batch "
-                f"({stats['ndims']} distinct sizes)"
-            )
-        registered = self.get_metadata("embedding_dimension")
-        check_dimension(int(registered) if registered else None, int(stats["d"]))
-
         if not self._exists("chunks"):
             self.add_chunks(updates, partition_buckets=b or None)
             return
-        # build side of the anti-join: the raw key column, no distinct —
-        # left_anti only tests existence, and skipping distinct() skips
-        # a full shuffle stage
-        keys = F.broadcast(updates_b.select(key))
+        # replace-by-document: anti-join the stored rows against the
+        # batch's doc_ids (broadcast; left_anti only tests existence so
+        # no distinct() — that would cost a shuffle stage)
+        doc_keys = F.broadcast(updates_b.select("doc_id"))
         if b <= 0:
             merged = (
                 self.chunks(fold_boosts=False)
-                .join(keys, key, "left_anti")
+                .join(doc_keys, "doc_id", "left_anti")
                 .unionByName(updates)
             )
             self._overwrite("chunks", merged)
@@ -331,7 +346,7 @@ class Workspace:
         current = self.spark.read.parquet(self._tbl("chunks")).filter(
             F.col("_bucket").isin(affected)  # partition-pruned read
         )
-        merged = current.join(keys, key, "left_anti").unionByName(updates_b)
+        merged = current.join(doc_keys, "doc_id", "left_anti").unionByName(updates_b)
         self._swap_buckets("chunks", merged, affected)
 
     def delete_doc(self, doc_id: str) -> None:
@@ -371,6 +386,11 @@ class Workspace:
         shutil.rmtree(tmp, ignore_errors=True)
         df.write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
         final = self._tbl(name)
+        olds = []
+        # two-phase: swap every bucket FIRST, delete displaced versions
+        # only after all swaps landed — a crash mid-operation then leaves
+        # every pre-operation bucket copy on disk (recoverable), never a
+        # mix with some old versions already destroyed
         for k in buckets:
             src = os.path.join(tmp, f"_bucket={k}")
             dst = os.path.join(final, f"_bucket={k}")
@@ -378,9 +398,11 @@ class Workspace:
             shutil.rmtree(old, ignore_errors=True)  # leftover from a crash
             if os.path.isdir(dst):
                 os.rename(dst, old)
+                olds.append(old)
             if os.path.isdir(src):
                 os.rename(src, dst)
             # else: every row in this bucket was deleted — dir stays gone
+        for old in olds:
             shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -410,7 +432,14 @@ class Workspace:
         shutil.rmtree(old, ignore_errors=True)
 
     # -- S7: interaction feedback (exploration quarantine) ----------------
-    def add_interaction(self, query: str, chunk_id: int, was_exploration: bool, asof) -> None:
+    def add_interaction(
+        self,
+        query: str,
+        chunk_id: int,
+        was_exploration: bool,
+        asof,
+        doc_id: str | None = None,
+    ) -> None:
         """`vector_store.cpp:797-811`: log a USER_CLICK row; boost +0.1
         only when NOT an exploration probe."""
         self.log_retrieval(
@@ -420,7 +449,7 @@ class Workspace:
             stability=0.0, created_at=asof,
         )
         if not was_exploration:
-            self.boost_entry(chunk_id, 0.1)
+            self.boost_entry(chunk_id, 0.1, doc_id=doc_id)
 
     # -- S8: retrieval log append -----------------------------------------
     def log_retrieval(self, **kw) -> None:

@@ -185,14 +185,21 @@ def streaming_exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str
 
 
 def stream_upsert_to_workspace(
-    chunks_stream: DataFrame, workspace, checkpoint: str
+    chunks_stream: DataFrame,
+    workspace,
+    checkpoint: str,
+    trigger: dict | None = None,
 ):
-    """Continuous UPSERT sink: each micro-batch MERGEs into the
-    workspace via `Workspace.merge_chunks` — a re-delivered or revised
-    document REPLACES its previous chunks instead of duplicating them
-    (plain append would double-count on at-least-once delivery). On a
-    bucketed workspace each batch rewrites only the buckets its doc_ids
-    hash to. Returns the started StreamingQuery; callers own stop().
+    """UPSERT sink: each micro-batch MERGEs into the workspace via
+    `Workspace.merge_chunks` — a re-delivered or revised document
+    REPLACES its previous chunks instead of duplicating them (plain
+    append would double-count on at-least-once delivery). On a bucketed
+    workspace each batch rewrites only the buckets its doc_ids hash to.
+    Returns the started StreamingQuery; callers own stop().
+
+    By default the query DRAINS the currently-available files and stops
+    (trigger availableNow — the batch-catchup shape). For a long-lived
+    continuous sink pass e.g. trigger={"processingTime": "30 seconds"}.
 
     The merge itself is idempotent (same batch re-applied = same table),
     which is what makes the at-least-once file source safe here."""
@@ -205,6 +212,6 @@ def stream_upsert_to_workspace(
     return (
         chunks_stream.writeStream.foreachBatch(_merge_batch)
         .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )

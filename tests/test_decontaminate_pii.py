@@ -82,3 +82,22 @@ def test_redact_pii_markers_and_counts(spark):
     assert all(
         rows[4][c] == 0 for c in ("n_email", "n_ssn", "n_phone", "n_ipv4")
     )
+
+
+def test_redact_pii_counts_match_emitted_markers_on_overlap(spark):
+    """'555-867-5309@corp.com' is one email (digits/hyphens are legal in
+    the local part): the phone count must be 0 because no <PHONE> marker
+    is emitted — counts are taken on the progressively redacted text."""
+    docs = _docs(spark, [(1, "reach 555-867-5309@corp.com today")])
+    r = redact_pii(docs).collect()[0]
+    assert r["redacted"] == "reach <EMAIL> today"
+    assert r["n_email"] == 1 and r["n_phone"] == 0
+
+
+def test_lsh_near_dup_empty_input(spark):
+    from ai_vector_database_converstion_from_pdf_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert embedding_near_dup_pairs(empty, 0.8, method="lsh").count() == 0

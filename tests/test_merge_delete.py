@@ -4,25 +4,13 @@ hash-bucketed workspace must rewrite ONLY the bucket directories the
 touched doc_ids hash to — every other bucket's files stay byte-for-byte
 untouched (the property that makes updates viable at 100 TB)."""
 
-import os
-
 import pytest
 from pyspark.sql import functions as F
 
 from ai_vector_database_converstion_from_pdf_spark.engine import PvdbEngine
 from ai_vector_database_converstion_from_pdf_spark.sinks import Workspace
 from tests.test_workspace_streaming_multimodal import _chunks_df
-
-
-def _snapshot(table_dir):
-    """relative file path -> (size, mtime_ns) for every bucket dir."""
-    out = {}
-    for root, _dirs, files in os.walk(table_dir):
-        for f in files:
-            p = os.path.join(root, f)
-            st = os.stat(p)
-            out[os.path.relpath(p, table_dir)] = (st.st_size, st.st_mtime_ns)
-    return out
+from tools.fswalk import snapshot as _snapshot
 
 
 def _bucket_of(ws, doc_id):
@@ -180,3 +168,69 @@ def test_merge_dedupes_within_batch(spark, tmp_path):
     ws.merge_chunks(one.unionByName(one))  # same row twice in ONE batch
     assert ws.count() == 10
     assert ws.chunks().filter(F.col("text") == "twice-delivered").count() == 1
+
+
+def test_merge_replaces_whole_document_even_when_it_shrinks(spark, tmp_path):
+    """Doc-level replace: a revision with FEWER chunks must leave no
+    stale survivors from the previous version."""
+    ws = Workspace(spark, str(tmp_path / "sh1"))
+    base = _chunks_df(spark, n=6)
+    # give doc "2" a second chunk (id 902) so v1 has 2 chunks
+    extra = (
+        _chunks_df(spark, n=3)
+        .filter(F.col("doc_id") == "2")
+        .withColumn("id", F.lit(902).cast("long"))
+        .withColumn("chunk_idx", F.lit(1))
+    )
+    ws.add_chunks(base.unionByName(extra), partition_buckets=4)
+    assert ws.chunks_for_doc("2").count() == 2
+
+    # revision v2: ONE chunk only (id 2), newer created_at
+    rev = (
+        _chunks_df(spark, n=3)
+        .filter(F.col("doc_id") == "2")
+        .withColumn("text", F.lit("v2 single chunk"))
+        .withColumn("created_at", F.lit("2024-02-01 00:00:00").cast("timestamp"))
+    )
+    ws.merge_chunks(rev)
+    rows = ws.chunks_for_doc("2").collect()
+    assert len(rows) == 1  # stale id-902 chunk is GONE
+    assert rows[0]["text"] == "v2 single chunk"
+    assert ws.count() == 6  # 7 before merge (6+extra), doc 2: 2 -> 1
+
+
+def test_merge_latest_created_at_wins_within_batch(spark, tmp_path):
+    """Two versions of the same chunk in ONE batch: the newer
+    created_at must deterministically win."""
+    ws = Workspace(spark, str(tmp_path / "lw1"))
+    ws.add_chunks(_chunks_df(spark, n=5), partition_buckets=4)
+    v1 = (
+        _chunks_df(spark, n=1)
+        .withColumn("text", F.lit("stale v1"))
+        .withColumn("created_at", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    )
+    v2 = (
+        _chunks_df(spark, n=1)
+        .withColumn("text", F.lit("fresh v2"))
+        .withColumn("created_at", F.lit("2024-03-01 00:00:00").cast("timestamp"))
+    )
+    ws.merge_chunks(v1.unionByName(v2))  # v1 listed FIRST
+    rows = ws.chunks_for_doc("0").collect()
+    assert len(rows) == 1 and rows[0]["text"] == "fresh v2"
+
+
+def test_compact_with_doc_id_carrying_boosts(spark, tmp_path):
+    """Deltas that carry doc_id let compaction find buckets from the
+    boosts table alone; values must match the scan fallback exactly."""
+    ws = Workspace(spark, str(tmp_path / "bd1"))
+    ws.add_chunks(_chunks_df(spark, n=40), partition_buckets=8)
+    ws.boost_entry(7, 0.1, doc_id="7")
+    ws.boost_entry(7, 0.2, doc_id="7")
+    before = _snapshot(ws._tbl("chunks"))
+    k = _bucket_of(ws, "7")
+    ws.compact_boosts()
+    assert abs(ws.chunks_for_doc("7").collect()[0]["boost_factor"] - 1.3) < 1e-9
+    after = _snapshot(ws._tbl("chunks"))
+    rest_b = {p: v for p, v in before.items() if not p.startswith(f"_bucket={k}/")}
+    rest_a = {p: v for p, v in after.items() if not p.startswith(f"_bucket={k}/")}
+    assert rest_b == rest_a

@@ -17,7 +17,6 @@ Usage: python tools/stress_dml.py   (prints a table; writes under /tmp)
 
 from __future__ import annotations
 
-import os
 import shutil
 import sys
 import tempfile
@@ -25,23 +24,11 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+from tools.fswalk import rewritten_bytes as _rewritten_bytes, snapshot as _snapshot
+
 SF = "/root/testdata/sf0.1"
 REPLICAS = 40
 BUCKETS = 64
-
-
-def _snapshot(table_dir):
-    out = {}
-    for root, _dirs, files in os.walk(table_dir):
-        for f in files:
-            p = os.path.join(root, f)
-            st = os.stat(p)
-            out[os.path.relpath(p, table_dir)] = (st.st_size, st.st_mtime_ns)
-    return out
-
-
-def _rewritten_bytes(before, after):
-    return sum(sz for p, (sz, mt) in after.items() if before.get(p) != (sz, mt))
 
 
 def main() -> None:
