@@ -272,3 +272,82 @@ def redact_pii(
     return docs.select(
         F.col(id_col).alias("id"), red.alias("redacted"), *counts
     )
+
+
+# -- Repetition signals (Gopher §A1.1 "repetitious text" rule family) --------
+TOP2GRAM_MAX_FRAC = 0.20
+TOP3GRAM_MAX_FRAC = 0.18
+
+
+def _top_ngram_frac(docs: DataFrame, n: int, id_col: str, text_col: str):
+    """Per-doc fraction of tokens covered by the single most frequent
+    word n-gram: (id, frac). Shuffle is keyed by (doc, gram) then doc —
+    proportional to corpus tokens, no all-pairs anything."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("ts")
+    )
+    idx = F.when(
+        F.size("ts") >= n, F.sequence(F.lit(0), F.size("ts") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toks.select(
+        "id",
+        F.size("ts").alias("n_tokens"),
+        F.explode(
+            F.transform(idx, lambda i: F.array_join(F.slice("ts", i + 1, n), " "))
+        ).alias("gram"),
+    )
+    top = (
+        grams.groupBy("id", "n_tokens", "gram")
+        .count()
+        .groupBy("id", "n_tokens")
+        .agg(F.max("count").alias("top_cnt"))
+    )
+    # overlapping occurrences ("a a a a" has three "a a" grams) can push
+    # the raw ratio past 1 — clamp: "all tokens covered" is the ceiling
+    return top.select(
+        "id",
+        F.round(
+            F.least(F.lit(n) * F.col("top_cnt") / F.col("n_tokens"), F.lit(1.0)),
+            6,
+        ).alias("frac"),
+    )
+
+
+def repetition_flags(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition gate: type-token ratio plus the token
+    fraction covered by the most frequent 2-gram / 3-gram, with the
+    paper's keep-thresholds (0.20 / 0.18). Docs too short for an n-gram
+    get frac 0 (never flagged). Output: (id, ttr, top2_frac, top3_frac,
+    keep_2gram, keep_3gram, keep)."""
+    t = F.col(text_col)
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.round(
+            F.when(
+                F.size(tokens(t)) > 0,
+                F.size(F.array_distinct(tokens(t))) / F.size(tokens(t)),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("ttr"),
+    )
+    g2 = _top_ngram_frac(docs, 2, id_col, text_col).withColumnRenamed(
+        "frac", "top2_frac"
+    )
+    g3 = _top_ngram_frac(docs, 3, id_col, text_col).withColumnRenamed(
+        "frac", "top3_frac"
+    )
+    out = (
+        base.join(g2, "id", "left")
+        .join(g3, "id", "left")
+        .fillna(0.0, ["top2_frac", "top3_frac"])
+    )
+    keep2 = F.col("top2_frac") <= TOP2GRAM_MAX_FRAC
+    keep3 = F.col("top3_frac") <= TOP3GRAM_MAX_FRAC
+    return out.select(
+        "id", "ttr", "top2_frac", "top3_frac",
+        keep2.alias("keep_2gram"),
+        keep3.alias("keep_3gram"),
+        (keep2 & keep3).alias("keep"),
+    )

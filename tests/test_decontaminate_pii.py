@@ -101,3 +101,26 @@ def test_lsh_near_dup_empty_input(spark):
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert embedding_near_dup_pairs(empty, 0.8, method="lsh").count() == 0
+
+
+def test_repetition_flags(spark):
+    from ai_vector_database_converstion_from_pdf_spark.operators.textstats import (
+        repetition_flags,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "spam spam spam spam"),  # top 2-gram covers everything
+            # 24 diverse tokens: every 2-gram unique -> top2 = 2/24
+            (2, "the quick brown fox jumps over one lazy dog while two "
+                "keen cats watch three slow birds circle four tall trees "
+                "near five calm lakes"),
+            (3, "word"),  # too short for any n-gram
+        ],
+    )
+    rows = {r["id"]: r for r in repetition_flags(docs).collect()}
+    assert rows[1]["top2_frac"] == 1.0 and rows[1]["keep"] is False
+    assert rows[1]["ttr"] == 0.25
+    assert rows[2]["keep"] is True and rows[2]["top2_frac"] <= 0.2
+    assert rows[3]["top2_frac"] == 0.0 and rows[3]["keep"] is True
