@@ -41,6 +41,69 @@ def quantize(
     )
 
 
+def int8_topk_rescore(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval: int8-quantized scoring to a shortlist, exact
+    float rescoring of the shortlist only (the SQ8 + refine pattern;
+    scale path for the reference's brute-force scan,
+    vector_store.cpp:206-237).
+
+    At 100 TB the first stage scans 4x fewer bytes (int8 vs float32) and
+    the exact cosine runs over `shortlist` rows instead of the corpus.
+    Both stages are deterministic (round-6dp before ranking, id
+    tiebreak), so unlike LSH/IVF this approximate path IS oracle-checkable:
+    the DuckDB oracle replays the same quantized shortlist.
+
+    Stage 1 score: scale_e * scale_q * sum(q_e[i] * q_q[i]), computed
+    JVM-side with zip_with/aggregate — whole-stage codegen, no UDF.
+    """
+    from ..functions.vector import cosine_rounded, query_vector_lit
+
+    import math
+
+    # Query-side quantization uses sign(x)*floor(|x|/scale + 0.5) — a
+    # half-up rule with no engine ambiguity (Python round() is half-even,
+    # DuckDB round() is half-away; floor agrees everywhere).
+    q_absmax = max(abs(float(x)) for x in query_vec)
+    q_scale = q_absmax / 127.0
+    q_ints = (
+        [0] * len(query_vec)
+        if q_scale == 0.0
+        else [
+            int(math.floor(abs(float(x)) / q_scale + 0.5))
+            * (1 if float(x) >= 0.0 else -1)
+            for x in query_vec
+        ]
+    )
+    q_arr = F.array(*[F.lit(int(v)) for v in q_ints])
+
+    qemb = quantize_col(F.col(vec_col))
+    isum = F.aggregate(
+        F.zip_with(qemb["q"], q_arr, lambda a, b: a.cast("long") * b.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    approx = F.round(qemb["scale"] * F.lit(q_scale) * isum.cast("double"), 6)
+
+    short = (
+        embeddings.select(F.col(id_col), F.col(vec_col), approx.alias("approx_score"))
+        .orderBy(F.col("approx_score").desc(), F.col(id_col).asc())
+        .limit(shortlist)
+    )
+    exact = short.select(
+        F.col(id_col),
+        F.col("approx_score"),
+        cosine_rounded(F.col(vec_col), query_vector_lit(query_vec)).alias("score"),
+    )
+    return exact.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
 def reconstruction_report(
     embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

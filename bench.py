@@ -37,6 +37,8 @@ HEADLINE = [
     "ingest_chunker",
     "decontaminate_ngrams",
     "pii_redact",
+    "ann_int8_rescore_topk",
+    "tpch_q7_volume_shipping",
 ]
 
 

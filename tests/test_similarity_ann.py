@@ -121,3 +121,35 @@ def test_kmeans_centroids_deterministic(spark, emb):
 
     for _cid, v in a:
         assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9
+
+
+def test_int8_rescore_recall_and_exact_scores(spark, emb):
+    """Two-stage int8 shortlist + exact rescore: returned scores must be
+    the exact cosine (stage 2 is exact), and recall vs brute force stays
+    high — quantization error is ~1e-2, far below fixture score gaps."""
+    from ai_vector_database_converstion_from_pdf_spark.operators.quantize import int8_topk_rescore
+    from ai_vector_database_converstion_from_pdf_spark.operators.semantic import semantic_topk
+
+    for vid in (0, 42):
+        q = _qvec(emb, vid)
+        exact = {r["vec_id"]: r["score"] for r in semantic_topk(emb, q, 10).collect()}
+        two_stage = int8_topk_rescore(emb, q, k=10, shortlist=50).collect()
+        got = {r["vec_id"]: r["score"] for r in two_stage}
+        # scores of returned ids are the exact cosine, not the int8 one
+        for rid, s in got.items():
+            if rid in exact:
+                assert s == exact[rid]
+        assert len(set(exact) & set(got)) >= 9
+        # the query's own vector is rank 1 with score 1.0
+        assert two_stage[0]["vec_id"] == vid and two_stage[0]["score"] == 1.0
+
+
+def test_int8_shortlist_is_take_ordered(spark, emb):
+    """Stage 1 must compile to TakeOrderedAndProject (no full sort of the
+    corpus) and stay UDF-free."""
+    from ai_vector_database_converstion_from_pdf_spark.operators.quantize import int8_topk_rescore
+
+    q = _qvec(emb, 0)
+    plan = int8_topk_rescore(emb, q, k=10, shortlist=50)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -30,6 +30,14 @@ EXPECT = {
     "decontaminate_ngrams": ["BroadcastHashJoin", "!SortMergeJoin"],
     # pure regexp expressions: no UDF, no join anywhere in the scrub
     "pii_redact": ["!MapInPandas", "!BroadcastHashJoin", "!SortMergeJoin"],
+    # two-stage int8: shortlist is a TakeOrdered over the int8 scan, no UDF
+    "ann_int8_rescore_topk": ["TakeOrderedAndProject", "!ArrowEvalPython", "!MapInPandas"],
+    # nation dims broadcast; the fact table never sort-merge-joins a dim
+    "tpch_q7_volume_shipping": ["BroadcastHashJoin", "PushedFilters"],
+    "tpch_q10_returned_items": ["BroadcastHashJoin", "PushedFilters"],
+    "tpch_q18_large_orders": ["LeftSemi"],
+    # salting must not defeat the broadcast of the replicated dim
+    "skew_salted_join_revenue": ["BroadcastHashJoin", "!SortMergeJoin"],
 }
 
 
