@@ -77,3 +77,35 @@ def test_gopher_rules(spark):
     assert not got[3]["keep"] and not got[3]["keep_punct"]
     assert not got[4]["keep"] and not got[4]["keep_wlen"]
     assert not got[5]["keep"] and not got[5]["keep_stop"]
+
+
+def test_curate_corpus_flags_consistent(spark):
+    """The composed pipeline's flags must agree with the stage operators
+    run standalone, and `keep` must imply every stage flag."""
+    from ai_vector_database_converstion_from_pdf_spark.operators.textstats import gopher_flags
+    from ai_vector_database_converstion_from_pdf_spark.plans.curate import curate_corpus
+    from tests.conftest import SF_ORACLE
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    audit = curate_corpus(docs).cache()
+    rows = audit.collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        if r["keep"]:
+            assert (
+                r["dedup_keep"] and r["quality_keep"] and r["repetition_keep"]
+                and r["decon_keep"] and not r["is_eval"]
+            )
+    standalone_quality = {
+        r["doc_id"]: r["keep"] for r in gopher_flags(docs).collect()
+    }
+    for r in rows:
+        assert r["quality_keep"] == standalone_quality[r["doc_id"]]
+    # PII markers never survive in kept text
+    from pyspark.sql import functions as F
+
+    leaked = audit.filter(
+        F.col("redacted").rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    ).count()
+    assert leaked == 0
+    audit.unpersist()

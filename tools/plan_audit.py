@@ -38,6 +38,8 @@ EXPECT = {
     "tpch_q18_large_orders": ["LeftSemi"],
     # salting must not defeat the broadcast of the replicated dim
     "skew_salted_join_revenue": ["BroadcastHashJoin", "!SortMergeJoin"],
+    # composed curation: contaminated-id set broadcast, no Python UDF anywhere
+    "curation_pipeline": ["BroadcastHashJoin", "!ArrowEvalPython", "!MapInPandas"],
 }
 
 
