@@ -406,6 +406,69 @@ class Workspace:
             shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
 
+    def optimize(self, max_files_per_bucket: int = 4) -> dict:
+        """Small-file compaction (Delta OPTIMIZE analog). Streaming
+        upserts and per-doc merges each land at least one parquet file
+        per touched bucket; after N micro-batches a bucket holds N small
+        files and every scan pays N footer reads + N row-group seeks.
+        At 100 TB that is the classic small-file death — compaction is
+        mandatory housekeeping, not a nicety.
+
+        Rewrites ONLY buckets whose file count exceeds
+        `max_files_per_bucket`, one output file per bucket, through the
+        same two-phase versioned swap as DML — untouched buckets keep
+        their files byte-identical. Boost deltas are NOT folded (that is
+        `compact_boosts`' job); row content is preserved exactly.
+
+        Returns {"buckets_compacted": [...], "files_before": n, "files_after": m}.
+        """
+        if not self._exists("chunks"):
+            return {"buckets_compacted": [], "files_before": 0, "files_after": 0}
+
+        def _files(d: str) -> list[str]:
+            return [
+                f
+                for f in os.listdir(d)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            ]
+
+        root = self._tbl("chunks")
+        b = int(self.get_metadata("partition_buckets") or 0)
+        if not b:
+            # unbucketed: compact the whole table to one file when over cap
+            n_before = len(_files(root))
+            if n_before <= max_files_per_bucket:
+                return {"buckets_compacted": [], "files_before": n_before,
+                        "files_after": n_before}
+            self._overwrite("chunks", self.chunks(fold_boosts=False).coalesce(1))
+            return {"buckets_compacted": [-1], "files_before": n_before,
+                    "files_after": len(_files(root))}
+
+        per_bucket = {}
+        for entry in os.listdir(root):
+            if entry.startswith("_bucket="):
+                k = int(entry.split("=", 1)[1])
+                per_bucket[k] = len(_files(os.path.join(root, entry)))
+        affected = sorted(k for k, n in per_bucket.items() if n > max_files_per_bucket)
+        files_before = sum(per_bucket.values())
+        if not affected:
+            return {"buckets_compacted": [], "files_before": files_before,
+                    "files_after": files_before}
+
+        compacted = (
+            self.chunks(fold_boosts=False)
+            .filter(F.col("_bucket").isin(affected))  # partition-pruned read
+            .repartition(len(affected), "_bucket")    # exactly 1 file/bucket
+        )
+        self._swap_buckets("chunks", compacted, affected)
+        files_after = sum(
+            len(_files(os.path.join(root, e)))
+            for e in os.listdir(root)
+            if e.startswith("_bucket=")
+        )
+        return {"buckets_compacted": affected, "files_before": files_before,
+                "files_after": files_after}
+
     def _overwrite(self, name: str, df: DataFrame) -> None:
         """Versioned-directory swap: write tmp → move current aside →
         move tmp in → drop the old version. The table data is never

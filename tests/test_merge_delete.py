@@ -234,3 +234,70 @@ def test_compact_with_doc_id_carrying_boosts(spark, tmp_path):
     rest_b = {p: v for p, v in before.items() if not p.startswith(f"_bucket={k}/")}
     rest_a = {p: v for p, v in after.items() if not p.startswith(f"_bucket={k}/")}
     assert rest_b == rest_a
+
+
+def test_optimize_compacts_fragmented_buckets(spark, tmp_path):
+    """Repeated merges fragment a bucket into many small files; optimize
+    must bin-pack ONLY the over-cap buckets to one file each, preserve
+    row content exactly, and leave under-cap buckets byte-identical."""
+    ws = Workspace(spark, str(tmp_path / "opt1"))
+    ws.add_chunks(_chunks_df(spark, n=40), partition_buckets=8)
+    k = _bucket_of(ws, "7")
+    # fragment doc 7's bucket: each APPEND lands >=1 new file there
+    # (merges don't fragment — their bucket swap already consolidates)
+    base = _chunks_df(spark, n=40).filter(F.col("doc_id") == "7")
+    for i in range(5):
+        ws.add_chunks(
+            base.withColumn("id", F.col("id") + F.lit(1000 * (i + 1))),
+            partition_buckets=8,
+        )
+
+    before_rows = sorted(
+        ws.chunks().collect(), key=lambda r: (r["doc_id"], r["id"])
+    )
+    before = _snapshot(ws._tbl("chunks"))
+
+    stats = ws.optimize(max_files_per_bucket=4)
+    assert k in stats["buckets_compacted"]
+    assert stats["files_after"] < stats["files_before"]
+
+    # content identical (boosts not folded, rows exact)
+    after_rows = sorted(
+        ws.chunks().collect(), key=lambda r: (r["doc_id"], r["id"])
+    )
+    assert before_rows == after_rows
+
+    # untouched buckets byte-identical
+    untouched = set(str(b) for b in range(8)) - set(
+        str(b) for b in stats["buckets_compacted"]
+    )
+    for b in untouched:
+        pre = {p: v for p, v in before.items() if p.startswith(f"_bucket={b}/")}
+        post = {
+            p: v
+            for p, v in _snapshot(ws._tbl("chunks")).items()
+            if p.startswith(f"_bucket={b}/")
+        }
+        assert pre == post
+
+    # each compacted bucket now holds exactly one parquet file
+    import os
+
+    for b in stats["buckets_compacted"]:
+        d = os.path.join(ws._tbl("chunks"), f"_bucket={b}")
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1
+
+    # idempotent: second optimize is a no-op
+    again = ws.optimize(max_files_per_bucket=4)
+    assert again["buckets_compacted"] == []
+
+
+def test_optimize_unbucketed_and_empty(spark, tmp_path):
+    ws = Workspace(spark, str(tmp_path / "opt2"))
+    assert ws.optimize()["buckets_compacted"] == []
+    ws.add_chunks(_chunks_df(spark, n=6).repartition(6))
+    stats = ws.optimize(max_files_per_bucket=2)
+    assert stats["buckets_compacted"] == [-1]
+    assert stats["files_after"] <= 2
+    assert ws.count() == 6
