@@ -207,6 +207,22 @@ GOPHER_MAX_PUNCT = 0.25
 GOPHER_MIN_STOPWORD = 0.02
 
 
+def gopher_keep_col(t) -> "F.Column":
+    """The combined Gopher keep flag as a single column expression
+    (stats rounded to 6dp before thresholding, same as gopher_flags —
+    the rounding is what keeps the flag engine-portable)."""
+    n_words = ws_token_count(t)
+    mean_wlen = F.round(mean_word_len(t), 6)
+    p_ratio = F.round(punct_ratio(t), 6)
+    sw_ratio = F.round(stopword_ratio(t), 6)
+    return (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_wlen.between(GOPHER_MIN_MEAN_WLEN, GOPHER_MAX_MEAN_WLEN)
+        & (p_ratio <= GOPHER_MAX_PUNCT)
+        & (sw_ratio >= GOPHER_MIN_STOPWORD)
+    )
+
+
 def gopher_flags(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -253,6 +269,15 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
 )
+
+
+def redact_col(t) -> "F.Column":
+    """The fully-scrubbed text as one column expression (all four
+    patterns applied in PII_PATTERNS order)."""
+    red = t
+    for _name, pat, marker in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, marker)
+    return red
 
 
 def redact_pii(

@@ -15,12 +15,15 @@ keep flag, the combined `keep`, and the redacted text — so a pipeline
 can report WHY every dropped doc dropped (the curation-debugging
 contract; same philosophy as gopher_flags' per-rule booleans).
 
-Scale shape: stages 2/3/5 are expression-only or (doc, gram)-keyed
-aggregates; stage 4 broadcasts the tiny contaminated-id set; stage 1 is
-the only iterative piece (min-label propagation, rounds bounded by
-component diameter). The final assembly joins everything on doc_id, so
-AQE plans one co-partitioned shuffle chain; the contaminated-id join is
-an explicit broadcast.
+Scale shape: the per-row stages (quality gate, PII scrub, eval-split
+flag) are computed in a SINGLE select over one corpus scan — they are
+pure expressions, so fusing them costs nothing and saves two
+corpus-sized joins plus two extra scans. Only the genuinely aggregate
+stages branch: near-dup resolution (pair graph + min-label CC, rounds
+bounded by cluster diameter), repetition (one (doc, gram)-keyed agg per
+n), and decontamination (shingle join whose contaminated-id output is
+broadcast back). The final assembly joins those three small-or-keyed
+frames to the per-row frame on doc_id.
 
 Extends the reference's whole-file dedup (`pdf_processor.cpp:409-416`)
 to the corpus-curation pipeline its data model implies at scale.
@@ -32,7 +35,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..operators.decontaminate import contaminated_ids
 from ..operators.dedup import ngram_jaccard_pairs, resolve_duplicates
-from ..operators.textstats import gopher_flags, redact_pii, repetition_flags
+from ..operators.textstats import gopher_keep_col, redact_col, repetition_flags
 
 
 def curate_corpus(
@@ -49,13 +52,18 @@ def curate_corpus(
     both Gopher gates, and shares no eval n-grams."""
     is_eval = F.col("doc_id") % eval_mod == 0
 
+    # per-row stages fused into one scan: quality + PII + split flag
+    per_row = docs.select(
+        "doc_id",
+        gopher_keep_col(F.col("text")).alias("quality_keep"),
+        redact_col(F.col("text")).alias("redacted"),
+        is_eval.alias("is_eval"),
+    )
+
     resolved = resolve_duplicates(
         docs, ngram_jaccard_pairs(docs, threshold=jaccard_threshold, max_doc_freq=max_doc_freq)
     ).select(F.col("id").alias("doc_id"), (~F.col("is_dup")).alias("dedup_keep"))
 
-    quality = gopher_flags(docs).select(
-        "doc_id", F.col("keep").alias("quality_keep")
-    )
     repetition = repetition_flags(docs).select(
         F.col("id").alias("doc_id"), F.col("keep").alias("repetition_keep")
     )
@@ -63,17 +71,11 @@ def curate_corpus(
         docs.filter(~is_eval), docs.filter(is_eval), n=decon_n, min_hits=decon_min_hits
     ).select(F.col("train_id").alias("doc_id"), F.lit(False).alias("decon_keep"))
 
-    pii = redact_pii(docs).select(F.col("id").alias("doc_id"), "redacted")
-
     return (
-        docs.select("doc_id")
-        .join(resolved, "doc_id")
-        .join(quality, "doc_id")
+        per_row.join(resolved, "doc_id")
         .join(repetition, "doc_id")
         .join(F.broadcast(contam), "doc_id", "left")
-        .join(pii, "doc_id")
         .withColumn("decon_keep", F.coalesce(F.col("decon_keep"), F.lit(True)))
-        .withColumn("is_eval", is_eval)
         .withColumn(
             "keep",
             ~F.col("is_eval")

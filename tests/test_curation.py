@@ -86,10 +86,33 @@ def test_curate_corpus_flags_consistent(spark):
     from ai_vector_database_converstion_from_pdf_spark.plans.curate import curate_corpus
     from tests.conftest import SF_ORACLE
 
-    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    # plant PII exactly as the catalog entry does — the fixture text has
+    # none, and a vacuous scrub stage would pass even if broken
+    d = F.col("doc_id")
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact agent"), d.cast("string"),
+            F.lit("@corp"), d.cast("string"),
+            F.lit(".example or 555-867-"), (d % 9000 + 1000).cast("string"),
+            F.lit(" ssn "), (d % 900 + 100).cast("string"),
+            F.lit("-45-6789 host 10."), (d % 256).cast("string"),
+            F.lit(".0."), (d % 100).cast("string"),
+        ),
+    )
     audit = curate_corpus(docs).cache()
     rows = audit.collect()
     assert len(rows) == docs.count()
+    # scrub is exercised on every row: all four marker types present,
+    # and no raw PII pattern survives
+    for r in rows[:20]:
+        for marker in ("<EMAIL>", "<PHONE>", "<SSN>", "<IP>"):
+            assert marker in r["redacted"], (r["doc_id"], marker)
+    # the pipeline still keeps a non-degenerate training set
+    assert sum(1 for r in rows if r["keep"]) > 100
     for r in rows:
         if r["keep"]:
             assert (
@@ -101,11 +124,11 @@ def test_curate_corpus_flags_consistent(spark):
     }
     for r in rows:
         assert r["quality_keep"] == standalone_quality[r["doc_id"]]
-    # PII markers never survive in kept text
-    from pyspark.sql import functions as F
-
+    # PII patterns never survive in redacted text
     leaked = audit.filter(
         F.col("redacted").rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+        | F.col("redacted").rlike(r"\b\d{3}-\d{2}-\d{4}\b")
+        | F.col("redacted").rlike(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b")
     ).count()
     assert leaked == 0
     audit.unpersist()
