@@ -189,6 +189,8 @@ def stream_upsert_to_workspace(
     workspace,
     checkpoint: str,
     trigger: dict | None = None,
+    compact_every: int = 0,
+    max_files_per_bucket: int = 8,
 ):
     """UPSERT sink: each micro-batch MERGEs into the workspace via
     `Workspace.merge_chunks` — a re-delivered or revised document
@@ -202,12 +204,23 @@ def stream_upsert_to_workspace(
     continuous sink pass e.g. trigger={"processingTime": "30 seconds"}.
 
     The merge itself is idempotent (same batch re-applied = same table),
-    which is what makes the at-least-once file source safe here."""
+    which is what makes the at-least-once file source safe here.
+
+    `compact_every=N` runs `Workspace.optimize(max_files_per_bucket)`
+    after every N non-empty batches — a long-lived sink otherwise
+    accretes one file per touched bucket per batch until scans drown in
+    footer reads (the small-file problem compaction exists for). The
+    compaction is itself a versioned swap, so a crash between merge and
+    compact loses nothing."""
+    n_batches = {"n": 0}
 
     def _merge_batch(batch_df: DataFrame, _epoch: int) -> None:
         if batch_df.isEmpty():
             return
         workspace.merge_chunks(batch_df)
+        n_batches["n"] += 1
+        if compact_every and n_batches["n"] % compact_every == 0:
+            workspace.optimize(max_files_per_bucket=max_files_per_bucket)
 
     return (
         chunks_stream.writeStream.foreachBatch(_merge_batch)

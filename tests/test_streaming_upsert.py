@@ -66,3 +66,50 @@ def test_stream_upsert_replaces_and_inserts(spark, tmp_path):
     q.stop()
     assert ws.count() == 25
     assert ws.chunks().select("id").distinct().count() == 25
+
+
+def test_stream_upsert_auto_compacts(spark, tmp_path):
+    """With compact_every set, the sink runs Workspace.optimize after
+    every N non-empty batches, so a long-lived stream never accretes
+    unbounded small files; content is unaffected."""
+    import os
+
+    ws = Workspace(spark, str(tmp_path / "wsc"))
+    ws.add_chunks(_chunks_df(spark, n=8), partition_buckets=2)
+
+    # 4 micro-batches, one file each, all revising the same two docs →
+    # their buckets fragment batch by batch
+    batch_dir = str(tmp_path / "in2")
+    os.makedirs(batch_dir)
+    base = _chunks_df(spark, n=2)
+    for i in range(4):
+        (
+            base.withColumn("text", F.lit(f"rev {i}"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(tmp_path / f"stage{i}"))
+        )
+        for f in __import__("glob").glob(str(tmp_path / f"stage{i}" / "part-*.parquet")):
+            shutil.copy(f, f"{batch_dir}/b{i}-{f.rsplit('/', 1)[1]}")
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(base.schema)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .load(batch_dir)
+    )
+    q = stream_upsert_to_workspace(
+        stream, ws, str(tmp_path / "ck2"), compact_every=2, max_files_per_bucket=1
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # every bucket is compacted to <= 2 files (cap 1 at last compaction,
+    # possibly +1 from a post-compaction batch)
+    root = ws._tbl("chunks")
+    for e in os.listdir(root):
+        if e.startswith("_bucket="):
+            files = [f for f in os.listdir(os.path.join(root, e)) if f.endswith(".parquet")]
+            assert len(files) <= 2, (e, files)
+    assert ws.count() == 8
+    assert ws.chunks().select("id").distinct().count() == 8
