@@ -134,6 +134,7 @@ class Workspace:
         if new_dim is not None:
             self.set_metadata("embedding_dimension", str(new_dim))
         self.set_metadata("partition_buckets", str(partition_buckets or 0))
+        self._invalidate_ann()
 
     def chunks_for_doc(self, doc_id: str) -> DataFrame:
         """Doc-scoped read. On a bucketed workspace the `_bucket`
@@ -220,10 +221,11 @@ class Workspace:
     def clear(self) -> None:
         import shutil
 
-        for t in ("chunks", "boosts"):
+        for t in ("chunks", "boosts", "ann_lsh"):
             p = self._tbl(t)
             if os.path.isdir(p):
                 shutil.rmtree(p)
+        self.delete_metadata("ann_params")
         # a cleared workspace is a FRESH workspace: both the dimension
         # and the bucket-layout registration must go, or the next
         # add_chunks would be locked to the old layout
@@ -348,6 +350,7 @@ class Workspace:
         )
         merged = current.join(doc_keys, "doc_id", "left_anti").unionByName(updates_b)
         self._swap_buckets("chunks", merged, affected)
+        self._invalidate_ann()
 
     def delete_doc(self, doc_id: str) -> None:
         """Remove every chunk of one document. Bucketed: rewrites only
@@ -370,6 +373,7 @@ class Workspace:
             .filter(F.col("doc_id") != doc_id)
         )
         self._swap_buckets("chunks", remaining, affected)
+        self._invalidate_ann()
 
     def _swap_buckets(self, name: str, df: DataFrame, buckets: list[int]) -> None:
         """Per-bucket versioned swap: write only the given `_bucket`
@@ -405,6 +409,40 @@ class Workspace:
         for old in olds:
             shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
+
+    # -- ANN index: persisted LSH bucket table (precompute-once) ----------
+    def build_ann_index(self, dim: int, n_planes: int = 4, n_tables: int = 16) -> int:
+        """Precompute the RP-LSH bucket table over the chunk embeddings
+        and persist it (`ann_lsh` table + params in metadata). The scale
+        contract: the corpus is signed ONCE here; each search then probes
+        O(n_tables) tiny bucket keys instead of scanning every vector.
+        Any DML (add/merge/delete/clear) invalidates the index — a stale
+        ANN index silently returns wrong neighbors, so it is dropped, not
+        kept. Returns the number of index rows written."""
+        from .operators.similarity import rp_lsh_buckets
+
+        vecs = self.chunks(fold_boosts=False).select(
+            F.col("id").alias("vec_id"), "embedding"
+        )
+        buckets = rp_lsh_buckets(vecs, dim, n_planes=n_planes, n_tables=n_tables)
+        self._overwrite("ann_lsh", buckets)
+        self.set_metadata("ann_params", f"{dim},{n_planes},{n_tables}")
+        return self.spark.read.parquet(self._tbl("ann_lsh")).count()
+
+    def ann_index(self):
+        """(buckets DataFrame, dim, n_planes, n_tables) or None if no
+        valid index exists."""
+        params = self.get_metadata("ann_params")
+        if params is None or not self._exists("ann_lsh"):
+            return None
+        dim, n_planes, n_tables = (int(x) for x in params.split(","))
+        return self.spark.read.parquet(self._tbl("ann_lsh")), dim, n_planes, n_tables
+
+    def _invalidate_ann(self) -> None:
+        import shutil
+
+        shutil.rmtree(self._tbl("ann_lsh"), ignore_errors=True)
+        self.delete_metadata("ann_params")
 
     def optimize(self, max_files_per_bucket: int = 4) -> dict:
         """Small-file compaction (Delta OPTIMIZE analog). Streaming
