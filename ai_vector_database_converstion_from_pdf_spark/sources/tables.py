@@ -37,14 +37,22 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which vanilla Spark readers
-    reject; read nanos as long (legacy conf, runtime-settable) and surface
-    `ts` as a proper TimestampType truncated to microseconds — the same
-    nanos→micros truncation DuckDB applies on read, so epoch arithmetic is
-    bit-identical across engines."""
+    """Some generations of events.parquet store TIMESTAMP(NANOS), which
+    vanilla Spark readers reject; for those, read nanos as long (legacy
+    conf, runtime-settable) and surface `ts` as TimestampType truncated to
+    microseconds — the same nanos→micros truncation DuckDB applies on
+    read, so epoch arithmetic is bit-identical across engines. Fixtures
+    written with micros timestamps pass through untouched."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+        # NTZ parquet under a UTC session: same instant, but NTZ can't be
+        # cast to epoch doubles downstream — normalize to TimestampType.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
