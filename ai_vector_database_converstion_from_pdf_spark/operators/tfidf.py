@@ -1,0 +1,59 @@
+"""Corpus TF-IDF: per-document top terms by tf·idf.
+
+Extends the keyword layer (`operators/keyword.py`, reference analog
+FTS5/BM25 in `vector_store.cpp:251-262`) with the corpus-statistics view
+a curation pipeline uses for topic profiling and keyword extraction.
+
+Scale design: one explode + two map-side-combinable groupBys. The
+document-frequency table is vocab-sized (≪ corpus; Heaps' law), so its
+join back onto the (doc, term) counts is AQE-broadcastable; corpus size
+N arrives via a broadcast 1-row aggregate, never a driver collect. The
+only corpus-wide shuffles are keyed on term — no skew beyond natural
+Zipf, which AQE skew-join handles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.text import tokens
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k terms per doc by smoothed tf·idf:
+    score = tf * (ln((N+1)/(df+1)) + 1), rounded to 6 decimals before
+    ranking (FIXTURES.md §C); ties break alphabetically.
+    """
+    toks = docs.select(
+        F.col("doc_id"), F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0))
+                        / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )

@@ -40,6 +40,16 @@ EXPECT = {
     "skew_salted_join_revenue": ["BroadcastHashJoin", "!SortMergeJoin"],
     # composed curation: contaminated-id set broadcast, no Python UDF anywhere
     "curation_pipeline": ["BroadcastHashJoin", "!ArrowEvalPython", "!MapInPandas"],
+    # Q6 is the pushdown litmus: every predicate must reach the scan
+    "tpch_q6_forecast_revenue": ["PushedFilters: [IsNotNull(l_shipdate)", "!SortMergeJoin"],
+    "tpch_q14_promo_effect": ["BroadcastHashJoin", "PushedFilters", "!SortMergeJoin"],
+    "tpch_q22_sales_opportunity": ["PushedFilters"],
+    # bucket offsets broadcast back; the corpus-wide rank must not
+    # sort-merge-join and the per-bucket window is the only big exchange
+    "train_shuffle_order": ["BroadcastHashJoin", "!SortMergeJoin"],
+    # vocab-sized df table joins the (doc,term) counts
+    "tfidf_top_terms": [],
+    "sequence_pack": ["FlatMapGroupsInPandas"],
 }
 
 
