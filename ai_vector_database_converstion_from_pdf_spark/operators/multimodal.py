@@ -3,10 +3,11 @@
 Training-data-pipeline extension (BASELINE.json north star). Decode is
 REAL for the formats a lib-free container can honestly support — binary
 PPM and uncompressed 24-bit BMP via the pure-numpy codecs in
-`functions/imagecodec.py` (public byte layouts); compressed formats
-(PNG/JPEG) route to PIL when installed and raise cleanly when not
-(`decode_image`); `decode_image_stub` remains for payloads that are
-declared fake. The Spark-side plumbing — schema, partitioning, UDF
+`functions/imagecodec.py`, and mono 16-bit PCM WAV via
+`functions/audiocodec.py` (public byte layouts); compressed formats
+(PNG/JPEG, mp3/aac) route to PIL/ffmpeg when installed and raise
+cleanly when not (`decode_image`, `decode_wav`); `decode_image_stub`
+remains for payloads that are declared fake. The Spark-side plumbing — schema, partitioning, UDF
 signatures, Arrow batch shapes — is identical across all three paths.
 
 Scale notes: binary payloads ride in their own column so column pruning
@@ -48,8 +49,10 @@ MEDIA_SCHEMA = StructType(
 def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
     """Deterministic media rows for exercising the pipeline end-to-end.
     Image payloads are REAL encoded files (PPM and BMP alternating,
-    deterministic gradient rasters); audio/video stay opaque md5 bytes
-    (no lib-free codec to target)."""
+    deterministic gradient rasters); audio payloads are REAL mono 16-bit
+    PCM WAV files (deterministic sine bursts); video stays opaque md5
+    bytes (no lib-free codec to target)."""
+    from ..functions.audiocodec import encode_wav
     from ..functions.imagecodec import encode_bmp, encode_ppm
 
     rows = []
@@ -72,20 +75,23 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
                 payload, mime = encode_ppm(raster), "image/x-portable-pixmap"
             else:
                 payload, mime = encode_bmp(raster), "image/bmp"
+        elif kind == "audio":
+            sr = 8000
+            dur_ms = 100 + 40 * (i % 10)
+            t = np.arange(sr * dur_ms // 1000, dtype=np.float64) / sr
+            freq = 220.0 * (1 + i % 7)
+            wave = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
+            payload, mime = encode_wav(wave, sr), "audio/wav"
         else:
             payload = (hashlib.md5(f"media-{i}".encode()).digest() * 8)[: 64 + i % 32]
-            mime = {"audio": "audio/wav", "video": "video/mp4"}[kind]
-        rows.append(
-            (
-                i,
-                kind,
-                mime,
-                bytearray(payload),
-                w,
-                h,
-                1000 * (i % 30) if kind != "image" else None,
-            )
-        )
+            mime = "video/mp4"
+        if kind == "image":
+            dur = None
+        elif kind == "audio":
+            dur = dur_ms
+        else:
+            dur = 1000 * (i % 30)
+        rows.append((i, kind, mime, bytearray(payload), w, h, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -127,22 +133,27 @@ def decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
 
 FEATURE_SCHEMA = (
     "media_id long, kind string, n_bytes long, sha1 string, "
-    "mean_intensity double, aspect double, frames_sampled int"
+    "mean_intensity double, aspect double, frames_sampled int, "
+    "rms double, zcr double, sample_rate int"
 )
 
 
 def extract_features(media: DataFrame, frame_stride_ms: int = 5000) -> DataFrame:
     """Decode / feature-extract / frame-sample via mapInPandas. Images:
     mean raster intensity + aspect ratio; video: sampled frame count at
-    the stride; audio: byte-level stats only. Payload column is pruned
-    from the output (features only — the 100 TB anti-pattern is carrying
-    payloads past the stage that needs them)."""
+    the stride; audio: REAL PCM-WAV decode (`functions/audiocodec.py`)
+    → RMS amplitude + zero-crossing rate + sample rate, with undecodable
+    payloads yielding nulls rather than failing the stage. Payload
+    column is pruned from the output (features only — the 100 TB
+    anti-pattern is carrying payloads past the stage that needs them)."""
+    from ..functions import audiocodec
 
     def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {
                 "media_id": [], "kind": [], "n_bytes": [], "sha1": [],
                 "mean_intensity": [], "aspect": [], "frames_sampled": [],
+                "rms": [], "zcr": [], "sample_rate": [],
             }
             for r in pdf.itertuples(index=False):
                 payload = bytes(r.payload) if r.payload is not None else b""
@@ -150,6 +161,22 @@ def extract_features(media: DataFrame, frame_stride_ms: int = 5000) -> DataFrame
                 out["kind"].append(r.kind)
                 out["n_bytes"].append(len(payload))
                 out["sha1"].append(hashlib.sha1(payload).hexdigest())
+                if r.kind == "audio" and r.mime == "audio/wav":
+                    try:
+                        samples, sr = audiocodec.decode_wav(payload)
+                        out["rms"].append(round(audiocodec.rms(samples), 6))
+                        out["zcr"].append(
+                            round(audiocodec.zero_crossing_rate(samples), 6)
+                        )
+                        out["sample_rate"].append(sr)
+                    except (NotImplementedError, ValueError):
+                        out["rms"].append(None)
+                        out["zcr"].append(None)
+                        out["sample_rate"].append(None)
+                else:
+                    out["rms"].append(None)
+                    out["zcr"].append(None)
+                    out["sample_rate"].append(None)
                 if r.kind == "image" and r.width and r.height:
                     try:
                         raster = decode_image(payload, r.mime)

@@ -175,6 +175,13 @@ class TestMultimodal:
         assert all(r["mean_intensity"] is not None for r in imgs)
         assert all(r["frames_sampled"] >= 1 for r in vids)
         assert all(r["frames_sampled"] == 0 for r in auds)
+        # audio features come from a REAL PCM-WAV decode: a pure sine at
+        # amplitude 12000/32768 has rms ~= 0.366/sqrt(2)... -> just
+        # bound-check, and zcr grows with frequency index
+        assert all(0.2 < r["rms"] < 0.3 for r in auds)
+        assert all(0.0 < r["zcr"] < 1.0 for r in auds)
+        assert all(r["sample_rate"] == 8000 for r in auds)
+        assert all(r["rms"] is None and r["zcr"] is None for r in imgs + vids)
         # deterministic: same input → same sha1 on rerun
         again = extract_features(synthetic_media(spark, n=30)).collect()
         assert {r["sha1"] for r in feats} == {r["sha1"] for r in again}
