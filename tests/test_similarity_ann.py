@@ -153,3 +153,82 @@ def test_int8_shortlist_is_take_ordered(spark, emb):
     plan = int8_topk_rescore(emb, q, k=10, shortlist=50)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pq_recall_and_roundtrip(spark, emb):
+    """PQ/ADC recall vs brute force: the raw ADC shortlist is coarse on
+    these weakly-clustered fixtures (>=0.4), the two-stage rescore is
+    the production path (>=0.8). Self-query must rank its own vector
+    first (its codes minimize the ADC distance to itself)."""
+    from ai_vector_database_converstion_from_pdf_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_topk_rescore,
+        pq_train,
+    )
+
+    books = pq_train(emb, dim=DIM, m=16, k=32)
+    assert books.shape == (16, 32, 4)
+    codes = pq_encode(emb, books).cache()
+    # codes are within [0, k)
+    import numpy as np
+
+    sample = codes.limit(50).collect()
+    arr = np.asarray([r["codes"] for r in sample])
+    assert arr.shape[1] == 16 and arr.min() >= 0 and arr.max() < 32
+    raw, staged = [], []
+    for vid in (0, 7, 42):
+        q = _qvec(emb, vid)
+        exact = set(_exact_topk_ids(emb, q, 10))
+        adc = {r["vec_id"] for r in pq_topk(codes, q, books, 10).collect()}
+        two = {
+            r["vec_id"]
+            for r in pq_topk_rescore(codes, emb, q, books, 10).collect()
+        }
+        raw.append(len(exact & adc) / 10)
+        staged.append(len(exact & two) / 10)
+    assert sum(raw) / len(raw) >= 0.4, raw
+    assert sum(staged) / len(staged) >= 0.8, staged
+    top = pq_topk(codes, _qvec(emb, 0), books, 1).collect()
+    assert top[0]["vec_id"] == 0
+    # rescore returns EXACT cosine for the self row
+    top2 = pq_topk_rescore(codes, emb, _qvec(emb, 0), books, 1).collect()
+    assert top2[0]["vec_id"] == 0 and top2[0]["score"] == 1.0
+
+
+def test_pq_deterministic(spark, emb):
+    import numpy as np
+
+    from ai_vector_database_converstion_from_pdf_spark.operators.similarity import (
+        pq_train,
+    )
+
+    a = pq_train(emb, dim=DIM, m=16, k=32)
+    b = pq_train(emb, dim=DIM, m=16, k=32)
+    assert np.array_equal(a, b)
+
+
+def test_pq_adc_approximates_cosine(spark, emb):
+    """adc_dist must correlate with 2-2*cos: check the monotone
+    relationship on the true top-20 (Spearman-ish sign test)."""
+    from ai_vector_database_converstion_from_pdf_spark.operators.semantic import (
+        semantic_topk,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    q = _qvec(emb, 3)
+    books = pq_train(emb, dim=DIM, m=16, k=32)
+    codes = pq_encode(emb, books)
+    adc = {r["vec_id"]: r["adc_dist"] for r in pq_topk(codes, q, books, 2000).collect()}
+    exact = {r["vec_id"]: r["score"] for r in semantic_topk(emb, q, 20).collect()}
+    pairs = [(exact[v], adc[v]) for v in exact if v in adc]
+    import numpy as np
+
+    cos_v = np.asarray([p[0] for p in pairs])
+    adc_v = np.asarray([p[1] for p in pairs])
+    # negative correlation: higher cosine -> smaller ADC distance
+    assert np.corrcoef(cos_v, adc_v)[0, 1] < -0.5
