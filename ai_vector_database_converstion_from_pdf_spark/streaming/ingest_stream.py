@@ -228,3 +228,27 @@ def stream_upsert_to_workspace(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+def session_aggregates(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Event-time session windows via the built-in `session_window`
+    (dynamic-gap analog of catalog.events_sessionize's lag-walk): a
+    session absorbs events until `gap` of silence, and emits — in append
+    mode — only once the watermark passes its close, i.e. exactly when
+    no late event can reopen it. State per open session lives in the
+    state store keyed by (user, session), so scale-out is by user hash,
+    same as the batch shuffle."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -39,6 +39,11 @@ HEADLINE = [
     "pii_redact",
     "ann_int8_rescore_topk",
     "tpch_q7_volume_shipping",
+    "sequence_pack",
+    "train_shuffle_order",
+    "tfidf_top_terms",
+    "tpch_q6_forecast_revenue",
+    "ann_pq_topk",
 ]
 
 

@@ -65,3 +65,70 @@ def test_state_persists_across_microbatches(spark, tmp_path):
         n, s = batch[u]
         assert last["total_events"] == n
         assert abs(last["total_value"] - s) < 1e-6
+
+
+def test_session_windows_close_on_watermark(spark, tmp_path):
+    """Streaming session_window must emit exactly the sessions the batch
+    recompute produces, once the watermark passes them. A far-future
+    sentinel event advances the watermark so every real session closes;
+    the sentinel's own session stays pending by design."""
+    from ai_vector_database_converstion_from_pdf_spark.sources.tables import load_events
+    from ai_vector_database_converstion_from_pdf_spark.streaming.ingest_stream import (
+        read_event_stream,
+        session_aggregates,
+    )
+
+    ev = load_events(spark, SF_ORACLE).filter(F.col("user_id") < 10).cache()
+    path = str(tmp_path / "sess_drops")
+    ev.coalesce(1).write.mode("overwrite").parquet(path)
+    # sentinel: one event 10 years out for a user outside the cohort
+    sentinel = spark.createDataFrame(
+        [(999999, 999999, "noop", 0.0, "{}")],
+        "event_id long, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.lit("2040-01-01 00:00:00").cast("timestamp"))
+    import glob
+    import shutil
+
+    tmp2 = str(tmp_path / "sentinel")
+    sentinel.select(ev.columns).coalesce(1).write.mode("overwrite").parquet(tmp2)
+    for i, f in enumerate(glob.glob(f"{tmp2}/part-*.parquet")):
+        shutil.copy(f, f"{path}/zz-sentinel-{i}.parquet")
+
+    out = session_aggregates(read_event_stream(spark, path, max_files=1))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_out")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            round(r["sum_value"], 6),
+        )
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            round(r["sum_value"], 6),
+        )
+        for r in (
+            ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events",
+                "sum_value",
+            )
+        ).collect()
+    }
+    assert got == batch
+    assert len(got) > 10  # real sessions, not a vacuous pass
