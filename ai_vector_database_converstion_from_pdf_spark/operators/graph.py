@@ -54,3 +54,45 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("id", F.col("label").alias("component"))
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 5,
+    round_digits: int = 12,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list (id_a → id_b;
+    callers union both directions for undirected graphs, which also
+    guarantees every node has in-edges so no mass silently vanishes).
+
+    Determinism contract: ranks are rounded to `round_digits` after
+    every iteration in BOTH engines (the DuckDB oracle replays the same
+    recursion), so float summation-order noise (~1e-16) can never
+    accumulate across iterations.
+
+    Scale shape: per iteration, one join of ranks onto the edge list
+    (both keyed by src — co-partitioned after the first shuffle) and one
+    groupBy(dst) combine; the rank/degree tables are node-sized, edges
+    dominate. For many iterations, checkpoint every ~5 to cut lineage.
+    """
+    sym = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    deg = sym.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = sym.select(F.col("src").alias("id")).distinct().persist()
+    n = nodes.count()  # scalar aggregate (sanctioned driver-side surface)
+    base = float(1.0 - damping) / n
+    ranks = nodes.select("id", F.round(F.lit(1.0 / n), round_digits).alias("rank"))
+    for _ in range(n_iter):
+        contrib = (
+            sym.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+        )
+        ranks = contrib.groupBy("id").agg(
+            F.round(
+                F.lit(base) + F.lit(damping) * F.sum("c"), round_digits
+            ).alias("rank")
+        )
+    return ranks
