@@ -507,6 +507,36 @@ class Workspace:
         return {"buckets_compacted": affected, "files_before": files_before,
                 "files_after": files_after}
 
+    def vacuum(self) -> dict:
+        """Delta-VACUUM analog for the versioned-swap protocol: every
+        write leaves `_<table>_tmp` / `_<table>_old*` directories only
+        when it crashed mid-swap (clean runs delete them). Vacuum removes
+        those leftovers once the live tables are confirmed readable —
+        reclaiming space without ever touching a live table directory.
+        Returns {removed: [names], kept: [names]} where kept = leftovers
+        whose live table is missing (crash recovery material — a human
+        or a restore step should look at those, so vacuum refuses)."""
+        import shutil
+
+        removed, kept = [], []
+        for entry in sorted(os.listdir(self.path)):
+            path = os.path.join(self.path, entry)
+            if not (entry.startswith("_") and os.path.isdir(path)):
+                continue
+            base = None
+            if entry.endswith("_tmp"):
+                base = entry[1:-4]
+            elif "_old" in entry:
+                base = entry[1 : entry.index("_old")]
+            if base is None:
+                continue
+            if os.path.isdir(self._tbl(base)):
+                shutil.rmtree(path, ignore_errors=True)
+                removed.append(entry)
+            else:
+                kept.append(entry)  # live table gone: leftover IS the data
+        return {"removed": removed, "kept": kept}
+
     def _overwrite(self, name: str, df: DataFrame) -> None:
         """Versioned-directory swap: write tmp → move current aside →
         move tmp in → drop the old version. The table data is never

@@ -301,3 +301,28 @@ def test_optimize_unbucketed_and_empty(spark, tmp_path):
     assert stats["buckets_compacted"] == [-1]
     assert stats["files_after"] <= 2
     assert ws.count() == 6
+
+
+def test_vacuum_removes_only_crash_leftovers(spark, tmp_path):
+    """vacuum() must delete tmp/old version dirs when the live table
+    exists, keep them (as recovery material) when it doesn't, and never
+    touch live tables."""
+    import os
+
+    ws = Workspace(spark, str(tmp_path / "ws_vac"))
+    ws.add_chunks(_chunks_df(spark, n=20), partition_buckets=4)
+    before = ws.count()
+
+    # simulate a crash: leftover tmp + displaced bucket version
+    os.makedirs(ws._tbl("_chunks_tmp/_bucket=0"), exist_ok=True)
+    os.makedirs(ws._tbl("_chunks_old_bucket_2"), exist_ok=True)
+    # and an orphan whose live table is gone
+    os.makedirs(ws._tbl("_ghost_old"), exist_ok=True)
+
+    out = ws.vacuum()
+    assert sorted(out["removed"]) == ["_chunks_old_bucket_2", "_chunks_tmp"]
+    assert out["kept"] == ["_ghost_old"]
+    assert os.path.isdir(ws._tbl("_ghost_old"))  # refused: recovery material
+    assert ws.count() == before  # live data untouched
+    # idempotent: second run finds nothing new to remove
+    assert ws.vacuum()["removed"] == []

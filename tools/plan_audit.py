@@ -50,6 +50,11 @@ EXPECT = {
     # vocab-sized df table joins the (doc,term) counts
     "tfidf_top_terms": [],
     "sequence_pack": ["FlatMapGroupsInPandas"],
+    # 8-table chain: every dim side broadcast, fact never sort-merges a dim
+    "tpch_q8_market_share": ["BroadcastHashJoin", "PushedFilters"],
+    "tpch_q13_custdist": ["PushedFilters"],
+    # decorrelated threshold agg joins part-keyed
+    "tpch_q17_small_quantity_revenue": ["BroadcastHashJoin", "PushedFilters"],
 }
 
 
