@@ -404,3 +404,56 @@ def pq_topk_rescore(
         cosine_rounded(F.col(vec_col), query_vector_lit(query_vec)).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    dup_pairs: DataFrame,
+    query_ids: list[int],
+    k_candidates: int = 20,
+    k_out: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each query doc, the
+    top similar docs by embedding that are NOT near-duplicates — close
+    enough to be hard, different enough to be true negatives (the
+    standard positive/negative split for embedding fine-tuning).
+
+    Shape: query side broadcast (one corpus scan for all queries, same
+    as knn_join), self excluded BEFORE ranking; the near-dup exclusion
+    set is `dup_pairs` (any family — simhash here) pre-filtered to the
+    query ids and broadcast into a left-anti join, so the corpus never
+    shuffles on the pair table."""
+    qs = embeddings.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    cand = (
+        embeddings.crossJoin(F.broadcast(qs))
+        .filter(F.col(id_col) != F.col("q_id"))
+        .withColumn("score", cosine_rounded(F.col(vec_col), F.col("q_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    cand = (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k_candidates)
+        .select("q_id", F.col(id_col), "score")
+    )
+    sym = (
+        dup_pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            dup_pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .filter(F.col("src").isin(list(query_ids)))
+    )
+    neg = cand.join(
+        F.broadcast(sym),
+        (cand["q_id"] == sym["src"]) & (cand[id_col] == sym["dst"]),
+        "left_anti",
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("neg_rank") <= k_out)
+        .select("q_id", F.col(id_col).alias("neg_id"), "score", "neg_rank")
+    )

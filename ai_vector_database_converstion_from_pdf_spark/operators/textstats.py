@@ -376,3 +376,31 @@ def repetition_flags(
         keep3.alias("keep_3gram"),
         (keep2 & keep3).alias("keep"),
     )
+
+
+def unigram_surprisal(docs: DataFrame) -> DataFrame:
+    """Corpus-self-trained unigram LM score: mean per-token surprisal
+    -ln(tf/N) under the corpus's own token distribution — the honest
+    in-container stand-in for CCNet-style perplexity filtering (low mean
+    surprisal = repetitive/common text; high = rare-token-heavy).
+
+    Shape: one explode, a vocab-sized frequency table joined back
+    (AQE-broadcastable; Heaps' law keeps vocab ≪ corpus), total-count
+    via broadcast 1-row aggregate; docs with zero tokens drop out (no
+    distribution to score under)."""
+    toks = docs.select(F.col("doc_id"), F.explode(tokens(F.col("text"))).alias("term"))
+    freq = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    total = toks.agg(F.count("*").alias("n_total"))
+    return (
+        toks.join(freq, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (-F.log(F.col("tf").cast("double") / F.col("n_total").cast("double"))).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("s"), 6).alias("mean_surprisal"),
+        )
+    )
