@@ -75,8 +75,13 @@ def pagerank(
     groupBy(dst) combine; the rank/degree tables are node-sized, edges
     dominate. For many iterations, checkpoint every ~5 to cut lineage.
     """
-    sym = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    deg = sym.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # persist the edge list: every iteration re-joins it, and without
+    # materialization each action would replay the upstream pair
+    # pipeline (LSH/simhash candidate generation) n_iter times over
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).persist()
+    deg = sym.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
     nodes = sym.select(F.col("src").alias("id")).distinct().persist()
     n = nodes.count()  # scalar aggregate (sanctioned driver-side surface)
     base = float(1.0 - damping) / n

@@ -44,6 +44,10 @@ HEADLINE = [
     "tfidf_top_terms",
     "tpch_q6_forecast_revenue",
     "ann_pq_topk",
+    "graph_pagerank_simdocs",
+    "hard_negative_mining",
+    "events_cohort_retention",
+    "tpch_q8_market_share",
 ]
 
 
