@@ -49,6 +49,23 @@ LOG_SCHEMA = (
 )
 
 
+def _logged(fn):
+    """Append a row to the workspace's `_history` table after every
+    successful mutation — the Delta DESCRIBE HISTORY analog (op name,
+    wall timestamp, monotone version). Logging happens AFTER the
+    mutation commits, so a crashed op leaves no phantom history row;
+    single-writer contract matches the module's durability scope."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrap(self, *args, **kwargs):
+        out = fn(self, *args, **kwargs)
+        self._log_history(fn.__name__)
+        return out
+
+    return wrap
+
+
 class Workspace:
     """Directory-backed workspace (reference: one SQLite file each)."""
 
@@ -99,6 +116,7 @@ class Workspace:
         return stats
 
     # -- S1: chunk append with I17 dimension guardrail --------------------
+    @_logged
     def add_chunks(self, chunks: DataFrame, partition_buckets: int | None = None) -> None:
         """Append chunks. With `partition_buckets`, rows land in
         hash-of-doc_id directory partitions (`_bucket=k/`): doc-scoped
@@ -218,6 +236,7 @@ class Workspace:
     def count(self) -> int:
         return self.chunks().count() if self._exists("chunks") else 0
 
+    @_logged
     def clear(self) -> None:
         import shutil
 
@@ -233,6 +252,7 @@ class Workspace:
         self.delete_metadata("partition_buckets")
 
     # -- S6: boost update (append-only delta, folded at read) -------------
+    @_logged
     def boost_entry(
         self, chunk_id: int, amount: float = 0.1, doc_id: str | None = None
     ) -> None:
@@ -247,6 +267,7 @@ class Workspace:
             "chunk_id long, delta double, doc_id string",
         ).write.mode("append").parquet(self._tbl("boosts"))
 
+    @_logged
     def compact_boosts(self) -> None:
         """Fold accumulated boost deltas into the stored chunk rows and
         drop the delta table. On a bucketed workspace only the buckets
@@ -293,6 +314,7 @@ class Workspace:
     # -- MERGE/DELETE: bucket-scoped DML (reference UPDATE/DELETE rows,
     # `vector_store.cpp:789-795`; Delta-style MERGE INTO semantics
     # without the Delta dependency) ---------------------------------------
+    @_logged
     def merge_chunks(self, updates: DataFrame, key: str = "id") -> None:
         """Document-level upsert (the reference's re-index flow): every
         stored chunk of a doc_id present in `updates` is dropped and the
@@ -352,6 +374,7 @@ class Workspace:
         self._swap_buckets("chunks", merged, affected)
         self._invalidate_ann()
 
+    @_logged
     def delete_doc(self, doc_id: str) -> None:
         """Remove every chunk of one document. Bucketed: rewrites only
         the single bucket directory the doc hashes to. Orphaned boost
@@ -411,6 +434,7 @@ class Workspace:
         shutil.rmtree(tmp, ignore_errors=True)
 
     # -- ANN index: persisted LSH bucket table (precompute-once) ----------
+    @_logged
     def build_ann_index(self, dim: int, n_planes: int = 4, n_tables: int = 16) -> int:
         """Precompute the RP-LSH bucket table over the chunk embeddings
         and persist it (`ann_lsh` table + params in metadata). The scale
@@ -444,6 +468,7 @@ class Workspace:
         shutil.rmtree(self._tbl("ann_lsh"), ignore_errors=True)
         self.delete_metadata("ann_params")
 
+    @_logged
     def optimize(self, max_files_per_bucket: int = 4) -> dict:
         """Small-file compaction (Delta OPTIMIZE analog). Streaming
         upserts and per-doc merges each land at least one parquet file
@@ -507,6 +532,7 @@ class Workspace:
         return {"buckets_compacted": affected, "files_before": files_before,
                 "files_after": files_after}
 
+    @_logged
     def vacuum(self) -> dict:
         """Delta-VACUUM analog for the versioned-swap protocol: every
         write leaves `_<table>_tmp` / `_<table>_old*` directories only
@@ -536,6 +562,28 @@ class Workspace:
             else:
                 kept.append(entry)  # live table gone: leftover IS the data
         return {"removed": removed, "kept": kept}
+
+    def _log_history(self, op: str) -> None:
+        from datetime import datetime, timezone
+
+        version = 0
+        if self._exists("_history"):
+            version = self.spark.read.parquet(self._tbl("_history")).count()
+        now = datetime.now(timezone.utc).replace(tzinfo=None)
+        self.spark.createDataFrame(
+            [(version, now, op)], "version long, ts timestamp, op string"
+        ).coalesce(1).write.mode("append").parquet(self._tbl("_history"))
+
+    def history(self) -> DataFrame:
+        """Mutation log, newest first (DESCRIBE HISTORY analog).
+        Survives clear(): a cleared workspace keeps its audit trail."""
+        if not self._exists("_history"):
+            return self.spark.createDataFrame(
+                [], "version long, ts timestamp, op string"
+            )
+        return self.spark.read.parquet(self._tbl("_history")).orderBy(
+            F.col("version").desc()
+        )
 
     def _overwrite(self, name: str, df: DataFrame) -> None:
         """Versioned-directory swap: write tmp → move current aside →

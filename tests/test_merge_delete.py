@@ -326,3 +326,23 @@ def test_vacuum_removes_only_crash_leftovers(spark, tmp_path):
     assert ws.count() == before  # live data untouched
     # idempotent: second run finds nothing new to remove
     assert ws.vacuum()["removed"] == []
+
+
+def test_history_logs_mutations_and_survives_clear(spark, tmp_path):
+    """Every mutator appends one history row (after commit, monotone
+    versions); clear() wipes data tables but keeps the audit trail."""
+    ws = Workspace(spark, str(tmp_path / "ws_hist"))
+    ws.add_chunks(_chunks_df(spark, n=10), partition_buckets=4)
+    ws.boost_entry(1, 0.1)
+    ws.optimize()
+    ws.clear()
+    ops = [r["op"] for r in ws.history().collect()]
+    assert ops[0] == "clear"  # newest first
+    assert ops[::-1] == ["add_chunks", "boost_entry", "optimize", "clear"]
+    versions = [r["version"] for r in ws.history().orderBy("version").collect()]
+    assert versions == [0, 1, 2, 3]
+    # cleared workspace: data gone, history intact, next ops keep counting
+    assert not ws._exists("chunks")
+    ws.add_chunks(_chunks_df(spark, n=5), partition_buckets=2)
+    assert [r["op"] for r in ws.history().collect()][0] == "add_chunks"
+    assert ws.history().count() == 5
