@@ -113,3 +113,43 @@ def shuffle_order(
             (F.col("offset") + F.col("bucket_rank")).cast("long").alias("position"),
         )
     )
+
+
+def export_training_shards(
+    docs: DataFrame,
+    out_dir: str,
+    capacity: int = 128,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize packed training shards: docs joined to their next-fit
+    pack assignment, written as parquet partitioned by shard (one
+    directory per shard — the unit a training job's data loader maps to
+    a worker). Sorting within partitions by (pack_id, pack_pos) keeps
+    each pack's members contiguous in the files, so a reader streams
+    packs without a shuffle. Returns the per-shard manifest (packs,
+    docs, token sum) the loader uses for work assignment."""
+    packed = pack_next_fit(docs, capacity, n_shards, id_col, text_col)
+    rows = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .join(packed, "doc_id")
+        .select("shard", "pack_id", "pack_pos", "doc_id", "n_tokens", "text")
+    )
+    (
+        rows.repartition("shard")
+        .sortWithinPartitions("shard", "pack_id", "pack_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    manifest = (
+        rows.groupBy("shard")
+        .agg(
+            F.count_distinct("pack_id").alias("n_packs"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("shard")
+    )
+    return manifest

@@ -164,3 +164,34 @@ class TestTfidf:
             rs.sort(key=lambda r: r["rank"])
             keys = [(-r["tfidf"], r["term"]) for r in rs]
             assert keys == sorted(keys)
+
+
+class TestShardExport:
+    def test_export_roundtrip_and_manifest(self, spark, tmp_path):
+        from ai_vector_database_converstion_from_pdf_spark.operators.packing import (
+            export_training_shards,
+            pack_next_fit,
+        )
+
+        docs = _load_docs(spark)
+        out = str(tmp_path / "shards")
+        manifest = export_training_shards(docs, out, capacity=128, n_shards=8)
+        m = {r["shard"]: r for r in manifest.collect()}
+        assert sum(r["n_docs"] for r in m.values()) == docs.count()
+
+        back = spark.read.parquet(out)
+        # shard partition dirs exist and carry the partition column
+        assert sorted(r["shard"] for r in back.select("shard").distinct().collect()) == sorted(m)
+        # pack assignment in the export equals a fresh pack run
+        fresh = {
+            r["doc_id"]: (r["shard"], r["pack_id"], r["pack_pos"])
+            for r in pack_next_fit(docs, 128, 8).collect()
+        }
+        for r in back.collect():
+            assert fresh[r["doc_id"]] == (r["shard"], r["pack_id"], r["pack_pos"])
+        # manifest token sums match the data
+        got = {
+            r["shard"]: r["t"]
+            for r in back.groupBy("shard").agg(F.sum("n_tokens").alias("t")).collect()
+        }
+        assert got == {k: v["total_tokens"] for k, v in m.items()}
