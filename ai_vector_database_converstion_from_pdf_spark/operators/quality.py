@@ -1,0 +1,98 @@
+"""Declarative data-quality assertions (dbt-tests / Deequ analog).
+
+A check is a (name, table, violation-count expression); the report is
+one row per check with its violation count — 0 = healthy. Each check is
+a single aggregate over one scan (or one anti-join for referential
+integrity), so a full report over N tables is N scans with map-side
+combines — the cheapest possible audit shape at 100 TB, and trivially
+schedulable after every ingest batch.
+
+Check families covered: primary-key uniqueness, not-null, accepted
+values, numeric range, referential integrity (anti-join), and
+freshness/time-domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _one(spark: SparkSession, check_id: int, check: str, table: str, n) -> DataFrame:
+    return n.select(
+        F.lit(check_id).alias("check_id"),
+        F.lit(check).alias("check"),
+        F.lit(table).alias("table_name"),
+        F.col("n").cast("long").alias("n_violations"),
+    )
+
+
+def quality_report(
+    spark: SparkSession,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    documents: DataFrame,
+    events: DataFrame,
+) -> DataFrame:
+    """Fixture-schema quality suite; one row per check, ordered by id."""
+    checks = [
+        # 1. PK uniqueness: duplicate orderkeys
+        _one(
+            spark, 1, "unique_pk", "orders",
+            orders.agg(
+                (F.count("*") - F.count_distinct("o_orderkey")).alias("n")
+            ),
+        ),
+        # 2. not-null text
+        _one(
+            spark, 2, "not_null_text", "documents",
+            documents.agg(
+                F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("n")
+            ),
+        ),
+        # 3. accepted values
+        _one(
+            spark, 3, "accepted_values_status", "orders",
+            orders.agg(
+                F.sum(
+                    F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+                ).alias("n")
+            ),
+        ),
+        # 4. numeric range: discount in [0, 1]
+        _one(
+            spark, 4, "range_discount", "lineitem",
+            lineitem.agg(
+                F.sum(
+                    F.when(
+                        (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1
+                    ).otherwise(0)
+                ).alias("n")
+            ),
+        ),
+        # 5. referential integrity: lineitem -> orders
+        _one(
+            spark, 5, "fk_lineitem_orders", "lineitem",
+            lineitem.join(
+                orders.select("o_orderkey"),
+                lineitem.l_orderkey == F.col("o_orderkey"),
+                "left_anti",
+            ).agg(F.count("*").alias("n")),
+        ),
+        # 6. time domain: events inside the fixture month
+        _one(
+            spark, 6, "ts_domain", "events",
+            events.agg(
+                F.sum(
+                    F.when(
+                        (F.col("ts") < F.lit("2024-01-01 00:00:00").cast("timestamp"))
+                        | (F.col("ts") >= F.lit("2024-02-01 00:00:00").cast("timestamp")),
+                        1,
+                    ).otherwise(0)
+                ).alias("n")
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("check_id")

@@ -252,3 +252,49 @@ def session_aggregates(
             "sum_value",
         )
     )
+
+
+def click_purchase_attribution(
+    clicks: DataFrame, purchases: DataFrame, attribution_window: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase attributed to the
+    clicks the same user made in the preceding attribution window.
+    Both sides carry watermarks, so the join state for a click is
+    dropped once no future purchase can match it (bounded state — the
+    property that makes a stream-stream join runnable forever). Inner
+    join, so matches emit as soon as both sides arrive; the watermark
+    only bounds state, never delays output."""
+    c = (
+        clicks.withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {attribution_window}")
+        ),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )

@@ -132,3 +132,68 @@ def test_session_windows_close_on_watermark(spark, tmp_path):
     }
     assert got == batch
     assert len(got) > 10  # real sessions, not a vacuous pass
+
+
+def test_stream_stream_attribution_join_equals_batch(spark, tmp_path):
+    """Stream-stream interval join (clicks x purchases, per-user 24-hour
+    attribution; fixture events are hours apart) must produce exactly
+    the batch join's matches across micro-batch boundaries."""
+    from ai_vector_database_converstion_from_pdf_spark.sources.tables import load_events
+    from ai_vector_database_converstion_from_pdf_spark.streaming.ingest_stream import (
+        click_purchase_attribution,
+        read_event_stream,
+    )
+
+    ev = load_events(spark, SF_ORACLE).filter(F.col("user_id") < 15).cache()
+    path = str(tmp_path / "attr_drops")
+    # two drops split by event id parity -> matches MUST span micro-batches
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(path)
+    import glob
+    import shutil
+
+    tmp2 = str(tmp_path / "attr2")
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("overwrite").parquet(tmp2)
+    for i, f in enumerate(glob.glob(f"{tmp2}/part-*.parquet")):
+        shutil.copy(f, f"{path}/zz-second-{i}.parquet")
+
+    stream = read_event_stream(spark, path, max_files=1)
+    out = click_purchase_attribution(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+        attribution_window="24 hours",
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attr_out")
+        .option("checkpointLocation", str(tmp_path / "attr_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM attr_out").collect()
+    }
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("cid"), F.col("ts").alias("cts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+    )
+    batch = {
+        (r["cid"], r["pid"])
+        for r in clicks.join(
+            purchases,
+            (F.col("u") == F.col("pu"))
+            & (F.col("pts") > F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 24 hours")),
+        ).collect()
+    }
+    assert got == batch
+    assert len(batch) > 5  # non-vacuous
+    # and matches genuinely crossed micro-batch boundaries
+    crossing = {(c, p) for c, p in batch if c % 2 != p % 2}
+    assert crossing & got
