@@ -1,0 +1,170 @@
+"""Command-line front-end — the reference's GUI operations as commands.
+
+Maps every user-facing action of the reference app (`mainwindow.cpp`:
+add PDFs, search, click feedback, deep dive, CSV export, workspace
+maintenance) onto the engine, so a reference user can drive the Spark
+engine end-to-end without writing code:
+
+    python -m ai_vector_database_converstion_from_pdf_spark.cli index-pdf  -w WS --pdf-glob 'docs/*.pdf'
+    python -m ai_vector_database_converstion_from_pdf_spark.cli index-text -w WS --parquet docs.parquet
+    python -m ai_vector_database_converstion_from_pdf_spark.cli search     -w WS -q "how to merge" -k 5 --rerank
+    python -m ai_vector_database_converstion_from_pdf_spark.cli deep-dive  -w WS -q "merge strategy"
+    python -m ai_vector_database_converstion_from_pdf_spark.cli click      -w WS -q "how to merge" --chunk-id 3
+    python -m ai_vector_database_converstion_from_pdf_spark.cli export     -w WS --out chunks.csv
+    python -m ai_vector_database_converstion_from_pdf_spark.cli stats      -w WS
+    python -m ai_vector_database_converstion_from_pdf_spark.cli optimize   -w WS
+    python -m ai_vector_database_converstion_from_pdf_spark.cli vacuum     -w WS
+
+Output is one JSON object per line on stdout (machine-consumable, like
+the driver contract); diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark():
+    from .session import get_spark
+
+    return get_spark("pvdb-cli")
+
+
+def _engine(spark, args):
+    from .engine import PvdbEngine
+
+    return PvdbEngine(spark, args.workspace, dim=args.dim, asof=args.asof)
+
+
+def _emit(obj) -> None:
+    print(json.dumps(obj, default=str))
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="pvdb-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("-w", "--workspace", required=True)
+        sp.add_argument("--dim", type=int, default=64)
+        sp.add_argument("--asof", default=None)
+
+    sp = sub.add_parser("index-pdf", help="I1-I10: PDFs -> chunks -> index")
+    common(sp)
+    sp.add_argument("--pdf-glob", required=True)
+    sp.add_argument("--upsert", action="store_true")
+
+    sp = sub.add_parser("index-text", help="index pre-chunked (doc_id, text) parquet")
+    common(sp)
+    sp.add_argument("--parquet", required=True)
+    sp.add_argument("--upsert", action="store_true")
+
+    sp = sub.add_parser("search", help="hybrid search (Q1-Q17)")
+    common(sp)
+    sp.add_argument("-q", "--query", required=True)
+    sp.add_argument("-k", type=int, default=5)
+    sp.add_argument("--rerank", action="store_true")
+    sp.add_argument("--mmr", action="store_true")
+    sp.add_argument("--explore", action="store_true")
+
+    sp = sub.add_parser("deep-dive", help="Y1-Y4: search -> context -> claims")
+    common(sp)
+    sp.add_argument("-q", "--query", required=True)
+    sp.add_argument("-k", type=int, default=5)
+
+    sp = sub.add_parser("click", help="S7: click feedback (+0.1 boost)")
+    common(sp)
+    sp.add_argument("-q", "--query", required=True)
+    sp.add_argument("--chunk-id", type=int, required=True)
+    sp.add_argument("--exploration", action="store_true")
+
+    sp = sub.add_parser("export", help="S2: CSV export")
+    common(sp)
+    sp.add_argument("--out", required=True)
+
+    for name in ("stats", "optimize", "vacuum"):
+        sp = sub.add_parser(name)
+        common(sp)
+
+    args = p.parse_args(argv)
+    spark = _spark()
+
+    if args.cmd == "index-pdf":
+        from pyspark.sql import Window, functions as F
+
+        from .plans.ingest_pdf import pdf_to_chunks
+
+        chunks = pdf_to_chunks(spark, args.pdf_glob)
+        # stable small ids across (file, chunk) — the indexed set of one
+        # CLI invocation is command-sized, so the global window is fine
+        docs = chunks.select(
+            F.row_number()
+            .over(Window.orderBy("doc", "chunk_idx"))
+            .cast("long")
+            .alias("doc_id"),
+            "text",
+        )
+        eng = _engine(spark, args)
+        n = eng.index_documents(docs, source_file=args.pdf_glob, upsert=args.upsert)
+        _emit({"indexed": n})
+    elif args.cmd == "index-text":
+        eng = _engine(spark, args)
+        docs = spark.read.parquet(args.parquet).select("doc_id", "text")
+        n = eng.index_documents(docs, source_file=args.parquet, upsert=args.upsert)
+        _emit({"indexed": n})
+    elif args.cmd == "search":
+        eng = _engine(spark, args)
+        res = eng.search(
+            args.query,
+            k=args.k,
+            use_rerank=args.rerank,
+            use_mmr=args.mmr,
+            use_exploration=args.explore,
+        )
+        for r in res:
+            _emit(r)
+    elif args.cmd == "deep-dive":
+        eng = _engine(spark, args)
+        claims = eng.deep_dive(args.query, k=args.k)
+        for c in claims:
+            _emit(
+                {
+                    "statement": c.statement,
+                    "sources": list(c.source_indices),
+                    "confidence": c.confidence,
+                }
+            )
+    elif args.cmd == "click":
+        eng = _engine(spark, args)
+        eng.click(args.query, args.chunk_id, was_exploration=args.exploration)
+        _emit({"clicked": args.chunk_id})
+    elif args.cmd == "export":
+        from .sinks import Workspace
+
+        Workspace(spark, args.workspace).export_csv(args.out)
+        _emit({"exported": args.out})
+    elif args.cmd == "stats":
+        from .sinks import Workspace
+
+        ws = Workspace(spark, args.workspace)
+        n = ws.count() if ws._exists("chunks") else 0
+        hist = [
+            {"version": r["version"], "op": r["op"]}
+            for r in ws.history().limit(5).collect()
+        ]
+        _emit({"chunks": n, "recent_ops": hist})
+    elif args.cmd == "optimize":
+        from .sinks import Workspace
+
+        _emit(Workspace(spark, args.workspace).optimize())
+    elif args.cmd == "vacuum":
+        from .sinks import Workspace
+
+        _emit(Workspace(spark, args.workspace).vacuum())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,45 @@
+"""CLI front-end: the reference's GUI operations driven end-to-end
+in-process (index PDF fixture -> search -> click -> stats -> export)."""
+
+import json
+
+from ai_vector_database_converstion_from_pdf_spark import cli
+
+
+def _run(capsys, argv):
+    rc = cli.main(argv)
+    assert rc == 0
+    out = capsys.readouterr().out.strip()
+    return [json.loads(line) for line in out.splitlines() if line]
+
+
+def test_cli_full_cycle(spark, capsys, tmp_path):
+    ws = str(tmp_path / "cli_ws")
+    fixture = "tests/fixtures/sample.pdf"
+
+    got = _run(capsys, ["index-pdf", "-w", ws, "--dim", "32",
+                        "--asof", "2024-06-01 00:00:00", "--pdf-glob", fixture])
+    assert got[0]["indexed"] > 0
+
+    res = _run(capsys, ["search", "-w", ws, "--dim", "32",
+                        "--asof", "2024-06-01 00:00:00",
+                        "-q", "zorblatt factor merge speed", "-k", "3"])
+    assert res and all("score" in r and "text" in r for r in res)
+    top_id = res[0]["id"]
+
+    got = _run(capsys, ["click", "-w", ws, "--dim", "32",
+                        "--asof", "2024-06-01 00:00:00",
+                        "-q", "zorblatt factor merge speed",
+                        "--chunk-id", str(top_id)])
+    assert got[0]["clicked"] == top_id
+
+    got = _run(capsys, ["stats", "-w", ws])
+    assert got[0]["chunks"] > 0
+    assert any(o["op"] == "add_chunks" for o in got[0]["recent_ops"])
+
+    out_csv = str(tmp_path / "out.csv")
+    got = _run(capsys, ["export", "-w", ws, "--out", out_csv])
+    assert got[0]["exported"] == out_csv
+
+    got = _run(capsys, ["vacuum", "-w", ws])
+    assert got[0]["removed"] == []
