@@ -404,3 +404,17 @@ def unigram_surprisal(docs: DataFrame) -> DataFrame:
             F.round(F.avg("s"), 6).alias("mean_surprisal"),
         )
     )
+
+
+def normalize_text(col: Column) -> Column:
+    """Curation-standard text normalization, pure expressions: control
+    chars → space, curly quotes → straight, en/em dashes → '-',
+    ellipsis → '...', whitespace runs collapsed, trimmed. ASCII-safe
+    regexes keep Java (Spark) and RE2-ish (DuckDB) semantics identical."""
+    x = F.regexp_replace(col, "[\\x00-\\x1f\\x7f]", " ")
+    x = F.regexp_replace(x, "[‘’‚‛]", "'")
+    x = F.regexp_replace(x, "[“”„‟]", '"')
+    x = F.regexp_replace(x, "[–—―]", "-")
+    x = F.regexp_replace(x, "…", "...")
+    x = F.regexp_replace(x, "\\s+", " ")
+    return F.trim(x)
