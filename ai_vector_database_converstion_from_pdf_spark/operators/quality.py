@@ -22,7 +22,9 @@ def _one(spark: SparkSession, check_id: int, check: str, table: str, n) -> DataF
         F.lit(check_id).alias("check_id"),
         F.lit(check).alias("check"),
         F.lit(table).alias("table_name"),
-        F.col("n").cast("long").alias("n_violations"),
+        # sum() over an empty table is NULL — an empty table has zero
+        # violations, so every check is NULL-safe here
+        F.coalesce(F.col("n").cast("long"), F.lit(0)).alias("n_violations"),
     )
 
 

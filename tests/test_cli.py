@@ -43,3 +43,26 @@ def test_cli_full_cycle(spark, capsys, tmp_path):
 
     got = _run(capsys, ["vacuum", "-w", ws])
     assert got[0]["removed"] == []
+
+
+def test_cli_index_text_deep_dive_optimize(spark, capsys, tmp_path):
+    ws = str(tmp_path / "cli_ws2")
+    src = str(tmp_path / "docs_in.parquet")
+    spark.createDataFrame(
+        [(i, f"merge strategy notes row {i} fast table join value") for i in range(12)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    got = _run(capsys, ["index-text", "-w", ws, "--dim", "32",
+                        "--asof", "2024-06-01 00:00:00", "--parquet", src])
+    assert got[0]["indexed"] == 12
+
+    claims = _run(capsys, ["deep-dive", "-w", ws, "--dim", "32",
+                           "--asof", "2024-06-01 00:00:00",
+                           "-q", "merge strategy", "-k", "3"])
+    assert claims and all(
+        {"statement", "sources", "confidence"} <= set(c) for c in claims
+    )
+
+    got = _run(capsys, ["optimize", "-w", ws])
+    assert "files_before" in got[0] or "buckets_compacted" in got[0]

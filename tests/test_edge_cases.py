@@ -88,3 +88,67 @@ class TestNullSafety:
             [([0.0, 0.0], [1.0, 0.0])], "a array<double>, b array<double>"
         )
         assert df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()[0]["c"] == 0.0
+
+
+class TestNewOpEdgeCases:
+    def test_tfidf_and_surprisal_empty_and_blank_docs(self, spark):
+        from ai_vector_database_converstion_from_pdf_spark.operators.textstats import (
+            unigram_surprisal,
+        )
+        from ai_vector_database_converstion_from_pdf_spark.operators.tfidf import (
+            tfidf_top_terms,
+        )
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        assert tfidf_top_terms(empty).count() == 0
+        assert unigram_surprisal(empty).count() == 0
+        # blank/punctuation-only docs drop out (no tokens); real doc scores
+        mixed = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "?!"), (4, "real words here")],
+            "doc_id long, text string",
+        )
+        assert {r["doc_id"] for r in unigram_surprisal(mixed).collect()} == {4}
+        assert {r["doc_id"] for r in tfidf_top_terms(mixed).collect()} == {4}
+
+    def test_pack_empty_and_oversized(self, spark):
+        from ai_vector_database_converstion_from_pdf_spark.operators.packing import (
+            pack_next_fit,
+        )
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        assert pack_next_fit(empty).count() == 0
+        # a doc bigger than capacity still gets exactly one pack
+        one = spark.createDataFrame(
+            [(5, " ".join(["tok"] * 500))], "doc_id long, text string"
+        )
+        rows = pack_next_fit(one, capacity=128).collect()
+        assert len(rows) == 1 and rows[0]["pack_id"] == 0 and rows[0]["n_tokens"] == 500
+
+    def test_pagerank_empty_edges(self, spark):
+        import pytest
+
+        from ai_vector_database_converstion_from_pdf_spark.operators.graph import (
+            pagerank,
+        )
+
+        empty = spark.createDataFrame([], "id_a long, id_b long")
+        with pytest.raises(Exception):
+            pagerank(empty)  # no nodes -> no distribution to compute
+
+    def test_quality_report_on_empty_tables(self, spark):
+        from ai_vector_database_converstion_from_pdf_spark.operators.quality import (
+            quality_report,
+        )
+
+        orders = spark.createDataFrame([], "o_orderkey long, o_orderstatus string")
+        lineitem = spark.createDataFrame([], "l_orderkey long, l_discount double")
+        documents = spark.createDataFrame([], "doc_id long, text string")
+        events = spark.createDataFrame([], "event_id long, ts timestamp")
+        got = {
+            r["check"]: r["n_violations"]
+            for r in quality_report(spark, orders, lineitem, documents, events).collect()
+        }
+        # empty tables are healthy: sum() over empty input is NULL and
+        # must surface as 0 for EVERY check, never None
+        assert all(v == 0 for v in got.values()), got
+        assert len(got) == 6
