@@ -92,17 +92,21 @@ def main(argv: list[str] | None = None) -> int:
     spark = _spark()
 
     if args.cmd == "index-pdf":
-        from pyspark.sql import Window, functions as F
+        from pyspark.sql import functions as F
 
         from .plans.ingest_pdf import pdf_to_chunks
 
         chunks = pdf_to_chunks(spark, args.pdf_glob)
-        # stable small ids across (file, chunk) — the indexed set of one
-        # CLI invocation is command-sized, so the global window is fine
+        # ids derive from CONTENT (xxhash64 of source doc + chunk index),
+        # not a per-invocation row_number: the reference app accumulates
+        # PDFs across add operations (mainwindow.cpp ingest flow), so a
+        # second `index-pdf` into the same workspace must not reuse ids
+        # 1..N — plain append would collide chunk ids (click/boost keys)
+        # and --upsert would silently replace unrelated documents. Masked
+        # to non-negative so ids sort/display like the reference's rowids.
         docs = chunks.select(
-            F.row_number()
-            .over(Window.orderBy("doc", "chunk_idx"))
-            .cast("long")
+            F.xxhash64(F.col("doc"), F.col("chunk_idx"))
+            .bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF))
             .alias("doc_id"),
             "text",
         )

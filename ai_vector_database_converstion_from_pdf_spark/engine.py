@@ -80,7 +80,10 @@ class PvdbEngine:
                 F.col("doc_id").cast("string").alias("doc_id"),
                 F.lit(source_file).alias("source_file"),
                 F.lit(1).alias("page_num"),
-                F.col("doc_id").cast("int").alias("chunk_idx"),
+                # pre-chunked input: each doc IS its single chunk. A
+                # doc_id-derived ordinal would overflow int for
+                # content-hash ids (xxhash64 doc ids from the CLI).
+                F.lit(0).alias("chunk_idx"),
                 "text",
             )
             .withColumn("embedding", embed(F.col("text")))
@@ -133,12 +136,24 @@ class PvdbEngine:
         if not plan["vector_branch"]:
             from .operators.keyword import keyword_search
 
+            # the latency-degraded path still returns REAL chunk text:
+            # the reference's FTS bypass selects text_chunk
+            # (vector_store.cpp:248-275). The ≤depth hit ids broadcast
+            # into the corpus scan — one hash join, no corpus shuffle.
+            hits = keyword_search(
+                corpus, query, plan["depth"], id_col="doc_id", text_col="text"
+            ).select(F.col("id"), "match_cnt")
+            with_text = corpus.join(
+                F.broadcast(hits), corpus["doc_id"] == hits["id"], "inner"
+            ).select("id", "text", "match_cnt")
             rows = [
-                {"id": r["id"], "text": None, "score": 0.5,
+                {"id": r["id"], "text": r["text"], "score": 0.5,
                  "semantic_rank": 0, "keyword_rank": i + 1}
                 for i, r in enumerate(
-                    keyword_search(corpus, query, plan["depth"],
-                                   id_col="doc_id", text_col="text").collect()
+                    sorted(
+                        with_text.collect(),
+                        key=lambda r: (-r["match_cnt"], r["id"]),
+                    )
                 )
             ][:k]
         else:

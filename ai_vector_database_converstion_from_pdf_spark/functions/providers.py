@@ -117,6 +117,65 @@ class HttpRerankProvider:
         return scores
 
 
+class HttpOcrProvider:
+    """I13 — PDF→text OCR over a multimodal generateContent endpoint
+    (Gemini REST wire shape, `gemini_api.cpp:275-314`: the whole PDF is
+    base64'd into one inline_data part alongside an instruction part;
+    the reply's first candidate part carries the extracted text):
+
+    POST {endpoint}/v1beta/models/{model}:generateContent[?key=...]
+      {"contents": [{"parts": [
+          {"inline_data": {"mime_type": "application/pdf", "data": b64}},
+          {"text": prompt}]}]}
+    → {"candidates": [{"content": {"parts": [{"text": "..."}]}}]}
+    """
+
+    def __init__(
+        self,
+        endpoint: str,
+        model: str,
+        api_key: str = "",
+        prompt: str = "Extract all text from this PDF document.",
+        timeout: float = 120.0,
+    ):
+        self.endpoint = endpoint.rstrip("/")
+        self.model = model
+        self.api_key = api_key
+        self.prompt = prompt
+        self.timeout = timeout
+
+    def ocr(self, pdf_bytes: bytes) -> str:
+        import base64
+
+        url = f"{self.endpoint}/v1beta/models/{self.model}:generateContent"
+        if self.api_key:
+            url += f"?key={self.api_key}"
+        out = _post_json(
+            url,
+            {
+                "contents": [
+                    {
+                        "parts": [
+                            {
+                                "inline_data": {
+                                    "mime_type": "application/pdf",
+                                    "data": base64.b64encode(pdf_bytes).decode(),
+                                }
+                            },
+                            {"text": self.prompt},
+                        ]
+                    }
+                ]
+            },
+            self.timeout,
+        )
+        cands = out.get("candidates") or []
+        if not cands:
+            raise RuntimeError(f"OCR provider returned no candidates: {out!r}")
+        parts = cands[0].get("content", {}).get("parts") or []
+        return "\n".join(p["text"] for p in parts if "text" in p)
+
+
 def make_http_embed_udf(provider: HttpEmbedProvider):
     """Iterator pandas UDF embedding one POST per Arrow batch. The
     provider object (endpoint/model strings) pickles into the closure."""

@@ -29,37 +29,58 @@ def connected_components(
         .persist()
     )
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
-    for _ in range(max_iters):
-        neighbor_min = (
-            sym.join(labels, sym.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nlabel"))
+    cached: list[DataFrame] = []
+    try:
+        for _ in range(max_iters):
+            neighbor_min = (
+                sym.join(labels, sym.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("label").alias("nlabel"))
+            )
+            # convergence flag FOLDED into the label frame: `moved` marks
+            # rows whose label shrank this round, and the single agg that
+            # reads it doubles as the action that materializes the
+            # persisted frame. One job per round — no extra
+            # labels⋈new_labels probe join (a corpus-sized shuffle per
+            # round at 100 TB).
+            new_labels = (
+                labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                    ).alias("label"),
+                    (
+                        F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label")
+                    ).alias("moved"),
+                )
+                .persist()
+            )
+            cached.append(new_labels)
+            changed = new_labels.agg(
+                F.max(F.col("moved").cast("int")).alias("m")
+            ).first()[0]
+            labels = new_labels.select("id", "label")
+            if not changed:
+                break
+        # node-sized materialization cuts lineage so every upstream cache
+        # (edge list + per-round label frames) can be released now — no
+        # cached blocks leak across repeated calls in a long session.
+        out = labels.select("id", F.col("label").alias("component")).localCheckpoint(
+            eager=True
         )
-        new_labels = labels.join(
-            neighbor_min, labels.id == neighbor_min.src, "left"
-        ).select(
-            "id",
-            F.least(
-                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-            ).alias("label"),
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.persist()
-        if changed == 0:
-            break
-    return labels.select("id", F.col("label").alias("component"))
+    finally:
+        sym.unpersist()
+        for df in cached:
+            df.unpersist()
+    return out
 
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
     n_iter: int = 5,
     round_digits: int = 12,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (id_a → id_b;
     callers union both directions for undirected graphs, which also
@@ -73,7 +94,11 @@ def pagerank(
     Scale shape: per iteration, one join of ranks onto the edge list
     (both keyed by src — co-partitioned after the first shuffle) and one
     groupBy(dst) combine; the rank/degree tables are node-sized, edges
-    dominate. For many iterations, checkpoint every ~5 to cut lineage.
+    dominate. For many iterations, pass `checkpoint_every` (~5): the
+    node-sized rank frame is localCheckpoint'ed every k rounds, so plan
+    lineage stays bounded instead of growing one join+agg layer per
+    iteration (values are identical — ranks are already rounded before
+    the checkpoint materializes them).
     """
     # persist the edge list: every iteration re-joins it, and without
     # materialization each action would replay the upstream pair
@@ -83,21 +108,38 @@ def pagerank(
     ).persist()
     deg = sym.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
     nodes = sym.select(F.col("src").alias("id")).distinct().persist()
-    n = nodes.count()  # scalar aggregate (sanctioned driver-side surface)
-    base = float(1.0 - damping) / n
-    ranks = nodes.select("id", F.round(F.lit(1.0 / n), round_digits).alias("rank"))
-    for _ in range(n_iter):
-        contrib = (
-            sym.join(ranks.withColumnRenamed("id", "src"), "src")
-            .join(deg, "src")
-            .select(
-                F.col("dst").alias("id"),
-                (F.col("rank") / F.col("outdeg")).alias("c"),
+    try:
+        n = nodes.count()  # scalar aggregate (sanctioned driver-side surface)
+        base = float(1.0 - damping) / n
+        ranks = nodes.select(
+            "id", F.round(F.lit(1.0 / n), round_digits).alias("rank")
+        )
+        for i in range(n_iter):
+            contrib = (
+                sym.join(ranks.withColumnRenamed("id", "src"), "src")
+                .join(deg, "src")
+                .select(
+                    F.col("dst").alias("id"),
+                    (F.col("rank") / F.col("outdeg")).alias("c"),
+                )
             )
-        )
-        ranks = contrib.groupBy("id").agg(
-            F.round(
-                F.lit(base) + F.lit(damping) * F.sum("c"), round_digits
-            ).alias("rank")
-        )
+            ranks = contrib.groupBy("id").agg(
+                F.round(
+                    F.lit(base) + F.lit(damping) * F.sum("c"), round_digits
+                ).alias("rank")
+            )
+            if (
+                checkpoint_every
+                and (i + 1) % checkpoint_every == 0
+                and i + 1 < n_iter
+            ):
+                ranks = ranks.localCheckpoint(eager=True)
+        # node-sized materialization cuts lineage from the (corpus-sized)
+        # cached edge frames, so they can be unpersisted here instead of
+        # leaking cached blocks across repeated calls (bench loops).
+        ranks = ranks.localCheckpoint(eager=True)
+    finally:
+        sym.unpersist()
+        deg.unpersist()
+        nodes.unpersist()
     return ranks

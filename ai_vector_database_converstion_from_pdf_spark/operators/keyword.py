@@ -155,6 +155,133 @@ def phrase_search(
     )
 
 
+def prefix_search(
+    chunks: DataFrame,
+    query_text: str,
+    limit: int,
+    id_col: str = "id",
+    text_col: str = "text",
+    fts_index: DataFrame | None = None,
+) -> DataFrame:
+    """FTS5 prefix-MATCH parity (`vector_store.cpp:251-262`: FTS5 MATCH
+    accepts `tok*` prefix terms). Query terms ending in `*` match any
+    token with that prefix; bare terms match exactly. match_cnt counts
+    distinct QUERY TERMS matched (a doc with 50 tokens starting `merg`
+    still scores 1 for `merg*`), ranked desc then id asc — the same
+    ranking contract as keyword_search. Columns (id, match_cnt,
+    kw_score).
+
+    Plan shape: the OR of equality/StartsWith predicates filters the
+    posting scan BEFORE any shuffle; on a materialized fts_index both
+    predicate kinds push into the parquet scan (EqualTo /
+    StringStartsWith are pushable filters). Per-term hit flags come from
+    ONE groupBy(id) with a max() per term — no per-term joins."""
+    import re
+
+    raw = [t for t in re.split(r"[^a-z0-9*]+", query_text.lower()) if t.rstrip("*")]
+    specs: list[tuple[str, bool]] = []
+    seen = set()
+    for t in raw:
+        key = (t.rstrip("*"), t.endswith("*"))
+        if key not in seen:
+            seen.add(key)
+            specs.append(key)
+    specs.sort()
+    if not specs:
+        raise ValueError("empty prefix query")
+    if fts_index is not None:
+        postings = fts_index
+    else:
+        postings = chunks.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        ).distinct()
+    preds = [
+        F.col("token").startswith(base) if is_pref else (F.col("token") == base)
+        for base, is_pref in specs
+    ]
+    any_pred = preds[0]
+    for p in preds[1:]:
+        any_pred = any_pred | p
+    flags = [
+        F.max(F.when(p, F.lit(1)).otherwise(F.lit(0))).alias(f"_m{i}")
+        for i, p in enumerate(preds)
+    ]
+    matched = postings.filter(any_pred).groupBy("id").agg(*flags)
+    total = F.col("_m0")
+    for i in range(1, len(preds)):
+        total = total + F.col(f"_m{i}")
+    return (
+        matched.withColumn("match_cnt", total.cast("long"))
+        .select("id", "match_cnt", F.col("match_cnt").cast("double").alias("kw_score"))
+        .orderBy(F.col("match_cnt").desc(), F.col("id").asc())
+        .limit(limit)
+    )
+
+
+def near_search(
+    chunks: DataFrame,
+    query_text: str,
+    limit: int,
+    n: int = 10,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """FTS5 NEAR-MATCH parity (`vector_store.cpp:251-262`: FTS5 MATCH
+    accepts `NEAR(a b, N)`): ids where every query term occurs with at
+    most `n` intervening tokens — i.e. some choice of one position per
+    term spans ≤ n + k − 1 token slots (k = #terms; n=10 is FTS5's
+    default). near_cnt counts the distinct window-start positions s
+    (s itself a posting of some term) whose window [s, s+n+k−1] contains
+    all terms — a deterministic, order-independent count the SQL oracle
+    reproduces. Columns (id, near_cnt, kw_score), kw_score flat 0.5 like
+    the reference's FTS branch.
+
+    Shape: position-delta variant of phrase_search — one posexplode scan
+    In-filtered to the term set, positions aggregate per (id, term), and
+    the window test is pure array expressions (exists/filter) on docs
+    that contain ALL terms. Only postings of the query's terms shuffle."""
+    import re
+
+    terms = sorted(set(t for t in re.split(r"[^a-z0-9]+", query_text.lower()) if t))
+    if not terms:
+        raise ValueError("empty NEAR query")
+    k = len(terms)
+    W = n + k - 1
+    postings = chunks.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
+    ).filter(F.col("token").isin(terms))
+    per_term = postings.groupBy("id", "token").agg(F.collect_list("pos").alias("ps"))
+    byid = (
+        per_term.groupBy("id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("token", "ps"))).alias("tp"))
+        .filter(F.size(F.col("tp")) == k)  # docs containing ALL terms
+    )
+    starts = F.array_distinct(F.flatten(F.map_values(F.col("tp"))))
+
+    def in_window(s):
+        # the exists-lambda must be UNARY (a 2nd param means element
+        # index to Spark) — bind the window start via closure instead
+        return lambda q: (q >= s) & (q <= s + F.lit(int(W)))
+
+    def window_covers(s):
+        cond = F.lit(True)
+        for t in terms:
+            cond = cond & F.exists(F.col("tp")[t], in_window(s))
+        return cond
+
+    return (
+        byid.withColumn(
+            "near_cnt", F.size(F.filter(starts, window_covers)).cast("long")
+        )
+        .filter(F.col("near_cnt") > 0)
+        .select("id", "near_cnt", F.lit(0.5).alias("kw_score"))
+        .orderBy(F.col("near_cnt").desc(), F.col("id").asc())
+        .limit(limit)
+    )
+
+
 def keyword_search(
     chunks: DataFrame,
     query_text: str,

@@ -324,6 +324,10 @@ def pq_encode(
 
     def encode(batches):
         for pdf in batches:
+            if not len(pdf):
+                # empty Arrow batch: np.asarray([]) is 1-D and
+                # norm(axis=1) would raise AxisError
+                continue
             V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             nrm = np.linalg.norm(V, axis=1)
             nrm[nrm == 0] = 1.0
@@ -369,6 +373,8 @@ def pq_topk(
 
     def score(batches):
         for pdf in batches:
+            if not len(pdf):
+                continue  # empty batch: 1-D empty C breaks the gather
             C = np.asarray(list(pdf["codes"]), dtype=np.int64)
             dist = lut[np.arange(m)[None, :], C].sum(axis=1)
             yield pd.DataFrame(

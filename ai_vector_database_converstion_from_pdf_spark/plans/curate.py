@@ -22,8 +22,10 @@ corpus-sized joins plus two extra scans. Only the genuinely aggregate
 stages branch: near-dup resolution (pair graph + min-label CC, rounds
 bounded by cluster diameter), repetition (one (doc, gram)-keyed agg per
 n), and decontamination (shingle join whose contaminated-id output is
-broadcast back). The final assembly joins those three small-or-keyed
-frames to the per-row frame on doc_id.
+doc_id-keyed and tiny). The final assembly is a UNION of the stage
+frames + one groupBy(doc_id) zip — a single corpus shuffle, no
+sort-merge joins (each output column is non-null in exactly one stage
+frame, so first(ignorenulls) reassembles rows deterministically).
 
 Extends the reference's whole-file dedup (`pdf_processor.cpp:409-416`)
 to the corpus-curation pipeline its data model implies at scale.
@@ -71,11 +73,30 @@ def curate_corpus(
         docs.filter(~is_eval), docs.filter(is_eval), n=decon_n, min_hits=decon_min_hits
     ).select(F.col("train_id").alias("doc_id"), F.lit(False).alias("decon_keep"))
 
+    # Assembly WITHOUT corpus-sized joins: the four stage frames (each
+    # keyed by doc_id, ≤1 row per doc per frame) union into one tall
+    # frame and a single groupBy(doc_id) zips them back together —
+    # first(ignorenulls) is deterministic because each column is non-null
+    # in exactly one source frame. ONE exchange on doc_id replaces three
+    # corpus-sized sort-merge joins (three full-corpus shuffles + sorts
+    # at 100 TB); partial aggregation combines map-side as usual.
+    tall = (
+        per_row.unionByName(resolved, allowMissingColumns=True)
+        .unionByName(repetition, allowMissingColumns=True)
+        .unionByName(contam, allowMissingColumns=True)
+    )
     return (
-        per_row.join(resolved, "doc_id")
-        .join(repetition, "doc_id")
-        .join(F.broadcast(contam), "doc_id", "left")
-        .withColumn("decon_keep", F.coalesce(F.col("decon_keep"), F.lit(True)))
+        tall.groupBy("doc_id")
+        .agg(
+            F.first("dedup_keep", ignorenulls=True).alias("dedup_keep"),
+            F.first("quality_keep", ignorenulls=True).alias("quality_keep"),
+            F.first("repetition_keep", ignorenulls=True).alias("repetition_keep"),
+            F.coalesce(
+                F.first("decon_keep", ignorenulls=True), F.lit(True)
+            ).alias("decon_keep"),
+            F.first("is_eval", ignorenulls=True).alias("is_eval"),
+            F.first("redacted", ignorenulls=True).alias("redacted"),
+        )
         .withColumn(
             "keep",
             ~F.col("is_eval")

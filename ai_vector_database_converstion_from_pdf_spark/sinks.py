@@ -20,10 +20,13 @@ directories the touched doc_ids hash to — Delta-style MERGE INTO /
 DELETE semantics on plain Parquet. On a Delta/Iceberg deployment they
 become real MERGE INTO/DELETE with no API change.
 
-Durability scope: workspace paths must be LOCAL filesystem paths —
-existence checks and the overwrite swap use os/shutil, and the
-rmtree+rename swap is not atomic for concurrent readers. A multi-writer
-or object-store deployment should use the Delta path above.
+Durability scope: plain paths use os/shutil directly (the local fast
+path); paths with a URI scheme (`file://`, `hdfs://`, `s3a://`, ...) go
+through the Hadoop FileSystem API (`Path.getFileSystem`), so a workspace
+can live on HDFS or an object store with no API change. The
+rmtree+rename swap is still not atomic for concurrent readers, and on
+S3-like stores rename is a server-side copy — a multi-writer or
+heavy-DML object-store deployment should use the Delta path above.
 """
 
 from __future__ import annotations
@@ -42,11 +45,87 @@ CHUNK_COLUMNS = [
 ]
 
 LOG_SCHEMA = (
-    "query string, semantic_rank int, keyword_rank int, final_rank int, "
+    # rank slots are LONG: the reference reuses semantic_rank to carry
+    # the clicked chunk rowid on USER_CLICK rows (vector_store.cpp:797),
+    # and chunk ids here are 64-bit content hashes
+    "query string, semantic_rank long, keyword_rank long, final_rank long, "
     "latency_embedding long, latency_search long, latency_fusion long, "
     "latency_rerank long, top_score double, mmr_penalty double, "
     "is_exploration int, rank_delta int, stability double, created_at timestamp"
 )
+
+
+class _LocalFS:
+    """os/shutil directory ops — the local fast path (no JVM round
+    trips on plain paths)."""
+
+    def isdir(self, p: str) -> bool:
+        return os.path.isdir(p)
+
+    def listdir(self, p: str) -> list[str]:
+        return os.listdir(p) if os.path.isdir(p) else []
+
+    def rmtree(self, p: str) -> None:
+        import shutil
+
+        shutil.rmtree(p, ignore_errors=True)
+
+    def rename(self, src: str, dst: str) -> None:
+        os.rename(src, dst)
+
+    def has_parquet(self, p: str) -> bool:
+        if not os.path.isdir(p):
+            return False
+        for _root, _dirs, files in os.walk(p):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+
+class _HadoopFS:
+    """Hadoop FileSystem-backed ops for URI workspaces (file://, hdfs://,
+    s3a://, ...): same contract as _LocalFS through `spark._jvm`'s
+    `Path.getFileSystem`, so every Workspace code path (existence probe,
+    versioned swap, vacuum, compaction) works unchanged against remote
+    storage. NB on S3-like stores rename() is a server-side copy, not a
+    metadata move — correct, but heavy-DML deployments belong on Delta."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        jvm = spark._jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._Path(root).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+
+    def isdir(self, p: str) -> bool:
+        P = self._Path(p)
+        return bool(
+            self._fs.exists(P) and self._fs.getFileStatus(P).isDirectory()
+        )
+
+    def listdir(self, p: str) -> list[str]:
+        P = self._Path(p)
+        if not self._fs.exists(P):
+            return []
+        return [s.getPath().getName() for s in self._fs.listStatus(P)]
+
+    def rmtree(self, p: str) -> None:
+        P = self._Path(p)
+        if self._fs.exists(P):
+            self._fs.delete(P, True)
+
+    def rename(self, src: str, dst: str) -> None:
+        if not self._fs.rename(self._Path(src), self._Path(dst)):
+            raise OSError(f"hadoop fs rename failed: {src} -> {dst}")
+
+    def has_parquet(self, p: str) -> bool:
+        if not self.isdir(p):
+            return False
+        it = self._fs.listFiles(self._Path(p), True)  # recursive
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                return True
+        return False
 
 
 def _logged(fn):
@@ -70,26 +149,18 @@ class Workspace:
     """Directory-backed workspace (reference: one SQLite file each)."""
 
     def __init__(self, spark: SparkSession, path: str):
-        if "://" in path:
-            raise ValueError(
-                f"workspace path {path!r} has a URI scheme; workspaces are "
-                "local-filesystem-only (see module docstring) — use the "
-                "Delta/Iceberg deployment for remote storage"
-            )
         self.spark = spark
         self.path = path.rstrip("/")
+        # URI scheme → Hadoop FileSystem API; bare path → os/shutil
+        self._fs = (
+            _HadoopFS(spark, self.path) if "://" in path else _LocalFS()
+        )
 
     def _tbl(self, name: str) -> str:
         return f"{self.path}/{name}"
 
     def _exists(self, name: str) -> bool:
-        p = self._tbl(name)
-        if not os.path.isdir(p):
-            return False
-        for _root, _dirs, files in os.walk(p):
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
+        return self._fs.has_parquet(self._tbl(name))
 
     def _guarded_batch_stats(self, batch: DataFrame, extra_aggs: list = ()):
         """ONE aggregate job running the whole-batch I17 dimension
@@ -124,7 +195,20 @@ class Workspace:
         prune to one directory instead of scanning the corpus — the
         100 TB layout. Mixing bucketed and unbucketed appends in one
         workspace is rejected."""
-        stats = self._guarded_batch_stats(chunks)
+        self._add_chunks_impl(chunks, partition_buckets)
+
+    def _add_chunks_impl(
+        self,
+        chunks: DataFrame,
+        partition_buckets: int | None = None,
+        stats=None,
+    ) -> None:
+        """Unlogged append core. merge_chunks delegates here on a fresh
+        workspace so ONE logical mutation writes ONE `_history` row and
+        runs the guarded-stats aggregate once (it passes the stats it
+        already computed)."""
+        if stats is None:
+            stats = self._guarded_batch_stats(chunks)
         new_dim = int(stats["d"]) if stats is not None else None
 
         registered_buckets = self.get_metadata("partition_buckets")
@@ -238,12 +322,8 @@ class Workspace:
 
     @_logged
     def clear(self) -> None:
-        import shutil
-
         for t in ("chunks", "boosts", "ann_lsh"):
-            p = self._tbl(t)
-            if os.path.isdir(p):
-                shutil.rmtree(p)
+            self._fs.rmtree(self._tbl(t))
         self.delete_metadata("ann_params")
         # a cleared workspace is a FRESH workspace: both the dimension
         # and the bucket-layout registration must go, or the next
@@ -275,8 +355,6 @@ class Workspace:
         column-pruned (id, _bucket) scan + broadcast semi-join — thin
         read, no corpus rewrite); unbucketed falls back to one full
         rewrite. Reads see identical effective boosts before and after."""
-        import shutil
-
         if not self._exists("boosts"):
             return
         b = int(self.get_metadata("partition_buckets") or 0)
@@ -309,7 +387,7 @@ class Workspace:
                     F.col("_bucket").isin(affected)
                 )
                 self._swap_buckets("chunks", folded, affected)
-        shutil.rmtree(self._tbl("boosts"), ignore_errors=True)
+        self._fs.rmtree(self._tbl("boosts"))
 
     # -- MERGE/DELETE: bucket-scoped DML (reference UPDATE/DELETE rows,
     # `vector_store.cpp:789-795`; Delta-style MERGE INTO semantics
@@ -352,7 +430,7 @@ class Workspace:
         if stats is None:
             return
         if not self._exists("chunks"):
-            self.add_chunks(updates, partition_buckets=b or None)
+            self._add_chunks_impl(updates, partition_buckets=b or None, stats=stats)
             return
         # replace-by-document: anti-join the stored rows against the
         # batch's doc_ids (broadcast; left_anti only tests existence so
@@ -407,10 +485,8 @@ class Workspace:
         `...=...` directory inside it would be misread as a partition),
         so the worst crash leaves the old bucket recoverable beside the
         table, never a half-written bucket in it."""
-        import shutil
-
         tmp = self._tbl(f"_{name}_tmp")
-        shutil.rmtree(tmp, ignore_errors=True)
+        self._fs.rmtree(tmp)
         df.write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
         final = self._tbl(name)
         olds = []
@@ -419,19 +495,19 @@ class Workspace:
         # every pre-operation bucket copy on disk (recoverable), never a
         # mix with some old versions already destroyed
         for k in buckets:
-            src = os.path.join(tmp, f"_bucket={k}")
-            dst = os.path.join(final, f"_bucket={k}")
+            src = f"{tmp}/_bucket={k}"
+            dst = f"{final}/_bucket={k}"
             old = self._tbl(f"_{name}_old_bucket_{k}")
-            shutil.rmtree(old, ignore_errors=True)  # leftover from a crash
-            if os.path.isdir(dst):
-                os.rename(dst, old)
+            self._fs.rmtree(old)  # leftover from a crash
+            if self._fs.isdir(dst):
+                self._fs.rename(dst, old)
                 olds.append(old)
-            if os.path.isdir(src):
-                os.rename(src, dst)
+            if self._fs.isdir(src):
+                self._fs.rename(src, dst)
             # else: every row in this bucket was deleted — dir stays gone
         for old in olds:
-            shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(tmp, ignore_errors=True)
+            self._fs.rmtree(old)
+        self._fs.rmtree(tmp)
 
     # -- ANN index: persisted LSH bucket table (precompute-once) ----------
     @_logged
@@ -463,9 +539,7 @@ class Workspace:
         return self.spark.read.parquet(self._tbl("ann_lsh")), dim, n_planes, n_tables
 
     def _invalidate_ann(self) -> None:
-        import shutil
-
-        shutil.rmtree(self._tbl("ann_lsh"), ignore_errors=True)
+        self._fs.rmtree(self._tbl("ann_lsh"))
         self.delete_metadata("ann_params")
 
     @_logged
@@ -491,7 +565,7 @@ class Workspace:
         def _files(d: str) -> list[str]:
             return [
                 f
-                for f in os.listdir(d)
+                for f in self._fs.listdir(d)
                 if f.endswith(".parquet") and not f.startswith((".", "_"))
             ]
 
@@ -508,10 +582,10 @@ class Workspace:
                     "files_after": len(_files(root))}
 
         per_bucket = {}
-        for entry in os.listdir(root):
+        for entry in self._fs.listdir(root):
             if entry.startswith("_bucket="):
                 k = int(entry.split("=", 1)[1])
-                per_bucket[k] = len(_files(os.path.join(root, entry)))
+                per_bucket[k] = len(_files(f"{root}/{entry}"))
         affected = sorted(k for k, n in per_bucket.items() if n > max_files_per_bucket)
         files_before = sum(per_bucket.values())
         if not affected:
@@ -525,8 +599,8 @@ class Workspace:
         )
         self._swap_buckets("chunks", compacted, affected)
         files_after = sum(
-            len(_files(os.path.join(root, e)))
-            for e in os.listdir(root)
+            len(_files(f"{root}/{e}"))
+            for e in self._fs.listdir(root)
             if e.startswith("_bucket=")
         )
         return {"buckets_compacted": affected, "files_before": files_before,
@@ -542,12 +616,10 @@ class Workspace:
         Returns {removed: [names], kept: [names]} where kept = leftovers
         whose live table is missing (crash recovery material — a human
         or a restore step should look at those, so vacuum refuses)."""
-        import shutil
-
         removed, kept = [], []
-        for entry in sorted(os.listdir(self.path)):
-            path = os.path.join(self.path, entry)
-            if not (entry.startswith("_") and os.path.isdir(path)):
+        for entry in sorted(self._fs.listdir(self.path)):
+            path = f"{self.path}/{entry}"
+            if not (entry.startswith("_") and self._fs.isdir(path)):
                 continue
             base = None
             if entry.endswith("_tmp"):
@@ -556,8 +628,8 @@ class Workspace:
                 base = entry[1 : entry.index("_old")]
             if base is None:
                 continue
-            if os.path.isdir(self._tbl(base)):
-                shutil.rmtree(path, ignore_errors=True)
+            if self._fs.isdir(self._tbl(base)):
+                self._fs.rmtree(path)
                 removed.append(entry)
             else:
                 kept.append(entry)  # live table gone: leftover IS the data
@@ -592,11 +664,9 @@ class Workspace:
         either the old version in place or both `_old` and the final dir
         on disk (recoverable) — never an empty workspace. (True
         multi-reader atomicity needs the Delta path; see module doc.)"""
-        import shutil
-
         tmp = self._tbl(f"_{name}_tmp")
         old = self._tbl(f"_{name}_old")
-        shutil.rmtree(old, ignore_errors=True)  # leftover from a crash
+        self._fs.rmtree(old)  # leftover from a crash
         writer = df.write.mode("overwrite")
         if "_bucket" in df.columns:
             # preserve the hash-bucket directory layout through updates —
@@ -605,10 +675,10 @@ class Workspace:
             writer = writer.partitionBy("_bucket")
         writer.parquet(tmp)
         final = self._tbl(name)
-        if os.path.isdir(final):
-            os.rename(final, old)
-        os.rename(tmp, final)
-        shutil.rmtree(old, ignore_errors=True)
+        if self._fs.isdir(final):
+            self._fs.rename(final, old)
+        self._fs.rename(tmp, final)
+        self._fs.rmtree(old)
 
     # -- S7: interaction feedback (exploration quarantine) ----------------
     def add_interaction(

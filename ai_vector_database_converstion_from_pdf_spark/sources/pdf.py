@@ -13,8 +13,13 @@ Reference: `PdfProcessor::extractChunksAsync` (`pdf_processor.cpp:23-95`)
 — single-threaded PDFium loop; here each PDF decodes independently in a
 partition (docs are the parallel unit at 100 TB).
 
-I13 (cloud OCR, `gemini_api.cpp:275-314`) is a provider UDF slot like the
-embedder — out of the correctness path, stub only.
+I13 (cloud OCR, `gemini_api.cpp:275-314`): `read_pdf_ocr_text` posts each
+PDF to a functions.providers.HttpOcrProvider (Gemini generateContent wire
+shape) from inside a mapInPandas pass — one POST per document, documents
+parallel across partitions — yielding (doc, text) rows that feed the
+same downstream DAG as any text source (chunker → embed → index). Out of
+the oracle correctness path (network); mock-server-tested in
+tests/test_http_providers.py.
 """
 
 from __future__ import annotations
@@ -30,16 +35,31 @@ CHAR_SCHEMA = (
 )
 
 
-def ocr_pdf_provider(pdf_bytes: bytes, prompt: str = "Extract all text") -> str:
-    """I13 — cloud OCR provider slot (`GeminiApi::processPdf`,
-    `gemini_api.cpp:275-314`: base64 the whole PDF into a generateContent
-    call). Out of the correctness path (SURVEY §2.1); a deployment wires
-    a real multimodal-LLM client here. Raises by contract when unset."""
-    raise NotImplementedError(
-        "cloud OCR requires a configured multimodal provider; "
-        "the local layout pipeline (read_pdf_chars -> operators/ingest) "
-        "is the correctness path"
-    )
+def read_pdf_ocr_text(
+    spark: SparkSession, path_glob: str, provider
+) -> DataFrame:
+    """I13 — cloud-OCR PDF source (`GeminiApi::processPdf`,
+    `gemini_api.cpp:275-314`): binaryFile scan → one provider.ocr() POST
+    per document from inside mapInPandas (documents are the parallel
+    unit; the provider object pickles into the closure like the HTTP
+    embedder). Returns (doc, text) — the same shape as any text source,
+    so the output feeds the standard chunk→embed→index DAG. `provider`
+    is a functions.providers.HttpOcrProvider (or any object with
+    `.ocr(bytes) -> str`)."""
+    files = spark.read.format("binaryFile").load(path_glob).select("path", "content")
+
+    def ocr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc": pdf["path"].values,
+                    "text": [provider.ocr(bytes(c)) for c in pdf["content"]],
+                }
+            )
+
+    return files.mapInPandas(ocr, "doc string, text string")
 
 
 def have_pdfium() -> bool:

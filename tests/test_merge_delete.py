@@ -161,6 +161,17 @@ def test_engine_upsert_reindexes_in_place(spark, tmp_path):
     assert txt.startswith("entirely new revised")
 
 
+def test_merge_on_fresh_workspace_logs_one_history_row(spark, tmp_path):
+    """merge_chunks delegating to the append path on a fresh workspace
+    is ONE logical mutation: one `_history` row (op=merge_chunks), not a
+    second add_chunks row (ADVICE r2 low #4)."""
+    ws = Workspace(spark, str(tmp_path / "m_hist"))
+    ws.merge_chunks(_chunks_df(spark, n=6))
+    ops = [r["op"] for r in ws.history().collect()]
+    assert ops == ["merge_chunks"]
+    assert ws.count() == 6
+
+
 def test_merge_dedupes_within_batch(spark, tmp_path):
     ws = Workspace(spark, str(tmp_path / "wb1"))
     ws.add_chunks(_chunks_df(spark, n=10), partition_buckets=4)

@@ -196,6 +196,22 @@ def test_pq_recall_and_roundtrip(spark, emb):
     assert top2[0]["vec_id"] == 0 and top2[0]["score"] == 1.0
 
 
+def test_pq_survives_empty_partitions(spark, emb):
+    """Empty Arrow batches must not crash the mapInPandas generators
+    (ADVICE r2 low #3: np.asarray([]) is 1-D and norm(axis=1) raises)."""
+    from ai_vector_database_converstion_from_pdf_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    books = pq_train(emb, dim=DIM, m=16, k=32)
+    sparse = emb.limit(3).repartition(16)  # 13+ empty partitions
+    codes = pq_encode(sparse, books)
+    assert codes.count() == 3
+    assert pq_topk(codes, _qvec(emb, 0), books, 2).count() == 2
+
+
 def test_pq_deterministic(spark, emb):
     import numpy as np
 

@@ -38,8 +38,13 @@ EXPECT = {
     "tpch_q18_large_orders": ["LeftSemi"],
     # salting must not defeat the broadcast of the replicated dim
     "skew_salted_join_revenue": ["BroadcastHashJoin", "!SortMergeJoin"],
-    # composed curation: contaminated-id set broadcast, no Python UDF anywhere
-    "curation_pipeline": ["BroadcastHashJoin", "!ArrowEvalPython", "!MapInPandas"],
+    # composed curation: union + one groupBy(doc_id) assembly — no
+    # corpus-sized sort-merge join anywhere, no Python UDF anywhere
+    "curation_pipeline": ["!SortMergeJoin", "!ArrowEvalPython", "!MapInPandas"],
+    # FTS prefix/NEAR: top-k without global sort, postings In/StartsWith
+    # filtered before any shuffle
+    "q3_prefix_search": ["TakeOrderedAndProject"],
+    "q3_near_search": ["TakeOrderedAndProject"],
     # Q6 is the pushdown litmus: every predicate must reach the scan
     "tpch_q6_forecast_revenue": ["PushedFilters: [IsNotNull(l_shipdate)", "!SortMergeJoin"],
     "tpch_q14_promo_effect": ["BroadcastHashJoin", "PushedFilters", "!SortMergeJoin"],
