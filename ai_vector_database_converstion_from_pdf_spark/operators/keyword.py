@@ -219,6 +219,82 @@ def prefix_search(
     )
 
 
+def boolean_search(
+    chunks: DataFrame,
+    query_text: str,
+    limit: int,
+    id_col: str = "id",
+    text_col: str = "text",
+    fts_index: DataFrame | None = None,
+) -> DataFrame:
+    """FTS5 boolean-MATCH parity (`vector_store.cpp:251-262`: FTS5 MATCH
+    accepts `a AND b OR c NOT d`). Parser subset: uppercase AND/OR/NOT
+    keywords, FTS5 precedence NOT > AND > OR, no parentheses — the query
+    normalizes to OR-of-AND-groups where each group has positive terms
+    and NOT-negated terms. A doc matches a group when every positive
+    term is present and no negated term is; hit_groups counts matching
+    groups (ranking signal), kw_score stays flat 0.5 like the
+    reference's FTS branch. Columns (id, hit_groups, kw_score).
+
+    Plan shape: ONE posting scan In-filtered to every referenced term
+    (positive or negated) before any shuffle, one groupBy(id) producing
+    a presence flag per term; the boolean structure is then a pure
+    column expression over the flags — no per-group or per-term joins,
+    no second scan for the negations."""
+    groups: list[tuple[list[str], list[str]]] = [([], [])]
+    negate = False
+    for tok in query_text.split():
+        if tok == "OR":
+            groups.append(([], []))
+            negate = False
+        elif tok == "AND":
+            negate = False
+        elif tok == "NOT":
+            negate = True
+        else:
+            t = "".join(ch for ch in tok.lower() if ch.isalnum())
+            if t:
+                groups[-1][1 if negate else 0].append(t)
+            negate = False
+    groups = [(p, n) for p, n in groups if p]
+    if not groups:
+        raise ValueError("boolean query needs at least one positive term")
+    terms = sorted({t for p, n in groups for t in p + n})
+    if fts_index is not None:
+        postings = fts_index
+    else:
+        postings = chunks.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        ).distinct()
+    flags = [
+        F.max(F.when(F.col("token") == t, F.lit(1)).otherwise(F.lit(0))).alias(
+            f"_f_{t}"
+        )
+        for t in terms
+    ]
+    byid = postings.filter(F.col("token").isin(terms)).groupBy("id").agg(*flags)
+
+    def group_match(pos: list[str], neg: list[str]):
+        cond = F.lit(True)
+        for t in pos:
+            cond = cond & (F.col(f"_f_{t}") == 1)
+        for t in neg:
+            cond = cond & (F.col(f"_f_{t}") == 0)
+        return cond
+
+    hit = F.lit(0)
+    for p, n in groups:
+        hit = hit + F.when(group_match(p, n), F.lit(1)).otherwise(F.lit(0))
+    return (
+        byid.withColumn("hit_groups", hit.cast("long"))
+        .filter(F.col("hit_groups") > 0)
+        .select("id", "hit_groups", F.lit(0.5).alias("kw_score"))
+        .orderBy(F.col("hit_groups").desc(), F.col("id").asc())
+        .limit(limit)
+    )
+
+
 def near_search(
     chunks: DataFrame,
     query_text: str,

@@ -53,8 +53,12 @@ def rp_lsh_buckets(
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_cols: tuple = (),
 ) -> DataFrame:
-    """(id, table, bucket) — precompute-once index side of the ANN path."""
+    """(id, table, bucket[, *carry_cols]) — precompute-once index side of
+    the ANN path. `carry_cols` pass through untouched (e.g. doc_id and
+    the workspace `_bucket` so the persisted index can be maintained
+    with the same doc-keyed, bucket-scoped DML as the chunk table)."""
     out = None
     for t in range(n_tables):
         planes = _planes(dim, n_planes, t)
@@ -62,6 +66,7 @@ def rp_lsh_buckets(
             F.col(id_col).alias("id"),
             F.lit(t).alias("table"),
             rp_signature(F.col(vec_col), planes).alias("bucket"),
+            *[F.col(c) for c in carry_cols],
         )
         out = part if out is None else out.unionByName(part)
     return out
@@ -410,6 +415,101 @@ def pq_topk_rescore(
         cosine_rounded(F.col(vec_col), query_vector_lit(query_vec)).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def ivf_pq_index(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, centroid_id, codes) in ONE mapInPandas scan — the FAISS-IVFPQ
+    index build: each vector is L2-normalized, assigned to its argmax-
+    cosine coarse centroid, and product-quantized to m byte codes. No
+    shuffle; centroids + codebooks ship by closure (a few KB). At 100 TB
+    you persist this frame partitioned by centroid_id, so a query's
+    probe becomes a partition-pruned read of n_probe directories —
+    compare `ivf_topk`, which joins an assignments table instead."""
+    import pandas as pd
+
+    m, kk, sub = codebooks.shape
+    C = np.asarray([c for _cid, c in centroids], dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0] = 1.0
+    Cn = C / cn[:, None]
+    cids = np.asarray([cid for cid, _c in centroids], dtype=np.int64)
+    books = codebooks
+
+    def build(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            nrm = np.linalg.norm(V, axis=1)
+            nrm[nrm == 0] = 1.0
+            V = V / nrm[:, None]
+            assign = cids[(V @ Cn.T).argmax(axis=1)]
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for j in range(m):
+                S = V[:, j * sub : (j + 1) * sub]
+                d = -2.0 * (S @ books[j].T) + (books[j] ** 2).sum(axis=1)[None, :]
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].values,
+                    "centroid_id": assign,
+                    "codes": list(codes),
+                }
+            )
+
+    return embeddings.mapInPandas(
+        build, "id long, centroid_id long, codes array<int>"
+    )
+
+
+def ivf_pq_topk(
+    index_df: DataFrame,
+    embeddings: DataFrame,
+    query_vec,
+    codebooks: np.ndarray,
+    centroids: list[tuple[int, list[float]]],
+    k: int,
+    n_probe: int = 2,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ composite retrieval — the production 100 TB ANN shape
+    (coarse probe x fine quantization, FAISS IVFPQ): the query probes
+    its n_probe nearest coarse centroids (driver-side over the literal
+    centroid list), the probe is a pure FILTER on the index frame (a
+    partition-pruned read when the index is stored partitioned by
+    centroid_id — no assignments join), ADC over the probed cells' byte
+    codes shortlists `shortlist` rows reading ~32x fewer bytes than the
+    float vectors, and exact cosine re-ranks only those. Scores are
+    EXACT cosines; approximation affects only shortlist membership.
+    Output (vec_id, score) desc."""
+    q = np.asarray(list(query_vec), dtype=np.float64)
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(a @ b / (na * nb)) if na and nb else 0.0
+
+    probed = sorted(
+        ((cos(np.asarray(c, dtype=np.float64), q), cid) for cid, c in centroids),
+        reverse=True,
+    )[:n_probe]
+    probe_ids = [cid for _, cid in probed]
+    cand_codes = index_df.filter(F.col("centroid_id").isin(probe_ids)).select(
+        "id", "codes"
+    )
+    return pq_topk_rescore(
+        cand_codes, embeddings, query_vec, codebooks, k,
+        shortlist=shortlist, id_col=id_col, vec_col=vec_col,
+    )
 
 
 def hard_negatives(

@@ -220,14 +220,12 @@ class Workspace:
                 f"append requested {partition_buckets or 0}"
             )
         if partition_buckets:
-            (
-                chunks.withColumn(
-                    "_bucket",
-                    F.pmod(F.xxhash64(F.col("doc_id")), F.lit(partition_buckets)),
-                )
-                .write.mode("append")
-                .partitionBy("_bucket")
-                .parquet(self._tbl("chunks"))
+            chunks = chunks.withColumn(
+                "_bucket",
+                F.pmod(F.xxhash64(F.col("doc_id")), F.lit(partition_buckets)),
+            )
+            chunks.write.mode("append").partitionBy("_bucket").parquet(
+                self._tbl("chunks")
             )
         else:
             chunks.write.mode("append").parquet(self._tbl("chunks"))
@@ -236,7 +234,9 @@ class Workspace:
         if new_dim is not None:
             self.set_metadata("embedding_dimension", str(new_dim))
         self.set_metadata("partition_buckets", str(partition_buckets or 0))
-        self._invalidate_ann()
+        # index maintenance, not invalidation: a pure append only needs
+        # the new rows signed and appended to the index
+        self._ann_append(chunks)
 
     def chunks_for_doc(self, doc_id: str) -> DataFrame:
         """Doc-scoped read. On a bucketed workspace the `_bucket`
@@ -443,6 +443,7 @@ class Workspace:
                 .unionByName(updates)
             )
             self._overwrite("chunks", merged)
+            self._ann_replace_docs(doc_keys, updates, None)
             return
         affected = sorted(stats["buckets"])
         current = self.spark.read.parquet(self._tbl("chunks")).filter(
@@ -450,7 +451,9 @@ class Workspace:
         )
         merged = current.join(doc_keys, "doc_id", "left_anti").unionByName(updates_b)
         self._swap_buckets("chunks", merged, affected)
-        self._invalidate_ann()
+        # index maintenance mirrors the chunk rewrite: same doc keys,
+        # same affected buckets, fresh signatures for the new rows
+        self._ann_replace_docs(doc_keys, updates_b, affected)
 
     @_logged
     def delete_doc(self, doc_id: str) -> None:
@@ -461,11 +464,15 @@ class Workspace:
         if not self._exists("chunks"):
             return
         b = int(self.get_metadata("partition_buckets") or 0)
+        doc_keys = F.broadcast(
+            self.spark.createDataFrame([(doc_id,)], "doc_id string")
+        )
         if b <= 0:
             remaining = self.chunks(fold_boosts=False).filter(
                 F.col("doc_id") != doc_id
             )
             self._overwrite("chunks", remaining)
+            self._ann_replace_docs(doc_keys, None, None)
             return
         affected = self._doc_buckets([doc_id], b)
         remaining = (
@@ -474,7 +481,7 @@ class Workspace:
             .filter(F.col("doc_id") != doc_id)
         )
         self._swap_buckets("chunks", remaining, affected)
-        self._invalidate_ann()
+        self._ann_replace_docs(doc_keys, None, affected)
 
     def _swap_buckets(self, name: str, df: DataFrame, buckets: list[int]) -> None:
         """Per-bucket versioned swap: write only the given `_bucket`
@@ -516,18 +523,85 @@ class Workspace:
         and persist it (`ann_lsh` table + params in metadata). The scale
         contract: the corpus is signed ONCE here; each search then probes
         O(n_tables) tiny bucket keys instead of scanning every vector.
-        Any DML (add/merge/delete/clear) invalidates the index — a stale
-        ANN index silently returns wrong neighbors, so it is dropped, not
-        kept. Returns the number of index rows written."""
+
+        The index is MAINTAINED through DML, not dropped (r3): rows
+        carry doc_id, and on a bucketed workspace the chunk's `_bucket`
+        partitions the index directory too — so add/merge/delete update
+        the index with the same doc-keyed, bucket-scoped rewrites as the
+        chunk table (re-signing only the touched documents' chunks, one
+        index bucket out of the corpus). Returns index rows written."""
         from .operators.similarity import rp_lsh_buckets
 
+        b = int(self.get_metadata("partition_buckets") or 0)
+        carry = ("doc_id", "_bucket") if b > 0 else ("doc_id",)
         vecs = self.chunks(fold_boosts=False).select(
-            F.col("id").alias("vec_id"), "embedding"
+            F.col("id").alias("vec_id"), "embedding", *carry
         )
-        buckets = rp_lsh_buckets(vecs, dim, n_planes=n_planes, n_tables=n_tables)
-        self._overwrite("ann_lsh", buckets)
+        buckets = rp_lsh_buckets(
+            vecs, dim, n_planes=n_planes, n_tables=n_tables, carry_cols=carry
+        )
+        self._overwrite("ann_lsh", buckets)  # partitions by _bucket if present
         self.set_metadata("ann_params", f"{dim},{n_planes},{n_tables}")
         return self.spark.read.parquet(self._tbl("ann_lsh")).count()
+
+    def _ann_sigs(self, chunk_rows: DataFrame) -> DataFrame | None:
+        """Signatures for a batch of chunk rows under the registered ANN
+        params, carrying the maintenance keys. None when no index."""
+        params = self.get_metadata("ann_params")
+        if params is None or not self._exists("ann_lsh"):
+            return None
+        from .operators.similarity import rp_lsh_buckets
+
+        dim, n_planes, n_tables = (int(x) for x in params.split(","))
+        carry = (
+            ("doc_id", "_bucket")
+            if "_bucket" in chunk_rows.columns
+            else ("doc_id",)
+        )
+        return rp_lsh_buckets(
+            chunk_rows.select(F.col("id").alias("vec_id"), "embedding", *carry),
+            dim, n_planes=n_planes, n_tables=n_tables, carry_cols=carry,
+        )
+
+    def _ann_append(self, chunk_rows: DataFrame) -> None:
+        """Index maintenance for a pure append: sign the batch, append."""
+        sigs = self._ann_sigs(chunk_rows)
+        if sigs is None:
+            return
+        writer = sigs.write.mode("append")
+        if "_bucket" in sigs.columns:
+            writer = writer.partitionBy("_bucket")
+        writer.parquet(self._tbl("ann_lsh"))
+
+    def _ann_replace_docs(
+        self,
+        doc_keys,
+        new_rows: DataFrame | None,
+        affected: list[int] | None,
+    ) -> None:
+        """Index maintenance for doc-level MERGE/DELETE: drop the touched
+        docs' signature rows (doc-keyed anti-join) and insert fresh ones;
+        bucket-scoped swap when the index is partitioned (`affected` =
+        the same bucket set the chunk rewrite touched), full index
+        rewrite otherwise (index rows are id+bucket sized — far smaller
+        than the corpus either way)."""
+        if self.get_metadata("ann_params") is None or not self._exists("ann_lsh"):
+            return
+        sigs = self._ann_sigs(new_rows) if new_rows is not None else None
+        if affected:
+            cur = self.spark.read.parquet(self._tbl("ann_lsh")).filter(
+                F.col("_bucket").isin(affected)  # partition-pruned read
+            )
+            merged = cur.join(doc_keys, "doc_id", "left_anti")
+            if sigs is not None:
+                merged = merged.unionByName(sigs)
+            self._swap_buckets("ann_lsh", merged, affected)
+        else:
+            cur = self.spark.read.parquet(self._tbl("ann_lsh"))
+            merged = cur.join(doc_keys, "doc_id", "left_anti")
+            if sigs is not None:
+                merged = merged.unionByName(sigs)
+            self._overwrite("ann_lsh", merged)
 
     def ann_index(self):
         """(buckets DataFrame, dim, n_planes, n_tables) or None if no

@@ -34,6 +34,86 @@ def test_phrase_repeated_term(spark):
     assert got == {1: 2}
 
 
+def test_prefix_search_modes(spark):
+    """`tok*` matches any token with the prefix; bare terms exact; a doc
+    with many prefix hits still scores 1 per query term (VERDICT r2
+    missing #1)."""
+    from ai_vector_database_converstion_from_pdf_spark.operators.keyword import (
+        prefix_search,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "merge merged merging table"),   # merg* (x3 -> 1) + table
+            (2, "merchant table"),               # no merg*, exact table
+            (3, "merge only"),                   # merg* only
+            (4, "nothing relevant"),
+        ],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["match_cnt"]
+        for r in prefix_search(df, "merg* table", 10).collect()
+    }
+    assert got == {1: 2, 2: 1, 3: 1}
+    # probing a materialized fts_index gives identical results
+    idx = build_fts_index(df)
+    via_idx = {
+        r["id"]: r["match_cnt"]
+        for r in prefix_search(df, "merg* table", 10, fts_index=idx).collect()
+    }
+    assert via_idx == got
+
+
+def test_near_search_window(spark):
+    """NEAR(a b, n): terms within n intervening tokens match; farther
+    apart does not (VERDICT r2 missing #1)."""
+    from ai_vector_database_converstion_from_pdf_spark.operators.keyword import (
+        near_search,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha x beta"),                    # 1 intervening
+            (2, "alpha x y z beta"),                # 3 intervening
+            (3, "beta q alpha"),                    # order-free, 1 intervening
+            (4, "alpha only here"),
+            (5, "alpha x y beta z alpha"),          # two windows
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["near_cnt"] for r in near_search(df, "alpha beta", 10, n=2).collect()}
+    assert set(got) == {1, 3, 5}
+    assert got[1] >= 1 and got[3] >= 1
+    wide = {r["id"] for r in near_search(df, "alpha beta", 10, n=3).collect()}
+    assert wide == {1, 2, 3, 5}
+
+
+def test_boolean_search_groups(spark):
+    """`a AND b OR c NOT d`: OR-of-AND-groups with NOT exclusion."""
+    from ai_vector_database_converstion_from_pdf_spark.operators.keyword import (
+        boolean_search,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "merge sort join"),       # group1 (merge+sort)
+            (2, "dup rows here"),         # group2 (dup, no vector)
+            (3, "dup vector rows"),       # group2 blocked by NOT vector
+            (4, "merge only"),            # neither
+            (5, "merge sort dup"),        # both groups -> hit_groups 2
+        ],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["hit_groups"]
+        for r in boolean_search(
+            df, "merge AND sort OR dup NOT vector", 10
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 5: 2}
+
+
 def test_heading_tokens_match_via_fts_index(spark):
     docs = spark.createDataFrame(
         [
