@@ -113,11 +113,26 @@ class PvdbEngine:
         use_rerank: bool = False,
         use_mmr: bool = False,
         use_exploration: bool = False,
+        use_ann: bool | None = None,
     ) -> list[dict]:
         """Full hybrid pipeline with serving-state wiring. Returns ranked
-        result dicts (id, text, score, semantic_rank, keyword_rank, ...)."""
+        result dicts (id, text, score, semantic_rank, keyword_rank, ...).
+
+        use_ann: None (default) probes the workspace's persisted RP-LSH
+        index when one exists — the semantic branch then scores only the
+        index candidates instead of scanning every vector (the 100 TB
+        serving shape; the index is DML-maintained so it is never
+        stale). True requires the index (raises if absent), False forces
+        the exact full scan. Ranking within candidates is exact cosine
+        either way."""
         qvec = self.embed_text(query)
-        variant = f"k={k};r={int(use_rerank)};m={int(use_mmr)};x={int(use_exploration)}"
+        ann = self.workspace.ann_index() if use_ann is not False else None
+        if use_ann is True and ann is None:
+            raise ValueError("use_ann=True but the workspace has no ANN index")
+        variant = (
+            f"k={k};r={int(use_rerank)};m={int(use_mmr)}"
+            f";x={int(use_exploration)};a={int(ann is not None)}"
+        )
         cached = self.cache.get(query, qvec, variant=variant)
         if cached is not None:
             return cached
@@ -161,6 +176,14 @@ class PvdbEngine:
             # exploration / rerank need the FULL fused candidate set, so
             # fetch it untruncated and resize to k at the end (same order
             # of operations as the reference, vector_store.cpp:460-556)
+            prefilter = None
+            if ann is not None:
+                from .operators.similarity import rp_lsh_candidates
+
+                buckets, a_dim, a_planes, a_tables = ann
+                prefilter = rp_lsh_candidates(
+                    buckets, qvec, a_dim, a_planes, a_tables
+                )
             fused = hybrid_search(
                 corpus, vecs, query, qvec, k=k, logs=logs,
                 chunk_type_col="chunk_type", heading_level_col="heading_level",
@@ -168,6 +191,7 @@ class PvdbEngine:
                 # a query hitting only a section title still matches
                 fts_index=self.workspace.fts_index(),
                 return_fused=True,
+                vec_prefilter=prefilter,
             )
             rows = [r.asDict() for r in fused.collect()]
 

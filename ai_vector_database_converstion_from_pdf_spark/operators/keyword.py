@@ -398,3 +398,49 @@ def keyword_search(
         .orderBy(F.col("match_cnt").desc(), F.col("id").asc())
         .limit(limit)
     )
+
+
+def match_search(
+    chunks: DataFrame,
+    match_query: str,
+    limit: int,
+    id_col: str = "id",
+    text_col: str = "text",
+    fts_index: DataFrame | None = None,
+) -> DataFrame:
+    """The FTS5 MATCH front door (`vector_store.cpp:251-262`: the
+    reference hands the raw user string to `embeddings_fts MATCH :q`) —
+    dispatches on the query's syntax exactly as FTS5 would parse it:
+
+      "quoted phrase"      -> phrase_search  (consecutive tokens)
+      NEAR(a b, n)         -> near_search    (n intervening tokens, 10
+                                              when omitted, FTS5 default)
+      a AND b OR c NOT d   -> boolean_search (uppercase keywords)
+      tok*                 -> prefix_search  (any term ends with *)
+      plain terms          -> keyword_search (OR-of-terms)
+
+    All branches rank deterministically (score desc, id asc) and carry
+    the FTS branch's flat-0.5 kw_score column contract."""
+    import re
+
+    q = match_query.strip()
+    near = re.fullmatch(r"NEAR\(\s*([^,)]+?)\s*(?:,\s*(\d+)\s*)?\)", q)
+    if near:
+        n = int(near.group(2)) if near.group(2) else 10
+        return near_search(
+            chunks, near.group(1), limit, n=n, id_col=id_col, text_col=text_col
+        )
+    if len(q) >= 2 and q[0] == '"' and q[-1] == '"':
+        return phrase_search(chunks, q[1:-1], limit, id_col=id_col, text_col=text_col)
+    toks = q.split()
+    if any(t in ("AND", "OR", "NOT") for t in toks):
+        return boolean_search(
+            chunks, q, limit, id_col=id_col, text_col=text_col, fts_index=fts_index
+        )
+    if any(t.endswith("*") and t.rstrip("*") for t in toks):
+        return prefix_search(
+            chunks, q, limit, id_col=id_col, text_col=text_col, fts_index=fts_index
+        )
+    return keyword_search(
+        chunks, q, limit, id_col=id_col, text_col=text_col, fts_index=fts_index
+    )

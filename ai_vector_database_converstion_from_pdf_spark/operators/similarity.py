@@ -72,6 +72,31 @@ def rp_lsh_buckets(
     return out
 
 
+def rp_lsh_candidates(
+    buckets: DataFrame,
+    query_vec,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Distinct candidate ids for a query against a precomputed RP-LSH
+    bucket table: the query's n_tables signatures compute driver-side
+    (tiny) and semi-join the index — the probe reads only matching
+    bucket rows, never the vectors. Shared by ann_lsh_topk and the
+    engine's ANN-accelerated serving path."""
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    sigs = [
+        (t, "".join("1" if float(p @ q) >= 0 else "0" for p in _planes(dim, n_planes, t)))
+        for t in range(n_tables)
+    ]
+    qsig = buckets.sparkSession.createDataFrame(sigs, "table int, bucket string")
+    return (
+        buckets.join(F.broadcast(qsig), ["table", "bucket"], "left_semi")
+        .select("id")
+        .distinct()
+    )
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     query_vec,
@@ -88,18 +113,7 @@ def ann_lsh_topk(
     q = np.asarray(list(query_vec), dtype=np.float64)
     if buckets is None:
         buckets = rp_lsh_buckets(embeddings, dim, n_planes, n_tables, id_col, vec_col)
-    # query signatures computed driver-side (tiny)
-    sigs = [
-        (t, "".join("1" if float(p @ q) >= 0 else "0" for p in _planes(dim, n_planes, t)))
-        for t in range(n_tables)
-    ]
-    spark = embeddings.sparkSession
-    qsig = spark.createDataFrame(sigs, "table int, bucket string")
-    cand_ids = (
-        buckets.join(F.broadcast(qsig), ["table", "bucket"], "left_semi")
-        .select("id")
-        .distinct()
-    )
+    cand_ids = rp_lsh_candidates(buckets, q, dim, n_planes, n_tables)
     cands = embeddings.join(
         cand_ids, embeddings[id_col] == cand_ids["id"], "left_semi"
     )

@@ -43,6 +43,7 @@ def hybrid_search(
     chunk_type_col: str | None = None,
     heading_level_col: str | None = None,
     return_fused: bool = False,
+    vec_prefilter: DataFrame | None = None,
 ) -> DataFrame:
     """Returns (id, semantic_rank, keyword_rank, score, text) top-k.
 
@@ -57,6 +58,17 @@ def hybrid_search(
 
     corpus = docs.select(F.col(doc_id).alias("id"), F.col(text_col).alias("text"))
     vecs = embeddings.select(F.col(vec_id).alias("id"), F.col(vec_col).alias("vec"))
+    if vec_prefilter is not None:
+        # ANN-accelerated serving: the semantic branch scores only the
+        # prefiltered candidate ids (e.g. an RP-LSH index probe) instead
+        # of the whole vector table — candidates are query-sized, so the
+        # semi-join broadcasts and the corpus scan prunes map-side.
+        # Ranking within candidates is still exact cosine.
+        vecs = vecs.join(
+            F.broadcast(vec_prefilter.select(F.col(vec_prefilter.columns[0]).alias("id"))),
+            "id",
+            "left_semi",
+        )
 
     # Semantic branch scores the embedding table ALONE — joining text in
     # here would sort-merge-shuffle two corpus-sized tables per query

@@ -57,6 +57,47 @@ def test_full_lifecycle(spark, tmp_path):
     assert logs.filter(~F.col("query").startswith("USER_CLICK:")).count() >= 3
 
 
+def test_search_uses_maintained_ann_index(spark, tmp_path):
+    """ANN-accelerated serving (r3): with a persisted RP-LSH index the
+    semantic branch scores only the index candidates; results stay
+    exact-cosine-ranked within candidates, survive DML (the index is
+    maintained, not dropped), and use_ann=False forces the full scan."""
+    from ai_vector_database_converstion_from_pdf_spark.engine import PvdbEngine
+
+    eng = PvdbEngine(spark, str(tmp_path / "eng_ann"), dim=16,
+                     asof="2024-06-01 00:00:00")
+    docs = (
+        spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .limit(40)
+        .select("doc_id", "text")
+    )
+    eng.index_documents(docs)
+    with_scan = eng.search("merge fast table join", k=3, use_ann=False)
+
+    eng.workspace.build_ann_index(dim=16, n_planes=4, n_tables=8)
+    eng.cache.clear()
+    with_ann = eng.search("merge fast table join", k=3)  # auto-probes
+    assert with_ann and with_ann[0]["id"] == with_scan[0]["id"]
+    # ann and scan variants cache under DIFFERENT keys (scores drift as
+    # retrieval logs grow — the stability bias — so compare ranking)
+    rescan = eng.search("merge fast table join", k=3, use_ann=False)
+    assert [r["id"] for r in rescan] == [r["id"] for r in with_scan]
+
+    # the index survives (and tracks) DML: delete the top doc, search again
+    top = with_ann[0]["id"]
+    eng.delete_document(str(top))
+    after = eng.search("merge fast table join", k=3)
+    assert all(r["id"] != top for r in after)
+
+    import pytest
+
+    eng2 = PvdbEngine(spark, str(tmp_path / "eng_no_idx"), dim=16,
+                      asof="2024-06-01 00:00:00")
+    eng2.index_documents(docs.limit(5))
+    with pytest.raises(ValueError, match="no ANN index"):
+        eng2.search("anything", use_ann=True)
+
+
 def test_critical_latency_degrades_to_keyword_only(spark, tmp_path):
     from ai_vector_database_converstion_from_pdf_spark.engine import PvdbEngine
 

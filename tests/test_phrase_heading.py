@@ -114,6 +114,42 @@ def test_boolean_search_groups(spark):
     assert got == {1: 1, 2: 1, 5: 2}
 
 
+def test_match_search_dispatch(spark):
+    """The FTS5 MATCH front door routes each syntax to its engine the
+    way FTS5 parses the raw string (vector_store.cpp:251-262)."""
+    from ai_vector_database_converstion_from_pdf_spark.operators.keyword import (
+        match_search,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "fast table scan"),
+            (2, "table x y fast"),
+            (3, "merge sorted data"),
+            (4, "fast vector table"),
+        ],
+        "id long, text string",
+    )
+
+    # quoted -> phrase (adjacent only)
+    assert [r["id"] for r in match_search(df, '"fast table"', 10).collect()] == [1]
+    # NEAR -> windowed
+    near_ids = {r["id"] for r in match_search(df, "NEAR(fast table, 2)", 10).collect()}
+    assert near_ids == {1, 2, 4}
+    # boolean keywords
+    bool_ids = {
+        r["id"]
+        for r in match_search(df, "fast AND table NOT vector", 10).collect()
+    }
+    assert bool_ids == {1, 2}
+    # star -> prefix
+    pref = {r["id"]: r["match_cnt"] for r in match_search(df, "sort*", 10).collect()}
+    assert pref == {3: 1}
+    # plain -> OR-of-terms
+    plain = {r["id"] for r in match_search(df, "fast merge", 10).collect()}
+    assert plain == {1, 2, 3, 4}
+
+
 def test_heading_tokens_match_via_fts_index(spark):
     docs = spark.createDataFrame(
         [

@@ -41,10 +41,14 @@ EXPECT = {
     # composed curation: union + one groupBy(doc_id) assembly — no
     # corpus-sized sort-merge join anywhere, no Python UDF anywhere
     "curation_pipeline": ["!SortMergeJoin", "!ArrowEvalPython", "!MapInPandas"],
-    # FTS prefix/NEAR: top-k without global sort, postings In/StartsWith
-    # filtered before any shuffle
+    # FTS prefix/NEAR/boolean: top-k without global sort, postings
+    # In/StartsWith filtered before any shuffle
     "q3_prefix_search": ["TakeOrderedAndProject"],
     "q3_near_search": ["TakeOrderedAndProject"],
+    "q3_boolean_search": ["TakeOrderedAndProject"],
+    # IVF coarse assign: centroids are plan literals — no join, no
+    # exchange before the output sort
+    "embedding_cluster_assign": ["!SortMergeJoin", "!BroadcastHashJoin"],
     # Q6 is the pushdown litmus: every predicate must reach the scan
     "tpch_q6_forecast_revenue": ["PushedFilters: [IsNotNull(l_shipdate)", "!SortMergeJoin"],
     "tpch_q14_promo_effect": ["BroadcastHashJoin", "PushedFilters", "!SortMergeJoin"],
@@ -60,6 +64,16 @@ EXPECT = {
     "tpch_q13_custdist": ["PushedFilters"],
     # decorrelated threshold agg joins part-keyed
     "tpch_q17_small_quantity_revenue": ["BroadcastHashJoin", "PushedFilters"],
+    # EXISTS decorrelated to a left-semi; order-date range pushed to scan
+    "tpch_q4_order_priority": ["LeftSemi", "PushedFilters"],
+    # shipdate range pushed below the fact-fact join
+    "tpch_q12_late_lineitems": ["PushedFilters"],
+    # one suppkey shuffle; scalar max + supplier dim both broadcast
+    "tpch_q15_top_supplier": ["BroadcastHashJoin", "PushedFilters"],
+    # disjunctive predicate splits below the broadcast part join
+    "tpch_q19_discounted_revenue": ["BroadcastHashJoin", "PushedFilters"],
+    # the semi/anti pair both resolve without a cartesian
+    "tpch_q21_waiting_suppliers": ["LeftSemi", "LeftAnti", "BroadcastHashJoin"],
 }
 
 
