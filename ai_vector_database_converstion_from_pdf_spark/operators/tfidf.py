@@ -57,3 +57,39 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "df", "tfidf", "rank")
     )
+
+
+def corpus_ngram_counts(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide word n-gram occurrence counts — the classic LM-data
+    MapReduce workload (and the raw-count sibling of dedup.word_shingles,
+    which distincts per doc for Jaccard): (gram, occurrences, doc_freq).
+
+    Scale shape: one scan exploding each doc's n-token windows, then one
+    groupBy(gram) with BOTH aggregates (sum of occurrences via count,
+    distinct docs via countDistinct) — map-side partial-combined, a
+    single shuffle keyed by gram. Hot grams skew the shuffle exactly like
+    hot shingles; downstream consumers should threshold or salt if a
+    full unthresholded table is needed at 100 TB."""
+    from ..functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("ts")
+    )
+    idx = F.when(
+        F.size("ts") >= n, F.sequence(F.lit(0), F.size("ts") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toks.select(
+        "id",
+        F.explode(
+            F.transform(idx, lambda i: F.array_join(F.slice("ts", i + 1, n), " "))
+        ).alias("gram"),
+    )
+    return grams.groupBy("gram").agg(
+        F.count("*").cast("long").alias("occurrences"),
+        F.countDistinct("id").cast("long").alias("doc_freq"),
+    )

@@ -113,3 +113,54 @@ def test_stream_upsert_auto_compacts(spark, tmp_path):
             assert len(files) <= 2, (e, files)
     assert ws.count() == 8
     assert ws.chunks().select("id").distinct().count() == 8
+
+
+def test_stream_upsert_maintains_ann_index(spark, tmp_path):
+    """The streaming MERGE sink flows through merge_chunks, so the
+    persisted RP-LSH index stays fresh batch-by-batch (r3 maintained-
+    index contract) — after the stream drains, the index equals a
+    from-scratch rebuild over the final corpus."""
+    from ai_vector_database_converstion_from_pdf_spark.functions.embed import (
+        make_embed_udf,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.operators.similarity import (
+        rp_lsh_buckets,
+    )
+
+    ws = Workspace(spark, str(tmp_path / "ws_ann"))
+    ws.add_chunks(_chunks_df(spark, n=12), partition_buckets=4)
+    ws.build_ann_index(dim=16, n_planes=4, n_tables=4)
+
+    revised = (
+        _chunks_df(spark, n=4)
+        .withColumn("text", F.concat(F.lit("STREAMED REWRITE "), F.col("doc_id")))
+    )
+    revised = revised.withColumn("embedding", make_embed_udf(16)(F.col("text")))
+    batch_dir = str(tmp_path / "in_ann")
+    revised.coalesce(1).write.mode("overwrite").parquet(batch_dir)
+
+    q = stream_upsert_to_workspace(
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(batch_dir).schema)
+        .load(batch_dir),
+        ws,
+        str(tmp_path / "ckpt_ann"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert ws.ann_index() is not None  # maintained, never dropped
+    got = {
+        (r["id"], r["table"], r["bucket"])
+        for r in ws.ann_index()[0].select("id", "table", "bucket").collect()
+    }
+    vecs = ws.chunks(fold_boosts=False).select(
+        F.col("id").alias("vec_id"), "embedding"
+    )
+    want = {
+        (r["id"], r["table"], r["bucket"])
+        for r in rp_lsh_buckets(vecs, 16, n_planes=4, n_tables=4)
+        .select("id", "table", "bucket")
+        .collect()
+    }
+    assert got == want
