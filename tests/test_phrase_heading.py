@@ -193,3 +193,47 @@ def test_engine_search_matches_heading_token(spark, tmp_path):
     res = eng.search("zygote", k=3)
     assert res
     assert res[0]["id"] == 3
+
+
+def test_fts_modes_cross_consistency(spark):
+    """The MATCH family is internally consistent on real fixture data:
+    degenerate forms of each mode collapse to the simpler mode."""
+    from tests.conftest import SF_ORACLE
+    from ai_vector_database_converstion_from_pdf_spark.operators.keyword import (
+        boolean_search,
+        near_search,
+        prefix_search,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").limit(200)
+    kw = keyword_search(docs, "merge", 1000, id_col="doc_id", text_col="text")
+    kw_ids = {r["id"] for r in kw.collect()}
+
+    # boolean with ONE positive term == plain term match
+    b_ids = {
+        r["id"]
+        for r in boolean_search(docs, "merge", 1000, id_col="doc_id",
+                                text_col="text").collect()
+    }
+    assert b_ids == kw_ids
+
+    # prefix query with no star == exact term match (counts too)
+    p = {
+        (r["id"], r["match_cnt"])
+        for r in prefix_search(docs, "merge", 1000, id_col="doc_id",
+                               text_col="text").collect()
+    }
+    assert p == {(r["id"], r["match_cnt"]) for r in kw.collect()}
+
+    # NEAR with an unbounded window == boolean AND of the terms
+    both = {
+        r["id"]
+        for r in boolean_search(docs, "merge AND sort", 1000, id_col="doc_id",
+                                text_col="text").collect()
+    }
+    wide = {
+        r["id"]
+        for r in near_search(docs, "merge sort", 1000, n=10_000,
+                             id_col="doc_id", text_col="text").collect()
+    }
+    assert wide == both

@@ -74,6 +74,12 @@ EXPECT = {
     "tpch_q19_discounted_revenue": ["BroadcastHashJoin", "PushedFilters"],
     # the semi/anti pair both resolve without a cartesian
     "tpch_q21_waiting_suppliers": ["LeftSemi", "LeftAnti", "BroadcastHashJoin"],
+    # one gram-keyed groupBy carrying both aggregates
+    "corpus_ngram_counts": ["!SortMergeJoin", "TakeOrderedAndProject"],
+    # pure expressions into one source-keyed agg — no UDF, no join
+    "source_quality_report": ["!SortMergeJoin", "!MapInPandas"],
+    # quartile breakpoints broadcast back; no global ntile window, no SMJ
+    "events_rfm_segments": ["!SortMergeJoin", "!Window"],
 }
 
 

@@ -117,6 +117,26 @@ def main() -> None:
         f"({100*b_compact/total:.1f}% of table)"
     )
 
+    # ANN index maintenance (r3): with a persisted RP-LSH index, a
+    # one-doc MERGE re-signs only that doc and swaps only its index
+    # bucket — measured against the r2 alternative (drop + full rebuild)
+    t0 = time.perf_counter()
+    ws.build_ann_index(dim=16, n_planes=4, n_tables=8)
+    t_build = time.perf_counter() - t0
+    idx_table = ws._tbl("ann_lsh")
+    idx_total = sum(sz for sz, _mt in _snapshot(idx_table).values())
+    print(f"ann index build:       {t_build:5.2f}s  ({idx_total/1e6:.1f} MB index)")
+    before_idx = _snapshot(idx_table)
+    t0 = time.perf_counter()
+    ws.merge_chunks(upd)
+    t_merge_idx = time.perf_counter() - t0
+    b_idx = _rewritten_bytes(before_idx, _snapshot(idx_table))
+    print(
+        f"merge w/ maintained index: {t_merge_idx:5.2f}s  index rewrote "
+        f"{b_idx/1e6:6.2f} MB ({100*b_idx/max(idx_total,1):.1f}% of index; "
+        f"rebuild would cost {t_build:.1f}s + full index write)"
+    )
+
     t0 = time.perf_counter()
     ws._overwrite("chunks", ws.chunks(fold_boosts=False))
     t_full = time.perf_counter() - t0
