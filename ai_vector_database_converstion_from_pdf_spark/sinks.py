@@ -670,6 +670,11 @@ class Workspace:
             self.chunks(fold_boosts=False)
             .filter(F.col("_bucket").isin(affected))  # partition-pruned read
             .repartition(len(affected), "_bucket")    # exactly 1 file/bucket
+            # cluster rows by (doc_id, chunk_idx) inside each compacted
+            # file: parquet min/max stats then row-group-prune doc point
+            # reads (chunks_for_doc) instead of scanning the whole
+            # bucket — the Z-ORDER-lite a single sort key buys
+            .sortWithinPartitions("_bucket", "doc_id", "chunk_idx")
         )
         self._swap_buckets("chunks", compacted, affected)
         files_after = sum(

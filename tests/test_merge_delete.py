@@ -299,6 +299,17 @@ def test_optimize_compacts_fragmented_buckets(spark, tmp_path):
         files = [f for f in os.listdir(d) if f.endswith(".parquet")]
         assert len(files) == 1
 
+    # compacted files are CLUSTERED by (doc_id, chunk_idx) — parquet
+    # min/max stats then row-group-prune doc point reads (r3)
+    for b in stats["buckets_compacted"]:
+        d = os.path.join(ws._tbl("chunks"), f"_bucket={b}")
+        f = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
+        rows = spark.read.parquet(os.path.join(d, f)).select(
+            "doc_id", "chunk_idx"
+        ).collect()
+        keys = [(r["doc_id"], r["chunk_idx"]) for r in rows]
+        assert keys == sorted(keys)
+
     # idempotent: second optimize is a no-op
     again = ws.optimize(max_files_per_bucket=4)
     assert again["buckets_compacted"] == []
