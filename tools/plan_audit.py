@@ -80,6 +80,9 @@ EXPECT = {
     "source_quality_report": ["!SortMergeJoin", "!MapInPandas"],
     # quartile breakpoints broadcast back; no global ntile window, no SMJ
     "events_rfm_segments": ["!SortMergeJoin", "!Window"],
+    # candidate pairs broadcast into the two corpus text fetches;
+    # levenshtein verifies candidates only — never an all-pairs join
+    "dedup_edit_distance": ["BroadcastHashJoin", "!SortMergeJoin"],
 }
 
 
