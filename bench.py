@@ -62,6 +62,10 @@ HEADLINE = [
     "hard_negative_mining",
     "events_cohort_retention",
     "tpch_q8_market_share",
+    "q3_boolean_search",
+    "ann_ivf_pq_topk",
+    "curation_pipeline",
+    "events_rfm_segments",
 ]
 
 
