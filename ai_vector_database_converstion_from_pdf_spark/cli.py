@@ -80,6 +80,14 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--chunk-id", type=int, required=True)
     sp.add_argument("--exploration", action="store_true")
 
+    sp = sub.add_parser(
+        "fts-match",
+        help="raw FTS5 MATCH (phrase/NEAR/boolean/prefix/plain) over the corpus",
+    )
+    common(sp)
+    sp.add_argument("-q", "--query", required=True)
+    sp.add_argument("-k", type=int, default=10)
+
     sp = sub.add_parser("export", help="S2: CSV export")
     common(sp)
     sp.add_argument("--out", required=True)
@@ -144,6 +152,37 @@ def main(argv: list[str] | None = None) -> int:
         eng = _engine(spark, args)
         eng.click(args.query, args.chunk_id, was_exploration=args.exploration)
         _emit({"clicked": args.chunk_id})
+    elif args.cmd == "fts-match":
+        # the reference hands the raw user string to `embeddings_fts
+        # MATCH :q` (vector_store.cpp:251-262); match_search is that
+        # front door — syntax dispatch, flat-score contract, broadcast
+        # text fetch-back for the <=k hits
+        from pyspark.sql import functions as F
+
+        from .operators.keyword import match_search
+        from .sinks import Workspace
+
+        ws = Workspace(spark, args.workspace)
+        corpus = ws.chunks().select("id", "text")
+        hits = match_search(corpus, args.query, args.k)
+        score_col = hits.columns[1]  # match_cnt / phrase_cnt / near_cnt / hit_groups
+        rows = {r["id"]: r for r in hits.collect()}
+        texts = {
+            r["id"]: r["text"]
+            for r in corpus.join(
+                F.broadcast(hits.select("id")), "id", "left_semi"
+            ).collect()
+        }
+        ranked = sorted(rows.values(), key=lambda r: (-r[score_col], r["id"]))
+        for r in ranked:
+            _emit(
+                {
+                    "id": r["id"],
+                    score_col: r[score_col],
+                    "kw_score": r["kw_score"],
+                    "text": texts.get(r["id"]),
+                }
+            )
     elif args.cmd == "export":
         from .sinks import Workspace
 

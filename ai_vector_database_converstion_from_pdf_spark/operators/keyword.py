@@ -231,7 +231,8 @@ def boolean_search(
     accepts `a AND b OR c NOT d`). Parser subset: uppercase AND/OR/NOT
     keywords, FTS5 precedence NOT > AND > OR, no parentheses — the query
     normalizes to OR-of-AND-groups where each group has positive terms
-    and NOT-negated terms. A doc matches a group when every positive
+    and NOT-negated terms; `tok*` prefix terms are allowed anywhere a
+    term is (matched via StartsWith, like prefix_search). A doc matches a group when every positive
     term is present and no negated term is; hit_groups counts matching
     groups (ranking signal), kw_score stays flat 0.5 like the
     reference's FTS branch. Columns (id, hit_groups, kw_score).
@@ -252,14 +253,18 @@ def boolean_search(
         elif tok == "NOT":
             negate = True
         else:
+            is_pref = tok.endswith("*")
             t = "".join(ch for ch in tok.lower() if ch.isalnum())
             if t:
-                groups[-1][1 if negate else 0].append(t)
+                # FTS5 allows prefix terms inside boolean expressions:
+                # `merg* NOT unrelated` — keep the star as a term kind
+                groups[-1][1 if negate else 0].append((t, is_pref))
             negate = False
     groups = [(p, n) for p, n in groups if p]
     if not groups:
         raise ValueError("boolean query needs at least one positive term")
     terms = sorted({t for p, n in groups for t in p + n})
+    idx_of = {t: i for i, t in enumerate(terms)}
     if fts_index is not None:
         postings = fts_index
     else:
@@ -267,20 +272,25 @@ def boolean_search(
             F.col(id_col).alias("id"),
             F.explode(tokens(F.col(text_col))).alias("token"),
         ).distinct()
-    flags = [
-        F.max(F.when(F.col("token") == t, F.lit(1)).otherwise(F.lit(0))).alias(
-            f"_f_{t}"
-        )
-        for t in terms
+    preds = [
+        F.col("token").startswith(base) if is_pref else (F.col("token") == base)
+        for base, is_pref in terms
     ]
-    byid = postings.filter(F.col("token").isin(terms)).groupBy("id").agg(*flags)
+    any_pred = preds[0]
+    for p in preds[1:]:
+        any_pred = any_pred | p
+    flags = [
+        F.max(F.when(p, F.lit(1)).otherwise(F.lit(0))).alias(f"_f_{i}")
+        for i, p in enumerate(preds)
+    ]
+    byid = postings.filter(any_pred).groupBy("id").agg(*flags)
 
-    def group_match(pos: list[str], neg: list[str]):
+    def group_match(pos: list, neg: list):
         cond = F.lit(True)
         for t in pos:
-            cond = cond & (F.col(f"_f_{t}") == 1)
+            cond = cond & (F.col(f"_f_{idx_of[t]}") == 1)
         for t in neg:
-            cond = cond & (F.col(f"_f_{t}") == 0)
+            cond = cond & (F.col(f"_f_{idx_of[t]}") == 0)
         return cond
 
     hit = F.lit(0)

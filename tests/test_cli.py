@@ -45,6 +45,35 @@ def test_cli_full_cycle(spark, capsys, tmp_path):
     assert got[0]["removed"] == []
 
 
+def test_cli_fts_match_modes(spark, capsys, tmp_path):
+    """The raw-MATCH front door (vector_store.cpp:251-262) from the CLI:
+    phrase, NEAR, boolean, and prefix syntaxes all rank with real text."""
+    ws = str(tmp_path / "cli_fts")
+    src = str(tmp_path / "fts_in.parquet")
+    spark.createDataFrame(
+        [
+            (1, "merge strategy beats naive merge strategy"),
+            (2, "strategy x y merge"),
+            (3, "merging tables quickly"),
+            (4, "unrelated content row"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    base = ["-w", ws, "--dim", "16", "--asof", "2024-06-01 00:00:00"]
+    _run(capsys, ["index-text", *base, "--parquet", src])
+
+    got = _run(capsys, ["fts-match", *base, "-q", '"merge strategy"'])
+    assert [r["id"] for r in got] == [1] and got[0]["phrase_cnt"] == 2
+    assert "merge strategy" in got[0]["text"]
+
+    got = _run(capsys, ["fts-match", *base, "-q", "NEAR(merge strategy, 2)"])
+    assert {r["id"] for r in got} == {1, 2}
+
+    got = _run(capsys, ["fts-match", *base, "-q", "merg* NOT unrelated OR tables"])
+    ids = {r["id"] for r in got}
+    assert 3 in ids and 4 not in ids
+
+
 def test_cli_reindex_ids_are_stable(spark, capsys, tmp_path):
     """index-pdf doc ids derive from content (xxhash64 of source doc +
     chunk index), not a per-invocation row_number — so re-indexing the
