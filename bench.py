@@ -17,18 +17,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# the 17 queries benchmarked since round 1 — BASELINE.md's comparison
-# spine. These get an extra rep (min-of-3): the shared host swings
-# 1.3-1.5x with co-tenant load, and the extra rep keeps real per-query
-# regressions distinguishable from noise on exactly the set the
-# round-over-round comparison reads.
-LEGACY = {
+# min-of-3 set: the 17 queries benchmarked since round 1 (BASELINE.md's
+# round-over-round comparison spine) plus the two load-noisiest entries
+# (driver-side k-means/pair-generation CPU work swings 3-4x under
+# co-tenant load). The extra rep keeps real per-query regressions
+# distinguishable from noise exactly where comparisons are read.
+REP3 = {
     "hybrid_rrf", "hybrid_rrf_batch", "q1_semantic_topk", "knn_multi",
     "q3_keyword_search", "dedup_exact", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "dedup_embedding_cosine", "text_profile",
     "tpch_q1_pricing_summary", "star_join_revenue", "topk_per_group",
     "events_sessionize", "events_tumbling_window", "q15_context_window",
     "ingest_chunker",
+    "graph_pagerank_simdocs", "ann_pq_topk",
 }
 
 HEADLINE = [
@@ -91,7 +92,7 @@ def main() -> None:
     for name in HEADLINE:
         fn = qs[name]
         best, rows = float("inf"), 0
-        for _rep in range(3 if name in LEGACY else 2):
+        for _rep in range(3 if name in REP3 else 2):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             rows = df.count()
