@@ -67,6 +67,10 @@ HEADLINE = [
     "ann_ivf_pq_topk",
     "curation_pipeline",
     "events_rfm_segments",
+    "dedup_duplicate_spans",
+    "events_gapfill_daily",
+    "events_user_lifecycle",
+    "orders_priority_islands",
 ]
 
 

@@ -83,6 +83,14 @@ EXPECT = {
     # candidate pairs broadcast into the two corpus text fetches;
     # levenshtein verifies candidates only — never an all-pairs join
     "dedup_edit_distance": ["BroadcastHashJoin", "!SortMergeJoin"],
+    # growth accounting: user-partitioned lag, tiny day x status rollup
+    "events_user_lifecycle": ["!SortMergeJoin", "!MapInPandas"],
+    # per-user spine explode + co-partitioned join + partitioned fill
+    "events_gapfill_daily": ["!MapInPandas", "!BroadcastNestedLoopJoin"],
+    # gaps-and-islands: both windows share ONE custkey sort, no join
+    "orders_priority_islands": ["!SortMergeJoin", "!BroadcastHashJoin"],
+    # substring-level dedup: map-only shingling, agg-only — no join at all
+    "dedup_duplicate_spans": ["!SortMergeJoin", "!BroadcastHashJoin", "!MapInPandas"],
 }
 
 
