@@ -237,6 +237,7 @@ class Workspace:
         # index maintenance, not invalidation: a pure append only needs
         # the new rows signed and appended to the index
         self._ann_append(chunks)
+        self._rollup_append(chunks)
 
     def chunks_for_doc(self, doc_id: str) -> DataFrame:
         """Doc-scoped read. On a bucketed workspace the `_bucket`
@@ -322,9 +323,10 @@ class Workspace:
 
     @_logged
     def clear(self) -> None:
-        for t in ("chunks", "boosts", "ann_lsh"):
+        for t in ("chunks", "boosts", "ann_lsh", "doc_rollup"):
             self._fs.rmtree(self._tbl(t))
         self.delete_metadata("ann_params")
+        self.delete_metadata("doc_rollup")
         # a cleared workspace is a FRESH workspace: both the dimension
         # and the bucket-layout registration must go, or the next
         # add_chunks would be locked to the old layout
@@ -444,6 +446,7 @@ class Workspace:
             )
             self._overwrite("chunks", merged)
             self._ann_replace_docs(doc_keys, updates, None)
+            self._rollup_replace_docs(doc_keys, updates, None)
             return
         affected = sorted(stats["buckets"])
         current = self.spark.read.parquet(self._tbl("chunks")).filter(
@@ -451,9 +454,10 @@ class Workspace:
         )
         merged = current.join(doc_keys, "doc_id", "left_anti").unionByName(updates_b)
         self._swap_buckets("chunks", merged, affected)
-        # index maintenance mirrors the chunk rewrite: same doc keys,
-        # same affected buckets, fresh signatures for the new rows
+        # index and rollup maintenance mirror the chunk rewrite: same doc
+        # keys, same affected buckets, fresh rows for the new versions
         self._ann_replace_docs(doc_keys, updates_b, affected)
+        self._rollup_replace_docs(doc_keys, updates_b, affected)
 
     @_logged
     def delete_doc(self, doc_id: str) -> None:
@@ -473,6 +477,7 @@ class Workspace:
             )
             self._overwrite("chunks", remaining)
             self._ann_replace_docs(doc_keys, None, None)
+            self._rollup_replace_docs(doc_keys, None, None)
             return
         affected = self._doc_buckets([doc_id], b)
         remaining = (
@@ -482,6 +487,7 @@ class Workspace:
         )
         self._swap_buckets("chunks", remaining, affected)
         self._ann_replace_docs(doc_keys, None, affected)
+        self._rollup_replace_docs(doc_keys, None, affected)
 
     def _swap_buckets(self, name: str, df: DataFrame, buckets: list[int]) -> None:
         """Per-bucket versioned swap: write only the given `_bucket`
@@ -615,6 +621,142 @@ class Workspace:
     def _invalidate_ann(self) -> None:
         self._fs.rmtree(self._tbl("ann_lsh"))
         self.delete_metadata("ann_params")
+
+    # -- Continuous aggregate: per-doc rollup (mergeable partials) --------
+    #
+    # The hypertable-rollup analog: a per-document aggregate table kept
+    # fresh THROUGH DML instead of recomputed by corpus scans. The design
+    # reuses the workspace's two existing maintenance idioms:
+    #   * appends land mergeable PARTIAL aggregate rows (the boosts-delta
+    #     pattern — one tiny groupBy of the batch, never a corpus read);
+    #   * doc-level MERGE/DELETE drops the touched docs' partials and
+    #     inserts fresh ones through the same bucket-scoped swap as the
+    #     chunk table (the ANN-index pattern).
+    # Reads fold partials with one groupBy(doc_id); every aggregate is
+    # algebraic (sum/min/max) so folding partials == recomputing from
+    # the chunk table, which the test suite asserts after DML sequences.
+
+    def enable_doc_rollup(self) -> None:
+        """Create (or rebuild) the rollup from the current chunk table
+        and turn on maintenance for all subsequent DML."""
+        self.set_metadata("doc_rollup", "1")
+        self._fs.rmtree(self._tbl("doc_rollup"))
+        if not self._exists("chunks"):
+            return
+        partials = self._rollup_partials(
+            self.spark.read.parquet(self._tbl("chunks"))
+        )
+        writer = partials.write.mode("overwrite")
+        if "_bucket" in partials.columns:
+            writer = writer.partitionBy("_bucket")
+        writer.parquet(self._tbl("doc_rollup"))
+
+    def _rollup_enabled(self) -> bool:
+        return self.get_metadata("doc_rollup") == "1"
+
+    def _rollup_partials(self, chunk_rows: DataFrame) -> DataFrame:
+        """One partial row per doc (per bucket when partitioned) for a
+        batch: algebraic aggregates only, so partials merge exactly."""
+        keys = (
+            ["doc_id", "_bucket"]
+            if "_bucket" in chunk_rows.columns
+            else ["doc_id"]
+        )
+        return chunk_rows.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            F.sum(
+                F.when(F.col("chunk_type") == "code", 1).otherwise(0)
+            ).cast("long").alias("n_code_chunks"),
+            F.max("chunk_idx").cast("long").alias("max_chunk_idx"),
+            F.min("created_at").alias("first_created_at"),
+            F.max("created_at").alias("last_created_at"),
+        )
+
+    def _rollup_append(self, chunk_rows: DataFrame) -> None:
+        """Rollup maintenance for a pure append: aggregate the batch,
+        append the partials. O(batch), no corpus read."""
+        if not self._rollup_enabled():
+            return
+        partials = self._rollup_partials(chunk_rows)
+        writer = partials.write.mode("append")
+        if "_bucket" in partials.columns:
+            writer = writer.partitionBy("_bucket")
+        writer.parquet(self._tbl("doc_rollup"))
+
+    def _rollup_replace_docs(
+        self,
+        doc_keys,
+        new_rows: DataFrame | None,
+        affected: list[int] | None,
+    ) -> None:
+        """Rollup maintenance for doc-level MERGE/DELETE: drop the touched
+        docs' partials (doc-keyed anti-join), insert fresh ones;
+        bucket-scoped swap when partitioned (`affected` = the same bucket
+        set the chunk rewrite touched)."""
+        if not self._rollup_enabled() or not self._exists("doc_rollup"):
+            return
+        fresh = self._rollup_partials(new_rows) if new_rows is not None else None
+        if affected:
+            cur = self.spark.read.parquet(self._tbl("doc_rollup")).filter(
+                F.col("_bucket").isin(affected)  # partition-pruned read
+            )
+            merged = cur.join(doc_keys, "doc_id", "left_anti")
+            if fresh is not None:
+                merged = merged.unionByName(fresh)
+            self._swap_buckets("doc_rollup", merged, affected)
+        else:
+            cur = self.spark.read.parquet(self._tbl("doc_rollup"))
+            merged = cur.join(doc_keys, "doc_id", "left_anti")
+            if fresh is not None:
+                merged = merged.unionByName(fresh)
+            self._overwrite("doc_rollup", merged)
+
+    def doc_rollup(self) -> DataFrame:
+        """Folded per-doc aggregates. ONE groupBy over the partial table
+        (rollup-sized, not corpus-sized); equal to recomputing from the
+        chunk table by construction — asserted in tests."""
+        if not self._rollup_enabled() or not self._exists("doc_rollup"):
+            raise ValueError(
+                "doc rollup not enabled — call enable_doc_rollup() first"
+            )
+        return (
+            self.spark.read.parquet(self._tbl("doc_rollup"))
+            .groupBy("doc_id")
+            .agg(
+                F.sum("n_chunks").cast("long").alias("n_chunks"),
+                F.sum("total_chars").cast("long").alias("total_chars"),
+                F.sum("n_code_chunks").cast("long").alias("n_code_chunks"),
+                F.max("max_chunk_idx").cast("long").alias("max_chunk_idx"),
+                F.min("first_created_at").alias("first_created_at"),
+                F.max("last_created_at").alias("last_created_at"),
+            )
+        )
+
+    def compact_rollup(self) -> None:
+        """Fold accumulated partials into one row per doc (value-
+        preserving housekeeping, same role as compact_boosts). Bucketed:
+        rewrites every bucket but through the versioned swap, so a crash
+        never loses partials."""
+        if not self._rollup_enabled() or not self._exists("doc_rollup"):
+            return
+        cur = self.spark.read.parquet(self._tbl("doc_rollup"))
+        keys = ["doc_id"] + (["_bucket"] if "_bucket" in cur.columns else [])
+        folded = cur.groupBy(*keys).agg(
+            F.sum("n_chunks").cast("long").alias("n_chunks"),
+            F.sum("total_chars").cast("long").alias("total_chars"),
+            F.sum("n_code_chunks").cast("long").alias("n_code_chunks"),
+            F.max("max_chunk_idx").cast("long").alias("max_chunk_idx"),
+            F.min("first_created_at").alias("first_created_at"),
+            F.max("last_created_at").alias("last_created_at"),
+        )
+        if "_bucket" in cur.columns:
+            buckets = sorted(
+                r["_bucket"] for r in cur.select("_bucket").distinct().collect()
+            )
+            self._swap_buckets("doc_rollup", folded, buckets)
+        else:
+            self._overwrite("doc_rollup", folded)
 
     @_logged
     def optimize(self, max_files_per_bucket: int = 4) -> dict:

@@ -71,6 +71,7 @@ HEADLINE = [
     "events_gapfill_daily",
     "events_user_lifecycle",
     "orders_priority_islands",
+    "events_hll_incremental_rollup",
 ]
 
 

@@ -41,3 +41,49 @@ def test_sketches_within_error_bounds(spark):
         tol = 0.02 * (hi - lo)
         assert abs(a["approx_p50"] - e["p50"]) <= tol
         assert abs(a["approx_p95"] - e["p95"]) <= tol
+
+
+def test_hll_incremental_rollup_merge_is_lossless(spark):
+    """Union of per-day HLL partials must equal the direct whole-range
+    sketch estimate (same lgConfigK ⇒ identical register state), and
+    land inside the HLL error envelope of the exact distinct count."""
+    from ai_vector_database_converstion_from_pdf_spark.catalog import (
+        events_hll_incremental_rollup,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.sources.tables import (
+        load_events,
+    )
+
+    merged = {
+        r["event_type"]: r
+        for r in events_hll_incremental_rollup(spark, SF_ORACLE).collect()
+    }
+    ev = load_events(spark, SF_ORACLE)
+    direct = {
+        r["event_type"]: r["est"]
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(12))
+            ).alias("est")
+        )
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["users"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("users"))
+        .collect()
+    }
+    totals = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(merged) == set(direct) == set(exact)
+    for et, row in merged.items():
+        assert row["approx_users_merged"] == direct[et]  # lossless merge
+        assert abs(row["approx_users_merged"] - exact[et]) <= max(
+            3, 0.05 * exact[et]
+        )
+        assert row["n_events"] == totals[et]
+        assert row["n_days"] == 30
