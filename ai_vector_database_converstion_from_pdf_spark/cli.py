@@ -96,6 +96,13 @@ def main(argv: list[str] | None = None) -> int:
         sp = sub.add_parser(name)
         common(sp)
 
+    sp = sub.add_parser(
+        "rollup", help="continuous per-doc aggregate: enable | show | compact"
+    )
+    common(sp)
+    sp.add_argument("action", choices=["enable", "show", "compact"])
+    sp.add_argument("--limit", type=int, default=10)
+
     args = p.parse_args(argv)
     spark = _spark()
 
@@ -198,6 +205,21 @@ def main(argv: list[str] | None = None) -> int:
             for r in ws.history().limit(5).collect()
         ]
         _emit({"chunks": n, "recent_ops": hist})
+    elif args.cmd == "rollup":
+        from .sinks import Workspace
+
+        ws = Workspace(spark, args.workspace)
+        if args.action == "enable":
+            ws.enable_doc_rollup()
+            _emit({"rollup": "enabled", "docs": ws.doc_rollup().count()})
+        elif args.action == "compact":
+            ws.compact_rollup()
+            _emit({"rollup": "compacted"})
+        else:
+            for r in (
+                ws.doc_rollup().orderBy("doc_id").limit(args.limit).collect()
+            ):
+                _emit(r.asDict())
     elif args.cmd == "optimize":
         from .sinks import Workspace
 

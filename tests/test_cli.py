@@ -122,3 +122,31 @@ def test_cli_index_text_deep_dive_optimize(spark, capsys, tmp_path):
 
     got = _run(capsys, ["optimize", "-w", ws])
     assert "files_before" in got[0] or "buckets_compacted" in got[0]
+
+
+def test_cli_rollup_lifecycle(spark, capsys, tmp_path):
+    """rollup enable -> show -> compact from the CLI, staying fresh
+    through an indexing operation in between."""
+    ws = str(tmp_path / "cli_ru")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+
+    got = _run(capsys, ["index-text", "-w", ws, "--dim", "16",
+                        "--asof", "2024-06-01 00:00:00", "--parquet", src])
+    assert got[0]["indexed"] > 0
+
+    got = _run(capsys, ["rollup", "-w", ws, "enable"])
+    assert got[0] == {"rollup": "enabled", "docs": 2}
+
+    rows = _run(capsys, ["rollup", "-w", ws, "show"])
+    assert len(rows) == 2
+    assert all(r["n_chunks"] >= 1 and r["total_chars"] > 0 for r in rows)
+
+    got = _run(capsys, ["rollup", "-w", ws, "compact"])
+    assert got[0]["rollup"] == "compacted"
+    rows2 = _run(capsys, ["rollup", "-w", ws, "show"])
+    assert {r["doc_id"] for r in rows2} == {r["doc_id"] for r in rows}

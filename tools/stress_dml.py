@@ -137,6 +137,26 @@ def main() -> None:
         f"rebuild would cost {t_build:.1f}s + full index write)"
     )
 
+    # Continuous-aggregate rollup maintenance (r3): with the doc rollup
+    # enabled, a one-doc MERGE rewrites only that doc's partials in its
+    # bucket — measured against recomputing the rollup from scratch
+    t0 = time.perf_counter()
+    ws.enable_doc_rollup()
+    t_ru_build = time.perf_counter() - t0
+    ru_table = ws._tbl("doc_rollup")
+    ru_total = sum(sz for sz, _mt in _snapshot(ru_table).values())
+    print(f"doc rollup build:      {t_ru_build:5.2f}s  ({ru_total/1e6:.1f} MB rollup)")
+    before_ru = _snapshot(ru_table)
+    t0 = time.perf_counter()
+    ws.merge_chunks(upd)
+    t_merge_ru = time.perf_counter() - t0
+    b_ru = _rewritten_bytes(before_ru, _snapshot(ru_table))
+    print(
+        f"merge w/ maintained rollup: {t_merge_ru:5.2f}s  rollup rewrote "
+        f"{b_ru/1e6:6.2f} MB ({100*b_ru/max(ru_total,1):.1f}% of rollup; "
+        f"rebuild would cost {t_ru_build:.1f}s — a corpus scan)"
+    )
+
     t0 = time.perf_counter()
     ws._overwrite("chunks", ws.chunks(fold_boosts=False))
     t_full = time.perf_counter() - t0
