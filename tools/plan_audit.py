@@ -91,6 +91,8 @@ EXPECT = {
     "orders_priority_islands": ["!SortMergeJoin", "!BroadcastHashJoin"],
     # substring-level dedup: map-only shingling, agg-only — no join at all
     "dedup_duplicate_spans": ["!SortMergeJoin", "!BroadcastHashJoin", "!MapInPandas"],
+    # two chained aggregates (daily partials -> union), no join, no UDF
+    "events_hll_incremental_rollup": ["!SortMergeJoin", "!BroadcastHashJoin", "!MapInPandas"],
 }
 
 
