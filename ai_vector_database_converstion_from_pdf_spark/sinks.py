@@ -498,6 +498,12 @@ class Workspace:
         `...=...` directory inside it would be misread as a partition),
         so the worst crash leaves the old bucket recoverable beside the
         table, never a half-written bucket in it."""
+        # refuse to proceed over UNRECOVERED crash leftovers: a parked
+        # old-bucket copy whose live bucket directory is missing means a
+        # prior swap crashed between its two renames — the parked copy is
+        # the ONLY copy of that bucket, and this swap's input was read
+        # WITHOUT those rows, so continuing would silently drop them.
+        self._ensure_recovered(name)
         tmp = self._tbl(f"_{name}_tmp")
         self._fs.rmtree(tmp)
         df.write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
@@ -521,6 +527,71 @@ class Workspace:
         for old in olds:
             self._fs.rmtree(old)
         self._fs.rmtree(tmp)
+
+    def _ensure_recovered(self, name: str) -> None:
+        """Raise if a crash left a parked `_<name>_old_bucket_<k>` whose
+        live bucket directory is gone (the parked dir is the only copy)."""
+        prefix = f"_{name}_old_bucket_"
+        for entry in self._list_root():
+            if not entry.startswith(prefix):
+                continue
+            k = entry[len(prefix):]
+            if not self._fs.isdir(f"{self._tbl(name)}/_bucket={k}"):
+                raise RuntimeError(
+                    f"workspace has an unrecovered crash leftover "
+                    f"({entry}: live bucket {k} of {name!r} is missing; "
+                    f"the parked copy is the only one) — call recover() "
+                    f"before mutating"
+                )
+
+    def _list_root(self) -> list[str]:
+        try:
+            return self._fs.listdir(self.path)
+        except (FileNotFoundError, OSError):
+            return []
+
+    def recover(self) -> dict:
+        """Crash recovery for the versioned-swap protocol: restore every
+        bucket whose live directory vanished mid-swap. The parked
+        pre-operation copy (`_<t>_old_bucket_<k>`) is preferred — it
+        rolls the crashed operation back for that bucket, and retrying
+        the failed operation (doc-level DML is idempotent) converges the
+        table. A bucket present only in the operation's `_<t>_tmp`
+        output (a brand-new bucket whose install crashed) is completed
+        forward from tmp. Returns {"restored": [{table, bucket, from}]}.
+        """
+        restored = []
+        # pass 1: roll back from parked pre-op copies
+        for entry in sorted(self._list_root()):
+            if "_old_bucket_" not in entry or not entry.startswith("_"):
+                continue
+            path = f"{self.path}/{entry}"
+            if not self._fs.isdir(path):
+                continue
+            base = entry[1 : entry.index("_old_bucket_")]
+            k = entry.rsplit("_old_bucket_", 1)[1]
+            dst = f"{self._tbl(base)}/_bucket={k}"
+            if not self._fs.isdir(dst):
+                self._fs.rename(path, dst)
+                restored.append({"table": base, "bucket": k, "from": "old"})
+        # pass 2: complete forward any bucket that exists only in tmp
+        for entry in sorted(self._list_root()):
+            if not (entry.startswith("_") and entry.endswith("_tmp")):
+                continue
+            path = f"{self.path}/{entry}"
+            if not self._fs.isdir(path):
+                continue
+            base = entry[1:-4]
+            for d in self._fs.listdir(path):
+                if not d.startswith("_bucket="):
+                    continue
+                dst = f"{self._tbl(base)}/{d}"
+                if not self._fs.isdir(dst):
+                    self._fs.rename(f"{path}/{d}", dst)
+                    restored.append(
+                        {"table": base, "bucket": d.split("=", 1)[1], "from": "tmp"}
+                    )
+        return {"restored": restored}
 
     # -- ANN index: persisted LSH bucket table (precompute-once) ----------
     @_logged
@@ -835,8 +906,10 @@ class Workspace:
         those leftovers once the live tables are confirmed readable —
         reclaiming space without ever touching a live table directory.
         Returns {removed: [names], kept: [names]} where kept = leftovers
-        whose live table is missing (crash recovery material — a human
-        or a restore step should look at those, so vacuum refuses)."""
+        that are crash-recovery material, so vacuum refuses: the live
+        table is missing entirely, OR (bucket-aware) the leftover holds
+        a bucket whose live directory is gone — mid-swap crash, the
+        parked/tmp copy is the ONLY copy; recover() restores it."""
         removed, kept = [], []
         for entry in sorted(self._fs.listdir(self.path)):
             path = f"{self.path}/{entry}"
@@ -849,11 +922,30 @@ class Workspace:
                 base = entry[1 : entry.index("_old")]
             if base is None:
                 continue
-            if self._fs.isdir(self._tbl(base)):
-                self._fs.rmtree(path)
-                removed.append(entry)
-            else:
+            if not self._fs.isdir(self._tbl(base)):
                 kept.append(entry)  # live table gone: leftover IS the data
+                continue
+            # bucket-aware safety: a parked old-bucket copy (or a tmp
+            # holding a bucket) whose LIVE bucket directory is missing is
+            # the only copy of that bucket — crash-recovery material for
+            # recover(), never garbage
+            if "_old_bucket_" in entry:
+                k = entry.rsplit("_old_bucket_", 1)[1]
+                if not self._fs.isdir(f"{self._tbl(base)}/_bucket={k}"):
+                    kept.append(entry)
+                    continue
+            if entry.endswith("_tmp"):
+                missing = [
+                    d
+                    for d in self._fs.listdir(path)
+                    if d.startswith("_bucket=")
+                    and not self._fs.isdir(f"{self._tbl(base)}/{d}")
+                ]
+                if missing:
+                    kept.append(entry)
+                    continue
+            self._fs.rmtree(path)
+            removed.append(entry)
         return {"removed": removed, "kept": kept}
 
     def _log_history(self, op: str) -> None:
