@@ -118,20 +118,27 @@ class PvdbEngine:
         """Full hybrid pipeline with serving-state wiring. Returns ranked
         result dicts (id, text, score, semantic_rank, keyword_rank, ...).
 
-        use_ann: None (default) probes the workspace's persisted RP-LSH
-        index when one exists — the semantic branch then scores only the
-        index candidates instead of scanning every vector (the 100 TB
-        serving shape; the index is DML-maintained so it is never
-        stale). True requires the index (raises if absent), False forces
-        the exact full scan. Ranking within candidates is exact cosine
-        either way."""
+        use_ann: None (default) probes a persisted index when one exists
+        (RP-LSH preferred, else the maintained IVF assignment table) —
+        the semantic branch then scores only the index candidates
+        instead of scanning every vector (the 100 TB serving shape; both
+        index families are DML-maintained so they are never stale). True
+        requires an index (raises if absent), False forces the exact
+        full scan. Ranking within candidates is exact cosine either
+        way."""
         qvec = self.embed_text(query)
         ann = self.workspace.ann_index() if use_ann is not False else None
-        if use_ann is True and ann is None:
+        ivf = (
+            self.workspace.ivf_index()
+            if (use_ann is not False and ann is None)
+            else None
+        )
+        if use_ann is True and ann is None and ivf is None:
             raise ValueError("use_ann=True but the workspace has no ANN index")
+        ann_kind = 1 if ann is not None else (2 if ivf is not None else 0)
         variant = (
             f"k={k};r={int(use_rerank)};m={int(use_mmr)}"
-            f";x={int(use_exploration)};a={int(ann is not None)}"
+            f";x={int(use_exploration)};a={ann_kind}"
         )
         cached = self.cache.get(query, qvec, variant=variant)
         if cached is not None:
@@ -184,6 +191,8 @@ class PvdbEngine:
                 prefilter = rp_lsh_candidates(
                     buckets, qvec, a_dim, a_planes, a_tables
                 )
+            elif ivf is not None:
+                prefilter = self.workspace.ivf_candidates(qvec, n_probe=2)
             fused = hybrid_search(
                 corpus, vecs, query, qvec, k=k, logs=logs,
                 chunk_type_col="chunk_type", heading_level_col="heading_level",

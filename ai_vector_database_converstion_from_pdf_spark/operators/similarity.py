@@ -129,9 +129,13 @@ def ivf_assign(
     centroids: list[tuple[int, list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_cols: tuple = (),
 ) -> DataFrame:
-    """(id, centroid_id) via argmax cosine over broadcast centroid set —
-    a single map-side pass (centroids ship as plan literals).
+    """(id, centroid_id[, *carry_cols]) via argmax cosine over broadcast
+    centroid set — a single map-side pass (centroids ship as plan
+    literals). `carry_cols` pass through untouched (e.g. doc_id and the
+    workspace `_bucket` so a persisted IVF index can be maintained with
+    the same doc-keyed, bucket-scoped DML as the chunk table).
 
     Implementation note: argmax via array_max over (score, -cid) structs —
     a chained when/otherwise would *double* the expression tree per
@@ -148,7 +152,9 @@ def ivf_assign(
     )
     best = F.array_max(arr)  # max score; ties -> max(-cid) = smallest cid
     return embeddings.select(
-        F.col(id_col).alias("id"), (-best["ncid"]).cast("int").alias("centroid_id")
+        F.col(id_col).alias("id"),
+        (-best["ncid"]).cast("int").alias("centroid_id"),
+        *[F.col(c) for c in carry_cols],
     )
 
 

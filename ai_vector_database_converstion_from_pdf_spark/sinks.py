@@ -237,6 +237,7 @@ class Workspace:
         # index maintenance, not invalidation: a pure append only needs
         # the new rows signed and appended to the index
         self._ann_append(chunks)
+        self._ivf_append(chunks)
         self._rollup_append(chunks)
 
     def chunks_for_doc(self, doc_id: str) -> DataFrame:
@@ -323,9 +324,13 @@ class Workspace:
 
     @_logged
     def clear(self) -> None:
-        for t in ("chunks", "boosts", "ann_lsh", "doc_rollup"):
+        for t in (
+            "chunks", "boosts", "ann_lsh", "doc_rollup",
+            "ann_ivf", "ann_ivf_centroids",
+        ):
             self._fs.rmtree(self._tbl(t))
         self.delete_metadata("ann_params")
+        self.delete_metadata("ivf_params")
         self.delete_metadata("doc_rollup")
         # a cleared workspace is a FRESH workspace: both the dimension
         # and the bucket-layout registration must go, or the next
@@ -446,6 +451,7 @@ class Workspace:
             )
             self._overwrite("chunks", merged)
             self._ann_replace_docs(doc_keys, updates, None)
+            self._ivf_replace_docs(doc_keys, updates, None)
             self._rollup_replace_docs(doc_keys, updates, None)
             return
         affected = sorted(stats["buckets"])
@@ -457,6 +463,7 @@ class Workspace:
         # index and rollup maintenance mirror the chunk rewrite: same doc
         # keys, same affected buckets, fresh rows for the new versions
         self._ann_replace_docs(doc_keys, updates_b, affected)
+        self._ivf_replace_docs(doc_keys, updates_b, affected)
         self._rollup_replace_docs(doc_keys, updates_b, affected)
 
     @_logged
@@ -477,6 +484,7 @@ class Workspace:
             )
             self._overwrite("chunks", remaining)
             self._ann_replace_docs(doc_keys, None, None)
+            self._ivf_replace_docs(doc_keys, None, None)
             self._rollup_replace_docs(doc_keys, None, None)
             return
         affected = self._doc_buckets([doc_id], b)
@@ -487,6 +495,7 @@ class Workspace:
         )
         self._swap_buckets("chunks", remaining, affected)
         self._ann_replace_docs(doc_keys, None, affected)
+        self._ivf_replace_docs(doc_keys, None, affected)
         self._rollup_replace_docs(doc_keys, None, affected)
 
     def _swap_buckets(self, name: str, df: DataFrame, buckets: list[int]) -> None:
@@ -692,6 +701,144 @@ class Workspace:
     def _invalidate_ann(self) -> None:
         self._fs.rmtree(self._tbl("ann_lsh"))
         self.delete_metadata("ann_params")
+
+    # -- IVF index: persisted coarse-quantizer assignments ----------------
+    #
+    # Second maintained index family (the RP-LSH table above being the
+    # first): centroids are trained ONCE at build (seeded k-means++ over
+    # a deterministic sample) and persisted; the assignment table
+    # (id -> nearest centroid) is then maintained through DML exactly
+    # like the chunk table — appends assign only the batch (broadcast
+    # literal centroids, map-side), doc-level MERGE/DELETE swap only the
+    # touched buckets. Assignment is deterministic given the persisted
+    # centroids, so "maintained == rebuild" is testable bit-for-bit.
+
+    @_logged
+    def build_ivf_index(
+        self,
+        dim: int,
+        n_centroids: int = 16,
+        n_iter: int = 3,
+        sample_size: int = 2048,
+        seed: int = 42,
+    ) -> int:
+        """Train centroids on the current corpus, persist them, assign
+        every chunk. Returns the assignment row count."""
+        from .operators.similarity import kmeans_centroids
+
+        chunks = self.spark.read.parquet(self._tbl("chunks"))
+        vecs = chunks.select(F.col("id").alias("vec_id"), "embedding")
+        cents = kmeans_centroids(
+            vecs, n_centroids, n_iter=n_iter, sample_size=sample_size, seed=seed
+        )
+        cdf = self.spark.createDataFrame(
+            [(int(cid), [float(x) for x in v]) for cid, v in cents],
+            "centroid_id int, vector array<double>",
+        )
+        self._overwrite("ann_ivf_centroids", cdf)
+        assigned = self._ivf_assign_rows(chunks, cents)
+        writer = assigned.write.mode("overwrite")
+        if "_bucket" in assigned.columns:
+            writer = writer.partitionBy("_bucket")
+        writer.parquet(self._tbl("ann_ivf"))
+        self.set_metadata("ivf_params", f"{int(dim)},{len(cents)}")
+        return self.spark.read.parquet(self._tbl("ann_ivf")).count()
+
+    def _ivf_centroids(self) -> list[tuple[int, list[float]]] | None:
+        if self.get_metadata("ivf_params") is None or not self._exists(
+            "ann_ivf_centroids"
+        ):
+            return None
+        rows = (
+            self.spark.read.parquet(self._tbl("ann_ivf_centroids"))
+            .orderBy("centroid_id")
+            .collect()
+        )
+        return [(int(r["centroid_id"]), list(r["vector"])) for r in rows]
+
+    def _ivf_assign_rows(self, chunk_rows: DataFrame, cents) -> DataFrame:
+        from .operators.similarity import ivf_assign
+
+        carry = (
+            ("doc_id", "_bucket")
+            if "_bucket" in chunk_rows.columns
+            else ("doc_id",)
+        )
+        return ivf_assign(
+            chunk_rows.select(F.col("id").alias("vec_id"), "embedding", *carry),
+            cents,
+            carry_cols=carry,
+        )
+
+    def _ivf_append(self, chunk_rows: DataFrame) -> None:
+        cents = self._ivf_centroids()
+        if cents is None or not self._exists("ann_ivf"):
+            return
+        assigned = self._ivf_assign_rows(chunk_rows, cents)
+        writer = assigned.write.mode("append")
+        if "_bucket" in assigned.columns:
+            writer = writer.partitionBy("_bucket")
+        writer.parquet(self._tbl("ann_ivf"))
+
+    def _ivf_replace_docs(
+        self,
+        doc_keys,
+        new_rows: DataFrame | None,
+        affected: list[int] | None,
+    ) -> None:
+        cents = self._ivf_centroids()
+        if cents is None or not self._exists("ann_ivf"):
+            return
+        fresh = (
+            self._ivf_assign_rows(new_rows, cents) if new_rows is not None else None
+        )
+        if affected:
+            cur = self.spark.read.parquet(self._tbl("ann_ivf")).filter(
+                F.col("_bucket").isin(affected)  # partition-pruned read
+            )
+            merged = cur.join(doc_keys, "doc_id", "left_anti")
+            if fresh is not None:
+                merged = merged.unionByName(fresh)
+            self._swap_buckets("ann_ivf", merged, affected)
+        else:
+            cur = self.spark.read.parquet(self._tbl("ann_ivf"))
+            merged = cur.join(doc_keys, "doc_id", "left_anti")
+            if fresh is not None:
+                merged = merged.unionByName(fresh)
+            self._overwrite("ann_ivf", merged)
+
+    def ivf_index(self):
+        """(assignments DataFrame, centroids, dim, k) or None."""
+        cents = self._ivf_centroids()
+        if cents is None or not self._exists("ann_ivf"):
+            return None
+        dim, k = (int(x) for x in self.get_metadata("ivf_params").split(","))
+        return self.spark.read.parquet(self._tbl("ann_ivf")), cents, dim, k
+
+    def ivf_candidates(self, query_vec, n_probe: int = 2) -> DataFrame | None:
+        """Candidate chunk ids from the n_probe centroids nearest the
+        query (driver-side argmax over k tiny centroids, then ONE
+        filtered scan of the assignment table — no corpus scan)."""
+        idx = self.ivf_index()
+        if idx is None:
+            return None
+        assignments, cents, _dim, _k = idx
+        import math
+
+        q = list(query_vec)
+        qn = math.sqrt(sum(x * x for x in q)) or 1.0
+
+        def cos(v):
+            vn = math.sqrt(sum(x * x for x in v)) or 1.0
+            return sum(a * b for a, b in zip(q, v)) / (qn * vn)
+
+        probes = [
+            cid
+            for cid, _ in sorted(
+                ((cid, cos(v)) for cid, v in cents), key=lambda t: (-t[1], t[0])
+            )[: int(n_probe)]
+        ]
+        return assignments.filter(F.col("centroid_id").isin(probes)).select("id")
 
     # -- Continuous aggregate: per-doc rollup (mergeable partials) --------
     #
