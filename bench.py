@@ -72,6 +72,8 @@ HEADLINE = [
     "events_user_lifecycle",
     "orders_priority_islands",
     "events_hll_incremental_rollup",
+    "events_markov_transitions",
+    "events_rolling_7d_users",
 ]
 
 

@@ -93,6 +93,11 @@ EXPECT = {
     "dedup_duplicate_spans": ["!SortMergeJoin", "!BroadcastHashJoin", "!MapInPandas"],
     # two chained aggregates (daily partials -> union), no join, no UDF
     "events_hll_incremental_rollup": ["!SortMergeJoin", "!BroadcastHashJoin", "!MapInPandas"],
+    # user-partitioned lead + tiny transition-table window — no SMJ
+    "events_markov_transitions": ["!SortMergeJoin", "!MapInPandas"],
+    # day-explode contribution + broadcast day semi-join: the rolling
+    # distinct must NOT plan the oracle's nested-loop range join
+    "events_rolling_7d_users": ["!BroadcastNestedLoopJoin", "!SortMergeJoin"],
 }
 
 
