@@ -14,6 +14,9 @@ engine end-to-end without writing code:
     python -m ai_vector_database_converstion_from_pdf_spark.cli stats      -w WS
     python -m ai_vector_database_converstion_from_pdf_spark.cli optimize   -w WS
     python -m ai_vector_database_converstion_from_pdf_spark.cli vacuum     -w WS
+    python -m ai_vector_database_converstion_from_pdf_spark.cli rollup     -w WS enable
+    python -m ai_vector_database_converstion_from_pdf_spark.cli build-index -w WS --kind ivf
+    python -m ai_vector_database_converstion_from_pdf_spark.cli fts-match  -w WS -q '"exact phrase" OR tok*'
 
 Output is one JSON object per line on stdout (machine-consumable, like
 the driver contract); diagnostics go to stderr.
@@ -102,6 +105,16 @@ def main(argv: list[str] | None = None) -> int:
     common(sp)
     sp.add_argument("action", choices=["enable", "show", "compact"])
     sp.add_argument("--limit", type=int, default=10)
+
+    sp = sub.add_parser(
+        "build-index",
+        help="persisted DML-maintained ANN index: lsh (RP-LSH) or ivf",
+    )
+    common(sp)
+    sp.add_argument("--kind", choices=["lsh", "ivf"], default="lsh")
+    sp.add_argument("--planes", type=int, default=4)
+    sp.add_argument("--tables", type=int, default=8)
+    sp.add_argument("--centroids", type=int, default=16)
 
     args = p.parse_args(argv)
     spark = _spark()
@@ -220,6 +233,17 @@ def main(argv: list[str] | None = None) -> int:
                 ws.doc_rollup().orderBy("doc_id").limit(args.limit).collect()
             ):
                 _emit(r.asDict())
+    elif args.cmd == "build-index":
+        from .sinks import Workspace
+
+        ws = Workspace(spark, args.workspace)
+        if args.kind == "lsh":
+            n = ws.build_ann_index(
+                dim=args.dim, n_planes=args.planes, n_tables=args.tables
+            )
+        else:
+            n = ws.build_ivf_index(dim=args.dim, n_centroids=args.centroids)
+        _emit({"index": args.kind, "rows": n})
     elif args.cmd == "optimize":
         from .sinks import Workspace
 

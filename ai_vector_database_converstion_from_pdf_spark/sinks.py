@@ -991,7 +991,15 @@ class Workspace:
         their files byte-identical. Boost deltas are NOT folded (that is
         `compact_boosts`' job); row content is preserved exactly.
 
-        Returns {"buckets_compacted": [...], "files_before": n, "files_after": m}.
+        The maintained index tables (`ann_lsh`, `ann_ivf`) accumulate
+        small files through the same DML (one file per touched bucket
+        per micro-batch), so they compact here too — clustered by their
+        own probe keys ((table, bucket) for LSH, centroid_id for IVF) so
+        index probes row-group-prune. The doc rollup has its own
+        value-folding compaction (`compact_rollup`).
+
+        Returns {"buckets_compacted": [...], "files_before": n,
+        "files_after": m, "index_tables": {name: {...}}}.
         """
         if not self._exists("chunks"):
             return {"buckets_compacted": [], "files_before": 0, "files_after": 0}
@@ -1003,6 +1011,51 @@ class Workspace:
                 if f.endswith(".parquet") and not f.startswith((".", "_"))
             ]
 
+        index_results = {}
+        for iname, sort_cols in (
+            ("ann_lsh", ["table", "bucket"]),
+            ("ann_ivf", ["centroid_id"]),
+        ):
+            if not self._exists(iname):
+                continue
+            iroot = self._tbl(iname)
+            idirs = [
+                e for e in self._fs.listdir(iroot) if e.startswith("_bucket=")
+            ]
+            if idirs:
+                per = {
+                    int(e.split("=", 1)[1]): len(_files(f"{iroot}/{e}"))
+                    for e in idirs
+                }
+                hit = sorted(
+                    k for k, n in per.items() if n > max_files_per_bucket
+                )
+                if hit:
+                    df = (
+                        self.spark.read.parquet(iroot)
+                        .filter(F.col("_bucket").isin(hit))
+                        .repartition(len(hit), "_bucket")
+                        .sortWithinPartitions("_bucket", *sort_cols)
+                    )
+                    self._swap_buckets(iname, df, hit)
+                index_results[iname] = {
+                    "buckets_compacted": hit,
+                    "files_before": sum(per.values()),
+                }
+            else:
+                n_before = len(_files(iroot))
+                if n_before > max_files_per_bucket:
+                    self._overwrite(
+                        iname,
+                        self.spark.read.parquet(iroot)
+                        .coalesce(1)
+                        .sortWithinPartitions(*sort_cols),
+                    )
+                index_results[iname] = {
+                    "buckets_compacted": [-1] if n_before > max_files_per_bucket else [],
+                    "files_before": n_before,
+                }
+
         root = self._tbl("chunks")
         b = int(self.get_metadata("partition_buckets") or 0)
         if not b:
@@ -1010,10 +1063,11 @@ class Workspace:
             n_before = len(_files(root))
             if n_before <= max_files_per_bucket:
                 return {"buckets_compacted": [], "files_before": n_before,
-                        "files_after": n_before}
+                        "files_after": n_before, "index_tables": index_results}
             self._overwrite("chunks", self.chunks(fold_boosts=False).coalesce(1))
             return {"buckets_compacted": [-1], "files_before": n_before,
-                    "files_after": len(_files(root))}
+                    "files_after": len(_files(root)),
+                    "index_tables": index_results}
 
         per_bucket = {}
         for entry in self._fs.listdir(root):
@@ -1024,7 +1078,7 @@ class Workspace:
         files_before = sum(per_bucket.values())
         if not affected:
             return {"buckets_compacted": [], "files_before": files_before,
-                    "files_after": files_before}
+                    "files_after": files_before, "index_tables": index_results}
 
         compacted = (
             self.chunks(fold_boosts=False)
@@ -1043,7 +1097,7 @@ class Workspace:
             if e.startswith("_bucket=")
         )
         return {"buckets_compacted": affected, "files_before": files_before,
-                "files_after": files_after}
+                "files_after": files_after, "index_tables": index_results}
 
     @_logged
     def vacuum(self) -> dict:

@@ -150,3 +150,30 @@ def test_cli_rollup_lifecycle(spark, capsys, tmp_path):
     assert got[0]["rollup"] == "compacted"
     rows2 = _run(capsys, ["rollup", "-w", ws, "show"])
     assert {r["doc_id"] for r in rows2} == {r["doc_id"] for r in rows}
+
+
+def test_cli_build_index_both_kinds(spark, capsys, tmp_path):
+    """build-index builds either maintained index family; search then
+    auto-routes through whichever exists."""
+    ws = str(tmp_path / "cli_idx")
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} about merge tables") for i in range(8)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs_idx.parquet")
+    docs.write.parquet(src)
+    _run(capsys, ["index-text", "-w", ws, "--dim", "16",
+                  "--asof", "2024-06-01 00:00:00", "--parquet", src])
+
+    got = _run(capsys, ["build-index", "-w", ws, "--dim", "16",
+                        "--kind", "ivf", "--centroids", "2"])
+    assert got[0]["index"] == "ivf" and got[0]["rows"] == 8
+
+    got = _run(capsys, ["build-index", "-w", ws, "--dim", "16",
+                        "--kind", "lsh", "--planes", "3", "--tables", "4"])
+    assert got[0]["index"] == "lsh" and got[0]["rows"] == 8 * 4
+
+    res = _run(capsys, ["search", "-w", ws, "--dim", "16",
+                        "--asof", "2024-06-01 00:00:00",
+                        "-q", "merge tables", "-k", "2"])
+    assert len(res) == 2

@@ -148,3 +148,41 @@ def test_search_uses_maintained_ivf_index(spark, tmp_path):
     eng.delete_document(str(top))
     after = eng.search("merge fast table join", k=3)
     assert all(r["id"] != top for r in after)
+
+
+def test_optimize_compacts_index_tables(spark, tmp_path):
+    """optimize() also compacts the maintained index tables: repeated
+    appends leave one file per touched bucket per batch; after
+    compaction the content is unchanged and file counts drop."""
+    import glob
+
+    ws = Workspace(spark, str(tmp_path / "ivf_opt"))
+    first = _chunks_df(spark, n=40, dim=DIM)
+    ws.add_chunks(first.filter(F.col("id") < 10), partition_buckets=2)
+    ws.build_ann_index(dim=DIM, n_planes=3, n_tables=4)
+    ws.build_ivf_index(dim=DIM, n_centroids=2, sample_size=10)
+    for lo in (10, 20, 30):  # repeated appends -> small files pile up
+        ws.add_chunks(
+            first.filter((F.col("id") >= lo) & (F.col("id") < lo + 10)),
+            partition_buckets=2,
+        )
+
+    def _count(t):
+        return len(glob.glob(f"{ws._tbl(t)}/_bucket=*/*.parquet"))
+
+    lsh_before, ivf_before = _count("ann_lsh"), _count("ann_ivf")
+    assert lsh_before > 4 and ivf_before > 4
+    sig_before = {
+        tuple(r) for r in ws.ann_index()[0].select("id", "table", "bucket").collect()
+    }
+    asg_before = _assign_set(ws.ivf_index()[0])
+
+    out = ws.optimize(max_files_per_bucket=1)
+    assert out["index_tables"]["ann_lsh"]["buckets_compacted"]
+    assert out["index_tables"]["ann_ivf"]["buckets_compacted"]
+    assert _count("ann_lsh") < lsh_before
+    assert _count("ann_ivf") < ivf_before
+    assert {
+        tuple(r) for r in ws.ann_index()[0].select("id", "table", "bucket").collect()
+    } == sig_before
+    assert _assign_set(ws.ivf_index()[0]) == asg_before
