@@ -39,16 +39,20 @@ class PvdbEngine:
         embedder=None,
         embed_udf=None,
         asof: str | None = None,
+        ivf_n_probe: int = 2,
     ):
         """`embedder`: text→vector for query-side embedding (driver,
         one call per search). `embed_udf`: a pandas UDF column function
         for BULK indexing (e.g. providers.make_http_embed_udf — one POST
         per Arrow batch); defaults to the deterministic hash stub. Both
         must produce the same space, as in the reference where one
-        configured model serves both sides."""
+        configured model serves both sides. `ivf_n_probe`: cells probed
+        by IVF-backed serving — the recall/latency knob (raise toward
+        the centroid count for exact coverage)."""
         self.spark = spark
         self.workspace = Workspace(spark, workspace_path)
         self.dim = dim
+        self.ivf_n_probe = int(ivf_n_probe)
         self.embed_text = embedder or (lambda t: hash_embed(t, dim))
         self.embed_udf = embed_udf
         self.governor = LatencyGovernor()
@@ -192,7 +196,9 @@ class PvdbEngine:
                     buckets, qvec, a_dim, a_planes, a_tables
                 )
             elif ivf is not None:
-                prefilter = self.workspace.ivf_candidates(qvec, n_probe=2)
+                prefilter = self.workspace.ivf_candidates(
+                    qvec, n_probe=self.ivf_n_probe
+                )
             fused = hybrid_search(
                 corpus, vecs, query, qvec, k=k, logs=logs,
                 chunk_type_col="chunk_type", heading_level_col="heading_level",

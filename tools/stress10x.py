@@ -114,6 +114,18 @@ def main() -> None:
         ),
     )
 
+    # substring-level dedup at 10x: with every doc replicated 10x, every
+    # span is shared 10 ways — worst-case group density, still one
+    # map-only shingling pass + one aggregate (no pairwise join to blow up)
+    from ai_vector_database_converstion_from_pdf_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    timed(
+        "duplicate_spans(50k docs)",
+        lambda: f"{duplicate_spans(docs).count()} span groups",
+    )
+
 
 if __name__ == "__main__":
     main()
