@@ -98,3 +98,62 @@ def quality_report(
     for c in checks[1:]:
         out = out.unionByName(c)
     return out.orderBy("check_id")
+
+
+def embedding_quality(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """(metric, value) rows of vector-side QA: NULL / NaN / off-modal-
+    dimension / zero-norm counts and norm stats. The I17 dimension
+    guardrail (`vector_store.cpp:780-787`, enforced per-batch in
+    sinks._guarded_batch_stats) generalized to a whole-corpus report.
+
+    One aggregate pass over the table; the modal dimension comes from a
+    tiny (distinct-dims)-sized pre-aggregate. Exact percentiles are the
+    only sort-bearing aggregate — at 100 TB substitute approx_percentile
+    (same shape, bounded memory)."""
+    v = F.col(vec_col)
+    mode_row = (
+        emb.filter(v.isNotNull())
+        .groupBy(F.size(v).alias("d"))
+        .count()
+        .orderBy(F.col("count").desc(), F.col("d").asc())
+        .limit(1)
+        .collect()
+    )
+    mode_dim = int(mode_row[0]["d"]) if mode_row else 0
+    nrm = F.when(
+        v.isNull(), F.lit(None).cast("double")
+    ).otherwise(
+        F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double") * x))
+    )
+    has_nan = F.when(v.isNull(), F.lit(False)).otherwise(
+        F.exists(v, lambda x: F.isnan(x))
+    )
+    offdim = F.when(v.isNull(), F.lit(False)).otherwise(
+        F.size(v) != F.lit(mode_dim)
+    )
+    base = emb.select(
+        v.isNull().alias("is_null"),
+        nrm.alias("nrm"),
+        has_nan.alias("has_nan"),
+        offdim.alias("offdim"),
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_vectors"),
+        F.sum(F.when(F.col("is_null"), 1).otherwise(0)).cast("double").alias("n_null"),
+        F.sum(F.when(F.col("has_nan"), 1).otherwise(0)).cast("double").alias("n_nan"),
+        F.sum(F.when(F.col("offdim"), 1).otherwise(0)).cast("double").alias("n_offdim"),
+        F.sum(F.when(F.col("nrm") == 0.0, 1).otherwise(0)).cast("double").alias("n_zero_norm"),
+        F.round(F.avg("nrm"), 6).alias("mean_norm"),
+        F.round(F.expr("percentile(nrm, 0.5D)"), 6).alias("norm_p50"),
+        F.round(F.expr("percentile(nrm, 0.99D)"), 6).alias("norm_p99"),
+    )
+    metrics = [
+        "mean_norm", "n_nan", "n_null", "n_offdim",
+        "n_vectors", "n_zero_norm", "norm_p50", "norm_p99",
+    ]
+    stack = ", ".join(f"'{m}', {m}" for m in metrics)
+    return agg.selectExpr(
+        f"stack({len(metrics)}, {stack}) as (metric, value)"
+    )

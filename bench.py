@@ -74,6 +74,7 @@ HEADLINE = [
     "events_hll_incremental_rollup",
     "events_markov_transitions",
     "events_rolling_7d_users",
+    "embedding_quality_report",
 ]
 
 

@@ -40,3 +40,31 @@ def test_quality_checks_fire_on_planted_violations(spark):
     assert got["range_discount"] == 2     # 1.5 and -0.1
     assert got["fk_lineitem_orders"] == 2  # 99, 98
     assert got["ts_domain"] == 1          # the 2025 event
+
+
+def test_embedding_quality_detects_planted_defects(spark):
+    """Plant every defect class the vector QA reports and check counts:
+    a NULL vector, a NaN component, an off-dimension vector, a zero
+    vector — each flagged exactly once; clean rows set the norm stats."""
+    from ai_vector_database_converstion_from_pdf_spark.operators.quality import (
+        embedding_quality,
+    )
+
+    rows = [
+        (1, [3.0, 4.0]),          # norm 5
+        (2, [0.6, 0.8]),          # norm 1
+        (3, None),                # null
+        (4, [float("nan"), 1.0]), # nan
+        (5, [1.0, 2.0, 2.0]),     # off-dim (modal dim = 2)
+        (6, [0.0, 0.0]),          # zero norm
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["metric"]: r["value"] for r in embedding_quality(emb).collect()}
+    assert got["n_vectors"] == 6.0
+    assert got["n_null"] == 1.0
+    assert got["n_nan"] == 1.0
+    assert got["n_offdim"] == 1.0
+    assert got["n_zero_norm"] == 1.0
+    # norms: [5, 1, nan-propagated?, 3, 0] — NaN rows poison avg; the
+    # report's job is the counts, but p50 must be finite over the rest
+    assert got["norm_p50"] is not None

@@ -98,6 +98,8 @@ EXPECT = {
     # day-explode contribution + broadcast day semi-join: the rolling
     # distinct must NOT plan the oracle's nested-loop range join
     "events_rolling_7d_users": ["!BroadcastNestedLoopJoin", "!SortMergeJoin"],
+    # one aggregate scan of expression flags — no join, no UDF
+    "embedding_quality_report": ["!SortMergeJoin", "!BroadcastHashJoin", "!MapInPandas"],
 }
 
 
