@@ -1,0 +1,186 @@
+"""Distributed byte-pair-encoding (BPE) vocabulary learning.
+
+Tokenizer training is the step every LLM data pipeline runs between
+curation and packing; this is the Sennrich et al. (ACL'16) word-level BPE
+learner expressed Spark-first:
+
+- **One corpus-sized shuffle, ever**: the corpus collapses to a
+  (word, freq) table up front. Every merge iteration thereafter runs over
+  that vocabulary-sized table — at 100 TB the corpus might be billions of
+  rows but the word vocabulary is tens of millions, so the iterative part
+  never touches the corpus again.
+- **Per-iteration work**: adjacent symbol pairs are exploded JVM-side
+  (slice + arrays_zip, no Python), summed with map-side combine
+  (vocabulary-sized shuffle on the pair key), and the argmax pair is one
+  driver scalar (the sanctioned ≤1-row collect). The merge itself is a
+  pure ``F.aggregate`` left fold — codegen'd, no UDF.
+- **Bounded lineage**: the vocab frame is localCheckpoint'ed each
+  iteration so 50 merges don't build a 50-deep nested-expression plan.
+
+Determinism contract: ties on pair count break by (left, right) symbol
+order; the whole procedure is a deterministic function of the corpus, so
+the catalog entries are golden-VALUES oracles (the same class as the
+chunker) and `tests/test_bpe.py` re-derives them against an independent
+pure-Python reference implementation.
+
+Reference: the reference app has no tokenizer trainer; this is a
+training-pipeline extension (SURVEY.md §6, BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import tokens
+
+END = "</w>"  # end-of-word sentinel symbol (Sennrich-style)
+
+
+def word_frequencies(
+    docs: DataFrame, text_col: str = "text", min_freq: int = 1
+) -> DataFrame:
+    """(word, freq) over the tokenized corpus — the single corpus-sized
+    aggregation; everything downstream is vocabulary-sized."""
+    out = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    if min_freq > 1:
+        out = out.filter(F.col("freq") >= min_freq)
+    return out
+
+
+def _init_symbols(vocab: DataFrame) -> DataFrame:
+    """Split each word into single-character symbols + the END sentinel."""
+    # between-char split; Java split keeps a trailing "" (the lookahead
+    # matches at end-of-string), so strip empties explicitly
+    chars = F.filter(F.split(F.col("word"), "(?!^)"), lambda s: s != "")
+    return vocab.withColumn("syms", F.concat(chars, F.array(F.lit(END))))
+
+
+def _merge_fold(left: str, right: str):
+    """Left fold applying ONE merge rule left-to-right, non-overlapping:
+    push each symbol; if the top of the stack is (left) and the incoming
+    symbol is (right), replace the top with the merged symbol."""
+    merged = left + right
+
+    def step(acc, s):
+        hit = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right))
+        )
+        return F.when(
+            hit,
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return lambda syms: F.aggregate(
+        syms, F.array().cast("array<string>"), step
+    )
+
+
+def bpe_train(
+    vocab: DataFrame, n_merges: int, stop_below: int = 2
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Learn up to ``n_merges`` merge rules. Returns (merges, final_vocab)
+    where merges = [(left, right, pair_freq_at_merge_time), ...] in rank
+    order and final_vocab carries the trained segmentation per word.
+
+    Stops early when no adjacent pair reaches ``stop_below`` total
+    frequency (merging hapax pairs adds vocabulary without compression).
+    """
+    cur = _init_symbols(vocab).select("word", "freq", "syms").localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        multi = cur.filter(F.size("syms") >= 2)
+        lefts = F.slice(F.col("syms"), 1, F.size("syms") - 1)
+        rights = F.slice(F.col("syms"), 2, F.size("syms") - 1)
+        pairs = multi.select(
+            "freq", F.explode(F.arrays_zip(lefts.alias("l"), rights.alias("r"))).alias("p")
+        ).select(
+            F.col("p.l").alias("l"), F.col("p.r").alias("r"), "freq"
+        )
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < stop_below:
+            break
+        left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        merges.append((left, right, cnt))
+        fold = _merge_fold(left, right)
+        cur = cur.withColumn("syms", fold(F.col("syms"))).localCheckpoint()
+    return merges, cur
+
+
+def encode_udf(merges: list[tuple[str, str, int]]):
+    """mapInPandas generator applying the learned merge table (GPT-2
+    style: repeatedly merge the lowest-rank adjacent pair) to a stream of
+    (id, text) rows → (id, n_tokens, n_chars). The rank dict rides the
+    closure — broadcast once per executor, O(|merges|) memory."""
+    ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+
+    def encode_word(word: str) -> int:
+        syms = list(word) + [END]
+        while len(syms) >= 2:
+            cand = [
+                (ranks[(a, b)], i)
+                for i, (a, b) in enumerate(zip(syms, syms[1:]))
+                if (a, b) in ranks
+            ]
+            if not cand:
+                break
+            rank, _ = min(cand)
+            l, r = merges[rank][0], merges[rank][1]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    import re
+
+    tok_re = re.compile("[^a-z0-9]+")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_tok = []
+            for text in pdf["text"].astype(str):
+                words = [w for w in tok_re.split(text.lower()) if w]
+                n_tok.append(sum(encode_word(w) for w in words))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy("int64"),
+                    "n_bpe_tokens": pd.Series(n_tok, dtype="int64"),
+                    "n_chars": pdf["text"].astype(str).str.len().astype("int64"),
+                }
+            )
+
+    return gen
+
+
+def bpe_token_counts(
+    docs: DataFrame, merges: list[tuple[str, str, int]]
+) -> DataFrame:
+    """Per-document BPE token counts under a trained merge table — the
+    'token budget' column packing and pricing run on. Map-side only."""
+    return docs.select("doc_id", "text").mapInPandas(
+        encode_udf(merges), "doc_id long, n_bpe_tokens long, n_chars long"
+    )

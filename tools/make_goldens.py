@@ -21,7 +21,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-GOLDEN_NAMES = ["ingest_chunker", "rerank_pipeline", "synthesis_claims"]
+GOLDEN_NAMES = [
+    "ingest_chunker",
+    "rerank_pipeline",
+    "synthesis_claims",
+    "bpe_merges",
+    "bpe_word_segmentation",
+    "bpe_compression_by_lang",
+]
 GOLDEN_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "golden"
 )
@@ -77,7 +84,9 @@ def main() -> None:
     spark = get_spark("make-goldens", cpus=8)
     qs = entry_mod.queries()
     os.makedirs(GOLDEN_DIR, exist_ok=True)
-    for name in GOLDEN_NAMES:
+    picked = sys.argv[1:] or GOLDEN_NAMES
+    assert all(n in GOLDEN_NAMES for n in picked), picked
+    for name in picked:
         df = qs[name](spark, SF_DIR)
         sql = golden_sql(df)
         path = os.path.join(GOLDEN_DIR, f"{name}.sql")
