@@ -406,6 +406,49 @@ def unigram_surprisal(docs: DataFrame) -> DataFrame:
     )
 
 
+def bigram_surprisal(docs: DataFrame, add_k: int = 1) -> DataFrame:
+    """Corpus-self-trained CONDITIONAL bigram LM score — the step up
+    from `unigram_surprisal` toward KenLM-style perplexity filtering:
+    per doc, mean -ln P(w_i | w_{i-1}) with add-k smoothing
+    P(w|prev) = (c(prev,w) + k) / (c(prev,·) + k·V). Low = predictable
+    n-gram structure; high = incoherent or rare transitions.
+
+    Shape: one bigram explode (map-side sliding window), TWO vocab-sized
+    count tables (bigram and left-context, both AQE-broadcastable by
+    Heaps' law) joined back, V via a broadcast 1-row aggregate. Docs
+    with <2 tokens drop out (no transition to score).
+
+    Determinism: counts are exact integers; the probability is built
+    from correctly-rounded IEEE ops; the single ln rounds to 6 with the
+    same convention the green unigram entry uses."""
+    from .freqitems import token_ngrams
+
+    bg = token_ngrams(docs, n=2).select(
+        F.col("id").alias("doc_id"),
+        "gram",
+        F.split(F.col("gram"), " ")[0].alias("prev"),
+    )
+    bg_counts = bg.groupBy("gram").agg(F.count("*").alias("cb"))
+    ctx_counts = bg.groupBy("prev").agg(F.count("*").alias("cc"))
+    vocab = docs.select(
+        F.explode(tokens(F.col("text"))).alias("term")
+    ).agg(F.count_distinct("term").alias("v"))
+    p = (F.col("cb") + add_k).cast("double") / (
+        F.col("cc") + add_k * F.col("v")
+    ).cast("double")
+    return (
+        bg.join(bg_counts, "gram")
+        .join(ctx_counts, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", (-F.log(p)).alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("s"), 6).alias("mean_surprisal"),
+        )
+    )
+
+
 def normalize_text(col: Column) -> Column:
     """Curation-standard text normalization, pure expressions: control
     chars → space, curly quotes → straight, en/em dashes → '-',

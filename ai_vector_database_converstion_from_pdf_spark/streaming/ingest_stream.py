@@ -298,3 +298,66 @@ def click_purchase_attribution(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def streaming_trending_terms(
+    docs: DataFrame, k: int = 64, n_shards: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Streaming heavy-hitter terms: a per-shard Misra-Gries summary
+    maintained ACROSS micro-batches in the state store — the incremental
+    counterpart of operators/freqitems.heavy_hitters (a batch groupBy
+    over the full vocabulary cannot run on an unbounded stream, and
+    keeping exact per-term state would grow the store vocabulary-sized).
+
+    State = at most k (term, lower-bound count) counters per shard plus
+    the shard's total token count. The MG merge bound survives
+    incremental reduction: every reduce-to-k subtracts the (k+1)-st
+    largest count from all counters, and the subtracted mass is ≤
+    shard_n/(k+1) cumulatively — so ANY term with true shard frequency
+    ≥ shard_n/(k+1) is guaranteed present in the state, and every kept
+    count is a lower bound undercounting by at most shard_n/(k+1)
+    (Agarwal et al., Mergeable Summaries). tests/test_streaming_dedup.py
+    drives both properties against a batch recompute.
+
+    Emits the full current summary per (shard, micro-batch):
+    (shard, term, lb, shard_n) — downstream picks its threshold."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..functions.text import tokens
+
+    sharded = docs.select(
+        F.explode(tokens(F.col(text_col))).alias("term")
+    ).withColumn("shard", F.pmod(F.xxhash64("term"), F.lit(n_shards)).cast("int"))
+
+    out_schema = "shard int, term string, lb long, shard_n long"
+    state_schema = "terms array<string>, cnts array<long>, n long"
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            terms, cnts, n = state.get
+            d = dict(zip(terms, (int(c) for c in cnts)))
+        else:
+            d, n = {}, 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+            for t, c in pdf["term"].value_counts().items():
+                d[t] = d.get(t, 0) + int(c)
+        if len(d) > k:
+            cut = sorted(d.values(), reverse=True)[k]  # (k+1)-st largest
+            d = {t: c - cut for t, c in d.items() if c - cut > 0}
+        # deterministic state/emit order: count desc, term asc
+        items = sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))
+        state.update(([t for t, _ in items], [c for _, c in items], n))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(items),
+                "term": [t for t, _ in items],
+                "lb": [c for _, c in items],
+                "shard_n": [n] * len(items),
+            }
+        )
+
+    return sharded.groupBy("shard").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -78,3 +78,106 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
         r["keeper_id"] for r in exact_dedup(all_docs).collect()
     )
     assert firsts == batch_keepers
+
+
+class TestStreamingTrendingTerms:
+    def _drive(self, spark, tmp_path, k):
+        import glob
+        import shutil
+
+        from ai_vector_database_converstion_from_pdf_spark.streaming.ingest_stream import (
+            streaming_trending_terms,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        first = docs.filter(F.col("doc_id") % 2 == 0)
+        second = docs.filter(F.col("doc_id") % 2 == 1)
+        path = str(tmp_path / "drops")
+        first.coalesce(1).write.mode("overwrite").parquet(path)
+        tmp2 = str(tmp_path / "drop2")
+        second.coalesce(1).write.mode("overwrite").parquet(tmp2)
+        for i, f in enumerate(glob.glob(f"{tmp2}/part-*.parquet")):
+            shutil.copy(f, f"{path}/zz-second-{i}.parquet")
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        out = streaming_trending_terms(stream, k=k, n_shards=4)
+        name = f"trending_{k}"
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+        # per shard, keep only the FINAL micro-batch summary (max shard_n)
+        final = {}
+        for r in rows:
+            cur = final.setdefault(r["shard"], {})
+            if not cur or r["shard_n"] > cur["n"]:
+                final[r["shard"]] = {"n": r["shard_n"], "items": {}}
+            if r["shard_n"] == final[r["shard"]]["n"]:
+                final[r["shard"]]["items"][r["term"]] = r["lb"]
+        return docs, final
+
+    def test_guarantee_and_bounds_under_forced_decrements(self, spark, tmp_path):
+        """k=4 forces MG decrements every batch; the guarantee must
+        still hold: every term with true shard count >= n/(k+1) present,
+        every lb a lower bound within n/(k+1) of truth, state <= k."""
+        import collections
+
+        from ai_vector_database_converstion_from_pdf_spark.functions.text import tokens
+
+        k = 4
+        docs, final = self._drive(spark, tmp_path, k)
+        # recompute true per-shard counts batch-side
+        truth = (
+            docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+            .withColumn("shard", F.pmod(F.xxhash64("term"), F.lit(4)).cast("int"))
+            .groupBy("shard", "term")
+            .count()
+            .collect()
+        )
+        per_shard = collections.defaultdict(dict)
+        for r in truth:
+            per_shard[r["shard"]][r["term"]] = r["count"]
+        for shard, items in per_shard.items():
+            n = sum(items.values())
+            assert final[shard]["n"] == n
+            kept = final[shard]["items"]
+            assert len(kept) <= k
+            bound = n / (k + 1)
+            for term, true_cnt in items.items():
+                if true_cnt >= bound:
+                    assert term in kept, (shard, term, true_cnt, bound)
+                if term in kept:
+                    assert kept[term] <= true_cnt
+                    assert true_cnt - kept[term] <= bound + 1e-9
+
+    def test_exact_when_k_exceeds_vocab(self, spark, tmp_path):
+        """k=256 >= vocab: no decrement ever fires, so the final state
+        holds EXACT counts for every term."""
+        import collections
+
+        from ai_vector_database_converstion_from_pdf_spark.functions.text import tokens
+
+        docs, final = self._drive(spark, tmp_path, 256)
+        truth = (
+            docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+            .withColumn("shard", F.pmod(F.xxhash64("term"), F.lit(4)).cast("int"))
+            .groupBy("shard", "term")
+            .count()
+            .collect()
+        )
+        per_shard = collections.defaultdict(dict)
+        for r in truth:
+            per_shard[r["shard"]][r["term"]] = r["count"]
+        for shard, items in per_shard.items():
+            assert final[shard]["items"] == items
