@@ -17,6 +17,7 @@ engine end-to-end without writing code:
     python -m ai_vector_database_converstion_from_pdf_spark.cli rollup     -w WS enable
     python -m ai_vector_database_converstion_from_pdf_spark.cli build-index -w WS --kind ivf
     python -m ai_vector_database_converstion_from_pdf_spark.cli fts-match  -w WS -q '"exact phrase" OR tok*'
+    python -m ai_vector_database_converstion_from_pdf_spark.cli prepare-training --parquet docs.parquet --out prep/ -w WS
 
 Output is one JSON object per line on stdout (machine-consumable, like
 the driver contract); diagnostics go to stderr.
@@ -115,6 +116,17 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--planes", type=int, default=4)
     sp.add_argument("--tables", type=int, default=8)
     sp.add_argument("--centroids", type=int, default=16)
+
+    sp = sub.add_parser(
+        "prepare-training",
+        help="end-to-end training-data prep: curate -> split -> pack -> shards",
+    )
+    common(sp)
+    sp.add_argument("--parquet", required=True, help="(doc_id, text) input")
+    sp.add_argument("--out", required=True, help="output directory")
+    sp.add_argument("--capacity", type=int, default=512, help="tokens per pack")
+    sp.add_argument("--shards", type=int, default=8)
+    sp.add_argument("--split-salt", default="v1")
 
     args = p.parse_args(argv)
     spark = _spark()
@@ -244,6 +256,57 @@ def main(argv: list[str] | None = None) -> int:
         else:
             n = ws.build_ivf_index(dim=args.dim, n_centroids=args.centroids)
         _emit({"index": args.kind, "rows": n})
+    elif args.cmd == "prepare-training":
+        # The whole LLM-data pipeline as one command: curation audit
+        # (dedup CC + Gopher gates + decontamination + PII scrub) ->
+        # deterministic split -> next-fit packing -> sharded export.
+        # Every stage is the already-oracle-checked operator; this is
+        # composition + manifest, no new semantics.
+        from pyspark.sql import functions as F
+
+        from .operators.packing import export_training_shards
+        from .operators.sampling import hash_bucket
+        from .plans.curate import curate_corpus
+
+        docs = spark.read.parquet(args.parquet).select("doc_id", "text")
+        audit = curate_corpus(docs)
+        stage_counts = audit.agg(
+            F.count(F.lit(1)).alias("n_input"),
+            F.sum(F.col("dedup_keep").cast("long")).alias("dedup_keep"),
+            F.sum(F.col("quality_keep").cast("long")).alias("quality_keep"),
+            F.sum(F.col("repetition_keep").cast("long")).alias("repetition_keep"),
+            F.sum(F.col("decon_keep").cast("long")).alias("decon_keep"),
+            F.sum(F.col("is_eval").cast("long")).alias("n_eval"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        ).collect()[0]
+        # kept docs carry the PII-scrubbed text forward
+        kept = audit.filter(F.col("keep")).select(
+            "doc_id", F.col("redacted").alias("text")
+        )
+        key = F.concat(F.lit(args.split_salt + ":"), F.col("doc_id").cast("string"))
+        split = F.when(hash_bucket(key, 100) < 90, "train").otherwise(
+            F.when(hash_bucket(key, 100) < 95, "val").otherwise("test")
+        )
+        kept = kept.withColumn("split", split)
+        split_counts = {
+            r["split"]: r["n"]
+            for r in kept.groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+        train = kept.filter(F.col("split") == "train").drop("split")
+        manifest = export_training_shards(
+            train,
+            f"{args.out}/train",
+            capacity=args.capacity,
+            n_shards=args.shards,
+        )
+        for name in ("val", "test"):
+            kept.filter(F.col("split") == name).drop("split").write.mode(
+                "overwrite"
+            ).parquet(f"{args.out}/{name}")
+        _emit({"stage_counts": stage_counts.asDict()})
+        _emit({"split_counts": split_counts})
+        for r in manifest.orderBy("shard").collect():
+            _emit({"shard_manifest": r.asDict()})
     elif args.cmd == "optimize":
         from .sinks import Workspace
 

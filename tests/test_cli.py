@@ -177,3 +177,46 @@ def test_cli_build_index_both_kinds(spark, capsys, tmp_path):
                         "--asof", "2024-06-01 00:00:00",
                         "-q", "merge tables", "-k", "2"])
     assert len(res) == 2
+
+
+def test_cli_prepare_training(spark, capsys, tmp_path):
+    """End-to-end training-data prep: stage counts consistent, splits
+    partition the kept set, shard manifest sums to the train split, and
+    exported text is the PII-scrubbed variant."""
+    src = str(tmp_path / "docs.parquet")
+    out = str(tmp_path / "prep")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.select("doc_id", "text").write.parquet(src)
+
+    got = _run(capsys, ["prepare-training", "-w", str(tmp_path / "ws"),
+                        "--parquet", src, "--out", out,
+                        "--capacity", "64", "--shards", "4"])
+    stage = got[0]["stage_counts"]
+    splits = got[1]["split_counts"]
+    manifests = [g["shard_manifest"] for g in got[2:]]
+
+    n_input = docs.count()
+    assert stage["n_input"] == n_input
+    assert 0 < stage["n_keep"] <= n_input
+    # splits partition the kept set
+    assert sum(splits.values()) == stage["n_keep"]
+    assert set(splits) <= {"train", "val", "test"}
+    # manifest covers exactly the train split
+    assert sum(m["n_docs"] for m in manifests) == splits.get("train", 0)
+    assert all(m["n_packs"] >= 1 for m in manifests)
+
+    train = spark.read.parquet(f"{out}/train")
+    assert train.count() == splits.get("train", 0)
+    val = spark.read.parquet(f"{out}/val")
+    test = spark.read.parquet(f"{out}/test")
+    assert val.count() == splits.get("val", 0)
+    assert test.count() == splits.get("test", 0)
+    # kept ids from the three splits are disjoint
+    import pyspark.sql.functions as F
+
+    ids = (
+        train.select("doc_id")
+        .union(val.select("doc_id"))
+        .union(test.select("doc_id"))
+    )
+    assert ids.count() == ids.distinct().count() == stage["n_keep"]
