@@ -19,6 +19,7 @@ should repartition by size estimate to even out skew from mixed media.
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterable, Iterator
 
 import numpy as np
@@ -50,10 +51,13 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
     """Deterministic media rows for exercising the pipeline end-to-end.
     Image payloads are REAL encoded files (PPM and BMP alternating,
     deterministic gradient rasters); audio payloads are REAL mono 16-bit
-    PCM WAV files (deterministic sine bursts); video stays opaque md5
-    bytes (no lib-free codec to target)."""
+    PCM WAV files (deterministic sine bursts); video payloads are REAL
+    PVDV containers (`functions/videocodec.py`: length-prefixed PPM
+    frames behind a fixed header) with deterministic moving-gradient
+    frames."""
     from ..functions.audiocodec import encode_wav
     from ..functions.imagecodec import encode_bmp, encode_ppm
+    from ..functions.videocodec import encode_video
 
     rows = []
     kinds = ["image", "audio", "video"]
@@ -83,14 +87,28 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
             wave = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
             payload, mime = encode_wav(wave, sr), "audio/wav"
         else:
-            payload = (hashlib.md5(f"media-{i}".encode()).digest() * 8)[: 64 + i % 32]
-            mime = "video/mp4"
+            n_frames = 2 + i % 7
+            fps = 1.0 + (i % 3)
+            frames = []
+            for j in range(n_frames):
+                yy, xx = np.mgrid[0:h, 0:w]
+                frames.append(
+                    np.stack(
+                        [
+                            ((xx + 4 * j) * 255 // max(w - 1, 1) % 256).astype(np.uint8),
+                            (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+                            np.full((h, w), (i + 16 * j) % 256, dtype=np.uint8),
+                        ],
+                        axis=2,
+                    )
+                )
+            payload, mime = encode_video(frames, fps=fps), "video/x-pvdv"
         if kind == "image":
             dur = None
         elif kind == "audio":
             dur = dur_ms
         else:
-            dur = 1000 * (i % 30)
+            dur = int(n_frames / fps * 1000)
         rows.append((i, kind, mime, bytearray(payload), w, h, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -197,9 +215,23 @@ def extract_features(media: DataFrame, frame_stride_ms: int = 5000) -> DataFrame
                         else None
                     )
                     out["aspect"].append(aspect)
-                    out["frames_sampled"].append(
-                        max(1, int(r.duration_ms) // frame_stride_ms)
-                    )
+                    if r.mime == "video/x-pvdv":
+                        # REAL container: frame count from the O(1)
+                        # header, stride converted to whole frames
+                        from ..functions.videocodec import video_info
+
+                        try:
+                            n_frames, fps = video_info(payload)
+                            every = max(1, int(round(frame_stride_ms * fps / 1000)))
+                            out["frames_sampled"].append(
+                                len(range(0, n_frames, every))
+                            )
+                        except (ValueError, struct.error):
+                            out["frames_sampled"].append(0)
+                    else:
+                        out["frames_sampled"].append(
+                            max(1, int(r.duration_ms) // frame_stride_ms)
+                        )
                 else:
                     out["mean_intensity"].append(None)
                     out["aspect"].append(None)
@@ -239,4 +271,48 @@ def resize_images(media: DataFrame, target: tuple[int, int] = (32, 32)) -> DataF
 
     return media.mapInPandas(
         per_batch, "media_id long, mime string, payload binary, width int, height int"
+    )
+
+
+def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling as a row-expanding operator: every ``every_n``-th
+    frame of each PVDV video becomes ONE output row carrying the frame
+    as a self-describing PPM payload — the shape a downstream image
+    stage (`extract_features`, `resize_images`, a captioner UDF)
+    consumes unchanged.
+
+    Skipped frames are never decoded: the sampler hops the container's
+    length prefixes (`videocodec.sample_frame_bytes`), so the cost
+    scales with frames KEPT. Map-side mapInPandas, no shuffle; non-video
+    and foreign-container rows drop out (a production run would
+    dead-letter them)."""
+    from ..functions.videocodec import sample_frame_bytes
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "frame_idx": [], "kind": [], "mime": [],
+                "payload": [], "width": [], "height": [],
+            }
+            for r in pdf.itertuples(index=False):
+                if r.kind != "video" or r.mime != "video/x-pvdv":
+                    continue
+                try:
+                    sampled = sample_frame_bytes(bytes(r.payload), every_n)
+                except (ValueError, struct.error):
+                    continue
+                for idx, blob in sampled:
+                    rows["media_id"].append(r.media_id)
+                    rows["frame_idx"].append(idx)
+                    rows["kind"].append("image")
+                    rows["mime"].append("image/x-portable-pixmap")
+                    rows["payload"].append(blob)
+                    rows["width"].append(r.width)
+                    rows["height"].append(r.height)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        per_batch,
+        "media_id long, frame_idx int, kind string, mime string, "
+        "payload binary, width int, height int",
     )

@@ -75,6 +75,14 @@ HEADLINE = [
     "events_markov_transitions",
     "events_rolling_7d_users",
     "embedding_quality_report",
+    "text_heavy_hitters",
+    "events_daily_anomalies",
+    "bigram_surprisal_score",
+    "dedup_cross_source_overlap",
+    "sample_weighted_priority",
+    "embedding_pca_project",
+    # NOT benched: bpe_* (the per-session training cache would turn
+    # min-of-N replays into cache reads — see catalog._bpe_trained)
 ]
 
 
