@@ -48,24 +48,29 @@ def token_ngrams(
     """(id, gram) stream of word n-grams, built JVM-side: tokenize once,
     slide with ``transform`` over index ranges, explode. Narrow — no
     shuffle; column pruning keeps the scan at (id, text)."""
-    ts = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("ts")
+    )
     if n == 1:
-        gram = ts
-    else:
-        # indices 0..len-n; gram i = ts[i] .. ts[i+n-1] joined by space.
-        # Guard size < n: Spark's sequence(0, negative) counts DOWNWARD,
-        # so short docs must short-circuit to an empty array.
-        sliding = F.transform(
-            F.sequence(F.lit(0), F.size(ts) - n),
-            lambda i: F.concat_ws(
-                " ", F.array([F.element_at(ts, i + j + 1) for j in range(n)])
-            ),
+        return base.select("id", F.explode("ts").alias("gram"))
+    # Sliding windows WITHOUT higher-order functions: HOF lambdas
+    # (transform/aggregate) run on Spark's interpreted path per element
+    # — ~20x slower than codegen on a corpus-sized explode. slice +
+    # arrays_zip are ordinary codegen'd expressions: n shifted views of
+    # the token array zip into per-window structs, and the string concat
+    # happens AFTER the explode as a plain row expression.
+    win_len = F.size("ts") - n + 1
+    zipped = F.arrays_zip(
+        *[F.slice("ts", j + 1, win_len).alias(f"w{j}") for j in range(n)]
+    )
+    return (
+        base.filter(F.size("ts") >= n)
+        .select("id", F.explode(zipped).alias("p"))
+        .select(
+            "id",
+            F.concat_ws(" ", *[F.col(f"p.w{j}") for j in range(n)]).alias("gram"),
         )
-        gram = F.when(F.size(ts) >= n, sliding).otherwise(
-            F.array().cast("array<string>")
-        )
-    out = docs.select(F.col(id_col).alias("id"), F.explode(gram).alias("gram"))
-    return out
+    )
 
 
 def _mg_summaries(k: int):
