@@ -100,6 +100,25 @@ EXPECT = {
     "events_rolling_7d_users": ["!BroadcastNestedLoopJoin", "!SortMergeJoin"],
     # one aggregate scan of expression flags — no join, no UDF
     "embedding_quality_report": ["!SortMergeJoin", "!BroadcastHashJoin", "!MapInPandas"],
+    # MG partials are mapInPandas; candidate recount is an In-filter +
+    # agg — the vocabulary-sized shuffle of the naive plan must not appear
+    "text_heavy_hitters": ["MapInPandas", "!SortMergeJoin", "!BroadcastHashJoin"],
+    # priority = narrow expressions + TakeOrdered: NO shuffle at all
+    "sample_weighted_priority": ["TakeOrderedAndProject", "!Exchange", "!SortMergeJoin"],
+    # strata-sized count table broadcast back over one corpus scan
+    "source_mixture_sample": ["BroadcastHashJoin", "!SortMergeJoin"],
+    # tiny per-type stats broadcast back onto the daily pre-aggregate
+    "events_daily_anomalies": ["BroadcastHashJoin", "!SortMergeJoin", "!Window"],
+    # pair family broadcast against the narrow (doc_id, source) projection
+    "dedup_cross_source_overlap": ["BroadcastHashJoin", "!SortMergeJoin"],
+    # codegen'd bigram explode; both count tables join back broadcast
+    "bigram_surprisal_score": ["!MapInPandas", "!SortMergeJoin"],
+    # moments + projection are map-side GEMM passes; no join anywhere
+    "embedding_pca_project": ["MapInPandas", "!SortMergeJoin", "!BroadcastHashJoin"],
+    # encoding is map-side; the per-lang rollup joins the narrow meta
+    # projection broadcast (plan reflects the ENCODE stage — training
+    # ran eagerly at DF-build time, see catalog._bpe_trained)
+    "bpe_compression_by_lang": ["MapInPandas", "!SortMergeJoin"],
 }
 
 
