@@ -100,9 +100,11 @@ EXPECT = {
     "events_rolling_7d_users": ["!BroadcastNestedLoopJoin", "!SortMergeJoin"],
     # one aggregate scan of expression flags — no join, no UDF
     "embedding_quality_report": ["!SortMergeJoin", "!BroadcastHashJoin", "!MapInPandas"],
-    # MG partials are mapInPandas; candidate recount is an In-filter +
-    # agg — the vocabulary-sized shuffle of the naive plan must not appear
-    "text_heavy_hitters": ["MapInPandas", "!SortMergeJoin", "!BroadcastHashJoin"],
+    # returned plan is the candidate RECOUNT only (the MG mapInPandas
+    # pass ran eagerly at DF-build time to collect the bounded summary):
+    # an In-filter + agg, never a join — the vocabulary-sized shuffle of
+    # the naive plan must not appear
+    "text_heavy_hitters": ["!SortMergeJoin", "!BroadcastHashJoin"],
     # priority = narrow expressions + TakeOrdered: NO shuffle at all
     "sample_weighted_priority": ["TakeOrderedAndProject", "!Exchange", "!SortMergeJoin"],
     # strata-sized count table broadcast back over one corpus scan
