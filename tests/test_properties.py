@@ -164,3 +164,50 @@ def test_numpy_export_roundtrip(spark):
     assert mat.shape == (10, 16)
     norms = np.linalg.norm(mat.astype(np.float64), axis=1)
     assert np.allclose(norms[norms > 0], 1.0, atol=1e-5)
+
+
+# --- heavy hitters: MG + recount is EXACT for any corpus/k/phi combo ---
+
+@given(
+    st.lists(
+        st.sampled_from([f"w{i}" for i in range(40)]), min_size=1, max_size=400
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=12, deadline=None)
+def test_heavy_hitters_exact_property(spark, items, parts):
+    import collections
+
+    from ai_vector_database_converstion_from_pdf_spark.operators.freqitems import (
+        heavy_hitters,
+    )
+
+    phi_bp, k = 500, 25  # phi >= 1/(k+1) holds: 500 * 26 >= 10000
+    df = spark.createDataFrame(
+        [(i, g) for i, g in enumerate(items)], "id long, gram string"
+    ).repartition(parts)
+    got = {r["gram"]: r["cnt"] for r in heavy_hitters(df, phi_bp, k=k).collect()}
+    exact = collections.Counter(items)
+    n = len(items)
+    want = {g: c for g, c in exact.items() if c * 10000 >= phi_bp * n}
+    assert got == want
+
+
+# --- priority sampling: heavier duplicate of a row always outranks it ---
+
+@given(st.integers(min_value=1, max_value=60))
+@settings(max_examples=10, deadline=None)
+def test_priority_sample_weight_monotone(spark, n):
+    """For the SAME id-derived uniform (same hash key), a higher weight
+    can only raise the priority: doubling every weight preserves the
+    selected id set exactly (priorities scale by a constant)."""
+    from ai_vector_database_converstion_from_pdf_spark.operators.sampling import (
+        priority_sample,
+    )
+
+    rows = [(i, (i * 37) % 11 + 1) for i in range(80)]
+    a = spark.createDataFrame(rows, "doc_id long, w long")
+    b = spark.createDataFrame([(i, w * 2) for i, w in rows], "doc_id long, w long")
+    sa = [r["doc_id"] for r in priority_sample(a, n, "w").collect()]
+    sb = [r["doc_id"] for r in priority_sample(b, n, "w").collect()]
+    assert sa == sb
