@@ -158,6 +158,73 @@ def ivf_assign(
     )
 
 
+def centroid_outliers(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    z_thresh: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space outlier detection: assign each vector to its
+    argmax-cosine centroid (one map-side pass, centroids are plan
+    literals), then z-score each vector's cosine against its cluster's
+    distribution — vectors far below their own cluster's typical
+    tightness (z <= -z_thresh) are flagged. The vector-column analog of
+    events_daily_anomalies: mislabeled/garbage embeddings surface as
+    low-cohesion members of whatever cluster they landed in.
+
+    Determinism contract: cosines are rounded to 6 decimals then scaled
+    to EXACT integers (x1e6) before the moment sums, so sum order can't
+    drift between engines (float accumulation is order-dependent; long /
+    decimal accumulation is not). The mean/std closed form then runs in
+    doubles with the identical op order on both sides. sumsq accumulates
+    in decimal(38,0) — exact up to ~9e24, far past any cluster size.
+
+    Scale shape: one scan for assignment, one tiny groupBy(centroid_id)
+    (k rows out), broadcast stats join back, map-side z. Output:
+    (vec_id, centroid_id, cos, z, is_outlier)."""
+    arr = F.array(
+        *[
+            F.struct(
+                cosine_rounded(F.col(vec_col), query_vector_lit(cvec)).alias(
+                    "score"
+                ),
+                F.lit(-cid).alias("ncid"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    best = F.array_max(arr)
+    assigned = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        (-best["ncid"]).cast("int").alias("centroid_id"),
+        best["score"].alias("cos"),
+    ).withColumn("ci", F.round(F.col("cos") * 1e6).cast("long"))
+    stats = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("ci").cast("double").alias("sx"),
+        F.sum(F.col("ci").cast("decimal(38,0)") * F.col("ci"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    var = (F.col("sxx") - (F.col("sx") * F.col("sx")) / F.col("n")) / F.col("n")
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = F.when(std == 0.0, F.lit(0.0)).otherwise(
+        F.round((F.col("ci") - mean) / std, 6)
+    )
+    return (
+        assigned.join(F.broadcast(stats), "centroid_id")
+        .select(
+            "vec_id",
+            "centroid_id",
+            "cos",
+            z.alias("z"),
+            (z <= F.lit(-float(z_thresh))).alias("is_outlier"),
+        )
+    )
+
+
 def sample_centroids(
     embeddings: DataFrame,
     n_centroids: int,
