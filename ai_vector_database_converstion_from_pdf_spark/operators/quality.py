@@ -157,3 +157,65 @@ def embedding_quality(
     return agg.selectExpr(
         f"stack({len(metrics)}, {stack}) as (metric, value)"
     )
+
+
+def source_psi(
+    docs,
+    bucket_width: int = 50,
+    n_buckets: int = 20,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+):
+    """Population Stability Index of each source's `value_col`
+    distribution against the whole corpus — the standard drift metric
+    for monitoring a multi-source ingest mix (PSI < 0.1 stable, 0.1-0.25
+    drifting, > 0.25 shifted). Buckets are fixed-width with the last
+    open-ended (deterministic — no quantile estimation), shares are
+    Laplace-smoothed (+0.5 per bucket) so empty cells stay finite.
+
+    Determinism contract: every per-bucket term is computed from exact
+    integer counts with the identical op order in both engines, rounded
+    to 6 and scaled to integer micro-units before the per-source sum —
+    no float-accumulation-order drift.
+
+    Scale shape: one (group, bucket) aggregate over the corpus (tiny
+    output: sources x n_buckets), a bucket-domain cross join on that
+    TINY aggregate (never on the corpus), map-side math after. Output:
+    (source, n_docs, psi)."""
+    from pyspark.sql import functions as F
+
+    b = F.least(
+        F.floor(F.col(value_col) / F.lit(int(bucket_width))),
+        F.lit(int(n_buckets) - 1),
+    ).cast("long")
+    cells = (
+        docs.select(F.col(group_col).alias("grp"), b.alias("b"))
+        .groupBy("grp", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    groups = cells.groupBy("grp").agg(F.sum("c").alias("tot"))
+    buckets = cells.groupBy("b").agg(F.sum("c").alias("gc"))
+    grand = cells.agg(F.sum("c").alias("g"))
+    domain = groups.crossJoin(F.broadcast(buckets)).crossJoin(
+        F.broadcast(grand)
+    )
+    full = domain.join(cells, ["grp", "b"], "left").withColumn(
+        "c", F.coalesce(F.col("c"), F.lit(0))
+    )
+    smooth = 0.5
+    p = (F.col("c") + smooth) / (F.col("tot") + smooth * n_buckets)
+    q = (F.col("gc") + smooth) / (F.col("g") + smooth * n_buckets)
+    term = F.round((p - q) * F.log(p / q), 6)
+    return (
+        full.select(
+            "grp",
+            "tot",
+            F.round(term * 1e6).cast("long").alias("ti"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.max("tot").cast("long").alias("n_docs"),
+            F.round(F.sum("ti") / 1e6, 6).alias("psi"),
+        )
+        .select(F.col("grp").alias(group_col), "n_docs", "psi")
+    )
