@@ -121,6 +121,22 @@ EXPECT = {
     # projection broadcast (plan reflects the ENCODE stage — training
     # ran eagerly at DF-build time, see catalog._bpe_trained)
     "bpe_compression_by_lang": ["MapInPandas", "!SortMergeJoin"],
+    # bucket offsets broadcast; the rank-band join keys on a unique int
+    "dedup_sorted_neighborhood": ["BroadcastHashJoin", "!BroadcastNestedLoopJoin", "!MapInPandas"],
+    # prefix postings explode + candidate-keyed verify — no UDF
+    "dedup_ngram_prefix": ["!MapInPandas", "!BroadcastNestedLoopJoin"],
+    # CC label propagation + one cluster-keyed window — no UDF
+    "dedup_quality_canonical": ["!MapInPandas"],
+    # vocab-sized word-score join; final top-k without global sort
+    "text_rake_keywords": ["TakeOrderedAndProject", "!MapInPandas"],
+    # map-side assign, tiny stats broadcast back — no SMJ, no UDF
+    "embedding_outliers": ["BroadcastHashJoin", "!SortMergeJoin", "!MapInPandas"],
+    # pure codegen bit math — no join, no UDF
+    "events_zorder_key": ["!SortMergeJoin", "!BroadcastHashJoin", "!MapInPandas"],
+    # batch band keys broadcast into the corpus band table
+    "dedup_incremental_batch": ["BroadcastHashJoin", "!MapInPandas"],
+    # sources x buckets domain built on TINY aggregates only
+    "source_psi_drift": ["!MapInPandas", "!SortMergeJoin"],
 }
 
 
