@@ -81,6 +81,14 @@ HEADLINE = [
     "dedup_cross_source_overlap",
     "sample_weighted_priority",
     "embedding_pca_project",
+    "dedup_sorted_neighborhood",
+    "dedup_ngram_prefix",
+    "dedup_quality_canonical",
+    "dedup_incremental_batch",
+    "text_rake_keywords",
+    "embedding_outliers",
+    "events_zorder_key",
+    "source_psi_drift",
     # NOT benched: bpe_* (the per-session training cache would turn
     # min-of-N replays into cache reads — see catalog._bpe_trained)
 ]
