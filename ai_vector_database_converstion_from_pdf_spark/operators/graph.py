@@ -143,3 +143,65 @@ def pagerank(
         deg.unpersist()
         nodes.unpersist()
     return ranks
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_rounds: int = 3,
+) -> DataFrame:
+    """Semi-supervised label propagation (Zhu-Ghahramani / Raghavan LPA,
+    synchronous variant) over an undirected pair graph: seeded nodes
+    keep their label (clamped); every other node adopts the MAJORITY
+    label among its labeled neighbors from the previous round (ties ->
+    lexicographically smallest label), else keeps its current (possibly
+    NULL) label. Fixed round count + deterministic tie-break = exactly
+    replayable in SQL (the oracle unrolls the rounds as plain CTEs).
+
+    Inputs: nodes (id, seed) with seed NULL for unlabeled; edges
+    (id_a, id_b), one row per undirected edge.
+
+    Scale shape: per round, ONE edge-keyed join against the label frame
+    + one (node, label) aggregate + one node-keyed window — all shuffles
+    on uniform keys; label-frame lineage is cut per round with
+    localCheckpoint (the CC/PageRank idiom in this module). Rounds are
+    a constant, not data-dependent."""
+    from pyspark.sql import Window as W
+
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(edges.select(F.col("id_b"), F.col("id_a")))
+        .persist()
+    )
+    labels = nodes.select("id", F.col("seed").alias("label"), "seed")
+    try:
+        for _ in range(int(n_rounds)):
+            nb = sym.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("label").alias("nlabel")
+                ),
+                "dst",
+            ).filter(F.col("nlabel").isNotNull())
+            cnt = nb.groupBy("src", "nlabel").agg(
+                F.count(F.lit(1)).alias("c")
+            )
+            w = W.partitionBy("src").orderBy(F.desc("c"), F.asc("nlabel"))
+            best = (
+                cnt.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select(F.col("src").alias("id"), F.col("nlabel").alias("maj"))
+            )
+            labels = (
+                labels.join(best, "id", "left")
+                .select(
+                    "id",
+                    F.coalesce("seed", "maj", "label").alias("label"),
+                    "seed",
+                )
+                # eager: materialize each round so the final frame has no
+                # lineage into sym (unpersisted below) or prior rounds
+                .localCheckpoint(eager=True)
+            )
+        return labels.select("id", "label")
+    finally:
+        sym.unpersist()
