@@ -89,6 +89,8 @@ HEADLINE = [
     "embedding_outliers",
     "events_zorder_key",
     "source_psi_drift",
+    "graph_label_propagation",
+    "events_decayed_engagement",
     # NOT benched: bpe_* (the per-session training cache would turn
     # min-of-N replays into cache reads — see catalog._bpe_trained)
 ]

@@ -211,3 +211,49 @@ def test_priority_sample_weight_monotone(spark, n):
     sa = [r["doc_id"] for r in priority_sample(a, n, "w").collect()]
     sb = [r["doc_id"] for r in priority_sample(b, n, "w").collect()]
     assert sa == sb
+
+
+# -- PPJoin prefix-filter completeness (pure-python mirror of
+#    dedup.ngram_jaccard_prefix_pairs' candidate logic) ------------------
+
+import math as _math
+
+from hypothesis import HealthCheck
+
+
+def _prefix(tokens_sorted, t):
+    """First |d| - ceil(t*|d| - 1e-9) + 1 tokens — the indexed prefix,
+    same nudged formula as the Spark plan."""
+    d = len(tokens_sorted)
+    keep = d - _math.ceil(t * d - 1e-9) + 1
+    return set(tokens_sorted[: max(keep, 0)])
+
+
+@settings(max_examples=300, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.sets(st.integers(0, 40), min_size=1, max_size=15),
+        min_size=2,
+        max_size=12,
+    ),
+    st.sampled_from([0.5, 0.6, 0.7, 0.8, 0.9]),
+)
+def test_prefix_filter_never_loses_a_true_pair(docs, t):
+    # global order: ascending document frequency, ties by token id —
+    # the same total order the Spark plan sorts by
+    df = {}
+    for s in docs:
+        for tok in s:
+            df[tok] = df.get(tok, 0) + 1
+    order = lambda s: sorted(s, key=lambda x: (df[x], x))
+    prefixes = [_prefix(order(s), t) for s in docs]
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = docs[i], docs[j]
+            jac = len(a & b) / len(a | b)
+            if jac >= t:
+                # the All-Pairs guarantee: a true pair always shares at
+                # least one token lying in BOTH prefixes
+                assert prefixes[i] & prefixes[j], (
+                    docs, t, i, j, prefixes[i], prefixes[j]
+                )

@@ -137,6 +137,11 @@ EXPECT = {
     "dedup_incremental_batch": ["BroadcastHashJoin", "!MapInPandas"],
     # sources x buckets domain built on TINY aggregates only
     "source_psi_drift": ["!MapInPandas", "!SortMergeJoin"],
+    # returned frame is the final round's eager localCheckpoint scan
+    # (per-round lineage cut — the CC/PageRank idiom); no UDF anywhere
+    "graph_label_propagation": ["!MapInPandas", "!ArrowEvalPython"],
+    # map-side decay terms + ONE user agg + TakeOrdered — no join/window
+    "events_decayed_engagement": ["TakeOrderedAndProject", "!SortMergeJoin", "!BroadcastHashJoin", "!Window"],
 }
 
 

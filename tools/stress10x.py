@@ -126,6 +126,52 @@ def main() -> None:
         lambda: f"{duplicate_spans(docs).count()} span groups",
     )
 
+    # fourth-session additions: window-based dedup, exact prefix-filtered
+    # all-pairs, O(batch) incremental arrival, LPA over the 10x graph
+    from ai_vector_database_converstion_from_pdf_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        ngram_jaccard_prefix_pairs,
+        sorted_neighborhood_pairs,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.operators.graph import (
+        label_propagation,
+    )
+
+    timed(
+        "sorted_neighborhood(50k docs, w=10)",
+        lambda: "{} pairs".format(
+            sorted_neighborhood_pairs(docs, window=10, threshold=0.9).count()
+        ),
+    )
+    timed(
+        "ngram_prefix EXACT all-pairs(50k docs)",
+        lambda: "{} pairs".format(
+            ngram_jaccard_prefix_pairs(docs, threshold=0.8).count()
+        ),
+    )
+    batch = docs.filter(F.col("doc_id") >= 9_000_000)
+    corpus9 = docs.filter(F.col("doc_id") < 9_000_000)
+    timed(
+        "incremental_lsh(5k batch vs 45k corpus)",
+        lambda: "{} cross pairs".format(
+            incremental_lsh_pairs(corpus9, batch, threshold=0.8).count()
+        ),
+    )
+    nodes = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("doc_id") % 5 == 0, (F.col("doc_id") % 97).cast("string")).alias(
+            "seed"
+        ),
+    )
+    timed(
+        "label_propagation(10x graph, 3 rounds)",
+        lambda: "{} labeled".format(
+            label_propagation(nodes, sh_pairs, n_rounds=3)
+            .filter(F.col("label").isNotNull())
+            .count()
+        ),
+    )
+
 
 if __name__ == "__main__":
     main()
