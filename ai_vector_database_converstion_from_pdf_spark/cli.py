@@ -118,6 +118,20 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--centroids", type=int, default=16)
 
     sp = sub.add_parser(
+        "dedup-report",
+        help="near-dup audit of the workspace: pairs -> clusters -> "
+        "quality-aware keepers",
+    )
+    common(sp)
+    sp.add_argument(
+        "--method",
+        choices=["exact", "minhash", "simhash", "ngram", "neighborhood"],
+        default="minhash",
+    )
+    sp.add_argument("--threshold", type=float, default=0.8)
+    sp.add_argument("--limit", type=int, default=10)
+
+    sp = sub.add_parser(
         "prepare-training",
         help="end-to-end training-data prep: curate -> split -> pack -> shards",
     )
@@ -256,6 +270,83 @@ def main(argv: list[str] | None = None) -> int:
         else:
             n = ws.build_ivf_index(dim=args.dim, n_centroids=args.centroids)
         _emit({"index": args.kind, "rows": n})
+    elif args.cmd == "dedup-report":
+        # the dedup family end-to-end over the indexed corpus: pick a
+        # pair finder, resolve clusters, keep the cleanest copy per
+        # cluster (quality_canonical); emits a summary line plus the
+        # largest clusters. All stages are the oracle-checked operators.
+        from pyspark.sql import functions as F
+
+        from .operators import dedup as dd
+        from .sinks import Workspace
+
+        ws = Workspace(spark, args.workspace)
+        docs = ws.chunks().select(F.col("id").alias("doc_id"), "text")
+        if args.method == "exact":
+            groups = dd.exact_dedup(docs)
+            pairs = (
+                docs.select(
+                    dd.content_hash(F.col("text")).alias("text_hash"),
+                    F.col("doc_id").alias("id"),
+                )
+                .join(
+                    groups.filter(F.col("dup_cnt") > 1).select(
+                        "text_hash", "keeper_id"
+                    ),
+                    "text_hash",
+                )
+                .filter(F.col("id") != F.col("keeper_id"))
+                .select(
+                    F.col("keeper_id").alias("id_a"), F.col("id").alias("id_b")
+                )
+            )
+        elif args.method == "minhash":
+            pairs = dd.minhash_lsh_pairs(docs, threshold=args.threshold)
+        elif args.method == "simhash":
+            pairs = dd.simhash_pairs(docs, max_hamming=3)
+        elif args.method == "ngram":
+            pairs = dd.ngram_jaccard_prefix_pairs(docs, threshold=args.threshold)
+        else:
+            pairs = dd.sorted_neighborhood_pairs(
+                docs, threshold=max(args.threshold, 0.8)
+            )
+        res = dd.quality_canonical(docs, pairs.select("id_a", "id_b"))
+        agg = res.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dups"),
+            F.count_distinct(
+                F.when(F.col("is_dup"), F.col("cluster_id"))
+            ).alias("n_dup_clusters"),
+        ).collect()[0]
+        _emit(
+            {
+                "method": args.method,
+                "n_docs": agg["n_docs"],
+                "n_dups": agg["n_dups"],
+                "n_dup_clusters": agg["n_dup_clusters"],
+            }
+        )
+        top = (
+            res.groupBy("cluster_id")
+            .agg(
+                F.count(F.lit(1)).alias("size"),
+                F.max(F.col("keeper_id")).alias("keeper_id"),
+                F.round(F.max("quality"), 6).alias("keeper_quality"),
+            )
+            .filter(F.col("size") > 1)
+            .orderBy(F.desc("size"), F.asc("cluster_id"))
+            .limit(args.limit)
+            .collect()
+        )
+        for r in top:
+            _emit(
+                {
+                    "cluster_id": r["cluster_id"],
+                    "size": r["size"],
+                    "keeper_id": r["keeper_id"],
+                    "keeper_quality": r["keeper_quality"],
+                }
+            )
     elif args.cmd == "prepare-training":
         # The whole LLM-data pipeline as one command: curation audit
         # (dedup CC + Gopher gates + decontamination + PII scrub) ->

@@ -220,3 +220,38 @@ def test_cli_prepare_training(spark, capsys, tmp_path):
         .union(test.select("doc_id"))
     )
     assert ids.count() == ids.distinct().count() == stage["n_keep"]
+
+
+def test_cli_dedup_report(spark, capsys, tmp_path):
+    """dedup-report finds the planted duplicate pair, resolves one
+    cluster, and keeps the cleaner copy."""
+    ws = str(tmp_path / "cli_dd")
+    base = "the quick brown fox jumps over a lazy dog near the river bank today"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " ;;; !!! ### $$$ %%%"),  # dirty copy
+            (2, base),                            # clean copy
+            (3, "completely different text about engines and tables"),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    got = _run(capsys, ["index-text", "-w", ws, "--dim", "16",
+                        "--asof", "2024-06-01 00:00:00", "--parquet", src])
+    assert got[0]["indexed"] == 3
+
+    out = _run(capsys, ["dedup-report", "-w", ws, "--method", "minhash",
+                        "--threshold", "0.5"])
+    summary, clusters = out[0], out[1:]
+    assert summary["n_docs"] == 3
+    assert summary["n_dups"] == 1
+    assert summary["n_dup_clusters"] == 1
+    assert len(clusters) == 1
+    assert clusters[0]["size"] == 2
+    # quality-aware keeper: the clean copy (id 2), not the smaller id
+    assert clusters[0]["keeper_id"] == 2
+
+    # exact method: no byte-identical dups in this workspace
+    out = _run(capsys, ["dedup-report", "-w", ws, "--method", "exact"])
+    assert out[0]["n_dups"] == 0
