@@ -118,6 +118,14 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--centroids", type=int, default=16)
 
     sp = sub.add_parser(
+        "snapshot",
+        help="zero-copy workspace snapshots: create | list | restore | drop",
+    )
+    common(sp)
+    sp.add_argument("action", choices=["create", "list", "restore", "drop"])
+    sp.add_argument("--tag", help="snapshot tag (required except for list)")
+
+    sp = sub.add_parser(
         "dedup-report",
         help="near-dup audit of the workspace: pairs -> clusters -> "
         "quality-aware keepers",
@@ -270,6 +278,19 @@ def main(argv: list[str] | None = None) -> int:
         else:
             n = ws.build_ivf_index(dim=args.dim, n_centroids=args.centroids)
         _emit({"index": args.kind, "rows": n})
+    elif args.cmd == "snapshot":
+        from .sinks import Workspace
+
+        ws = Workspace(spark, args.workspace)
+        if args.action == "list":
+            _emit({"snapshots": ws.list_snapshots()})
+        elif args.action == "create":
+            _emit(ws.snapshot(args.tag))
+        elif args.action == "restore":
+            _emit(ws.restore(args.tag))
+        else:
+            ws.drop_snapshot(args.tag)
+            _emit({"dropped": args.tag})
     elif args.cmd == "dedup-report":
         # the dedup family end-to-end over the indexed corpus: pick a
         # pair finder, resolve clusters, keep the cleanest copy per

@@ -32,6 +32,7 @@ heavy-DML object-store deployment should use the Delta path above.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
@@ -81,6 +82,25 @@ class _LocalFS:
                 return True
         return False
 
+    def copytree(self, src: str, dst: str) -> None:
+        """Zero-copy directory snapshot via hardlinks (parquet data
+        files are immutable between DML versions — every mutation
+        writes NEW files and renames directories, never rewrites bytes
+        in place — so shared inodes are safe). Falls back to a real
+        copy across devices."""
+        import shutil
+
+        for root, _dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            out = dst if rel == "." else os.path.join(dst, rel)
+            os.makedirs(out, exist_ok=True)
+            for f in files:
+                s, d = os.path.join(root, f), os.path.join(out, f)
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)
+
 
 class _HadoopFS:
     """Hadoop FileSystem-backed ops for URI workspaces (file://, hdfs://,
@@ -126,6 +146,20 @@ class _HadoopFS:
             if it.next().getPath().getName().endswith(".parquet"):
                 return True
         return False
+
+    def copytree(self, src: str, dst: str) -> None:
+        """Server-side copy through Hadoop FileUtil (no hardlinks on
+        generic stores; still one RPC per file, no data through the
+        driver)."""
+        from pyspark.sql import SparkSession
+
+        jvm = SparkSession.getActiveSession()._jvm
+        conf = SparkSession.getActiveSession()._jsc.hadoopConfiguration()
+        ok = jvm.org.apache.hadoop.fs.FileUtil.copy(
+            self._fs, self._Path(src), self._fs, self._Path(dst), False, conf
+        )
+        if not ok:
+            raise OSError(f"hadoop fs copy failed: {src} -> {dst}")
 
 
 def _logged(fn):
@@ -222,7 +256,10 @@ class Workspace:
         if partition_buckets:
             chunks = chunks.withColumn(
                 "_bucket",
-                F.pmod(F.xxhash64(F.col("doc_id")), F.lit(partition_buckets)),
+                F.pmod(
+                    F.xxhash64(F.col("doc_id").cast("string")),
+                    F.lit(partition_buckets),
+                ),
             )
             chunks.write.mode("append").partitionBy("_bucket").parquet(
                 self._tbl("chunks")
@@ -249,7 +286,9 @@ class Workspace:
         if buckets and int(buckets) > 0:
             df = df.filter(
                 F.col("_bucket")
-                == F.pmod(F.xxhash64(F.lit(doc_id)), F.lit(int(buckets)))
+                == F.pmod(
+                    F.xxhash64(F.lit(str(doc_id))), F.lit(int(buckets))
+                )
             )
         return df.filter(F.col("doc_id") == doc_id)
 
@@ -277,7 +316,11 @@ class Workspace:
             for r in self.spark.createDataFrame(
                 [(d,) for d in doc_ids], "doc_id string"
             )
-            .select(F.pmod(F.xxhash64("doc_id"), F.lit(b)).alias("b"))
+            .select(
+                F.pmod(
+                    F.xxhash64(F.col("doc_id").cast("string")), F.lit(b)
+                ).alias("b")
+            )
             .distinct()
             .collect()
         )
@@ -428,7 +471,8 @@ class Workspace:
         extra = []
         if b > 0:
             updates_b = updates.withColumn(
-                "_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(b))
+                "_bucket",
+                F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(b)),
             )
             # collect_set is bounded by the bucket count, never batch size
             extra = [F.collect_set("_bucket").alias("buckets")]
@@ -1271,6 +1315,84 @@ class Workspace:
         if not kv:
             df = df.limit(0)
         self._overwrite("workspace_metadata", df)
+
+    # -- snapshots: zero-copy SHALLOW CLONE + RESTORE analog --------------
+    def snapshot(self, tag: str) -> dict:
+        """Zero-copy point-in-time snapshot of every live table into
+        `_snapshots/<tag>/` (Delta SHALLOW CLONE analog): on local
+        filesystems the data files are HARDLINKED, not copied — O(files)
+        metadata ops regardless of table size — which is safe because
+        every DML writes NEW files and swaps directories (bytes are
+        never rewritten in place), so a later mutation unlinks the live
+        name while the snapshot keeps the inode. URI workspaces fall
+        back to a filesystem-side copy. Refuses over unrecovered crash
+        leftovers (the parked dir is data, not state to snapshot)."""
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", tag):
+            raise ValueError(f"bad snapshot tag {tag!r}")
+        for entry in self._list_root():
+            if "_old_bucket_" in entry and entry.startswith("_"):
+                base = entry[1 : entry.index("_old_bucket_")]
+                self._ensure_recovered(base)
+        dst = self._tbl(f"_snapshots/{tag}")
+        if self._fs.isdir(dst):
+            raise ValueError(f"snapshot {tag!r} already exists")
+        tables = [
+            e
+            for e in self._list_root()
+            if not e.startswith("_snapshots")
+            and not e.endswith("_tmp")
+            and "_old" not in e
+            and self._fs.isdir(self._tbl(e))
+        ]
+        # log BEFORE copying so the snapshot carries the record of its
+        # own creation (and a later restore still shows it). Worst crash
+        # mid-copy leaves one benign history row + a partial _snapshots
+        # dir that drop_snapshot removes — live tables are never touched.
+        self._log_history(f"snapshot:{tag}")
+        for t in tables:
+            self._fs.copytree(self._tbl(t), f"{dst}/{t}")
+        return {"tag": tag, "tables": sorted(tables)}
+
+    @_logged
+    def restore(self, tag: str) -> dict:
+        """Roll every table back to the snapshot's state (Delta RESTORE
+        analog): two-phase per table — link the snapshot content to a
+        `_tmp` dir, swap it in via the same rename protocol as
+        `_overwrite` (worst crash leaves old or both copies, never
+        neither) — and DROP tables created after the snapshot. The
+        snapshot itself is untouched (restore again anytime); a new
+        `restore` history row lands on top of the restored history."""
+        src = self._tbl(f"_snapshots/{tag}")
+        if not self._fs.isdir(src):
+            raise ValueError(f"no snapshot {tag!r}")
+        snap_tables = set(self._fs.listdir(src))
+        live = [
+            e
+            for e in self._list_root()
+            if not e.startswith("_snapshots")
+            and not e.endswith("_tmp")
+            and "_old" not in e
+            and self._fs.isdir(self._tbl(e))
+        ]
+        dropped = sorted(set(live) - snap_tables)
+        for t in sorted(snap_tables):
+            tmp, old = self._tbl(f"_{t}_tmp"), self._tbl(f"_{t}_old")
+            self._fs.rmtree(tmp)
+            self._fs.rmtree(old)
+            self._fs.copytree(f"{src}/{t}", tmp)
+            if self._fs.isdir(self._tbl(t)):
+                self._fs.rename(self._tbl(t), old)
+            self._fs.rename(tmp, self._tbl(t))
+            self._fs.rmtree(old)
+        for t in dropped:
+            self._fs.rmtree(self._tbl(t))
+        return {"tag": tag, "restored": sorted(snap_tables), "dropped": dropped}
+
+    def list_snapshots(self) -> list[str]:
+        return sorted(self._fs.listdir(self._tbl("_snapshots")))
+
+    def drop_snapshot(self, tag: str) -> None:
+        self._fs.rmtree(self._tbl(f"_snapshots/{tag}"))
 
     # -- S2: CSV export ---------------------------------------------------
     def export_csv(self, out_path: str) -> None:
