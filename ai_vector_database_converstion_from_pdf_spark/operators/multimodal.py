@@ -316,3 +316,132 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
         "media_id long, frame_idx int, kind string, mime string, "
         "payload binary, width int, height int",
     )
+
+
+def _gray8(raster: "np.ndarray", w: int, h: int) -> "np.ndarray":
+    """Grayscale + nearest-resize to (h, w) float64."""
+    from ..functions.imagecodec import nearest_resize
+
+    if raster.ndim == 3:
+        raster = raster.mean(axis=2)
+    return nearest_resize(
+        raster.astype(np.uint8)[:, :, None].repeat(3, axis=2), w, h
+    ).mean(axis=2).astype(np.float64)
+
+
+def perceptual_hashes(media: DataFrame) -> DataFrame:
+    """Per-image perceptual hashes for near-dup detection on the binary
+    column: aHash (8x8 mean-threshold) and dHash (horizontal gradient
+    over a 9x8 downsample), each a 64-bit long. Tiny brightness/noise/
+    re-encode edits move a handful of bits; unrelated images differ in
+    ~32. Map-side mapInPandas decode (payload pruned from the output);
+    undecodable rows yield NULL hashes instead of failing the stage.
+
+    Bit order is fixed (row-major, MSB first), so hashes are stable
+    across partitionings and sessions."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "ahash": [], "dhash": []}
+            for r in pdf.itertuples(index=False):
+                out["media_id"].append(r.media_id)
+                if r.kind != "image":
+                    out["ahash"].append(None)
+                    out["dhash"].append(None)
+                    continue
+                try:
+                    raster = decode_image(bytes(r.payload), r.mime)
+                except (NotImplementedError, ValueError):
+                    out["ahash"].append(None)
+                    out["dhash"].append(None)
+                    continue
+                a8 = _gray8(raster, 8, 8)
+                abits = (a8 > a8.mean()).flatten()
+                d98 = _gray8(raster, 9, 8)
+                dbits = (d98[:, :-1] > d98[:, 1:]).flatten()
+                # MSB-first bit pack, masked to 63 bits so the value
+                # stays inside a signed Spark long
+                to_int = lambda bits: (
+                    sum(int(b) << (len(bits) - 1 - i) for i, b in enumerate(bits))
+                    & 0x7FFFFFFFFFFFFFFF
+                )
+                out["ahash"].append(to_int(abits))
+                out["dhash"].append(to_int(dbits))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        per_batch, "media_id long, ahash long, dhash long"
+    )
+
+
+def image_near_dup_pairs(
+    media: DataFrame, max_hamming: int = 6, band_bits: int = 9
+) -> DataFrame:
+    """Image near-dup pairs via pigeonhole banding on the dHash (the
+    simhash_pairs idiom applied to the multimodal column): split the
+    63-bit hash into n_bands > max_hamming bands; a pair within
+    max_hamming cannot differ in every band, so it collides on at least
+    one whole band — candidates come from a band equi-join and the
+    exact Hamming check runs on candidates only.
+
+    Scale shape: ONE mapInPandas decode pass, band explode (tiny),
+    bucket posting-list pair explosion, expression-only verify
+    (bit_count(xor)) — no all-pairs image comparison anywhere."""
+    ph = perceptual_hashes(media).filter(F.col("dhash").isNotNull())
+    n_bands = 63 // band_bits + (1 if 63 % band_bits else 0)
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming < n_bands "
+            f"({max_hamming} >= {n_bands}); lower band_bits"
+        )
+    mask = (1 << band_bits) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("dhash", b * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = ph.select(
+        "media_id", "dhash", F.explode(bands).alias("bk")
+    ).select(
+        "media_id", "dhash", F.col("bk.band").alias("band"),
+        F.col("bk.band_val").alias("band_val"),
+    )
+    pl = (
+        exploded.groupBy("band", "band_val")
+        .agg(F.collect_set(F.struct("media_id", "dhash")).alias("ms"))
+        .filter(F.size("ms") > 1)
+        .select(F.array_sort("ms").alias("ms"))
+    )
+    pairs = (
+        pl.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ms",
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                            lambda y: F.struct(
+                                x["media_id"].alias("id_a"),
+                                y["media_id"].alias("id_b"),
+                                x["dhash"].alias("ha"),
+                                y["dhash"].alias("hb"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", "p.ha", "p.hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        pairs.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= F.lit(int(max_hamming)))
+    )
