@@ -361,3 +361,94 @@ def streaming_trending_terms(
     return sharded.groupBy("shard").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_dedup_upsert_to_workspace(
+    chunks_stream: DataFrame,
+    workspace,
+    checkpoint: str,
+    threshold: float = 0.8,
+    trigger: dict | None = None,
+):
+    """Dedup-on-ingest UPSERT sink: every micro-batch is first checked
+    against the ALREADY-INGESTED corpus with the incremental LSH path
+    (`dedup.incremental_lsh_pairs` — batch band keys broadcast, O(batch)
+    arrival cost, no corpus-internal pair work); rows that near-dup an
+    existing chunk are QUARANTINED to `dup_quarantine` (id, doc_id,
+    dup_of, jaccard — never silently dropped, the streaming_exact_dedup
+    convention), and only fresh rows MERGE into the workspace.
+
+    Within-batch dups: the batch is also checked against itself via the
+    same banding (keeper = smallest id), so two copies arriving in ONE
+    micro-batch don't both land.
+
+    Scale shape per batch: one corpus scan for band keys (at production
+    scale, swap in the persisted maintained index — sinks.build_ann_index
+    idiom), broadcast batch bands, candidate-only verify; the merge
+    itself is the bucket-scoped upsert."""
+    from ..operators.dedup import incremental_lsh_pairs, minhash_lsh_pairs
+
+    def _batch(batch_df: DataFrame, _epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.persist()
+        try:
+            docs = batch_df.select("id", "text")
+            # within-batch near-dups: keeper = smallest id
+            intra = (
+                minhash_lsh_pairs(docs, threshold, id_col="id", text_col="text")
+                .groupBy(F.col("id_b").alias("new_id"))
+                .agg(
+                    F.min("id_a").alias("dup_of"),
+                    F.max("jaccard").alias("jaccard"),
+                )
+            )
+            if workspace._exists("chunks"):
+                corpus = workspace.chunks(fold_boosts=False).select("id", "text")
+                inter = (
+                    incremental_lsh_pairs(
+                        corpus, docs, threshold, id_col="id", text_col="text"
+                    )
+                    .groupBy("new_id")
+                    .agg(
+                        F.min("corpus_id").alias("dup_of"),
+                        F.max("jaccard").alias("jaccard"),
+                    )
+                )
+                dup_map = inter.unionByName(intra)
+            else:
+                dup_map = intra
+            dup_map = (
+                dup_map.groupBy("new_id")
+                .agg(
+                    F.min("dup_of").alias("dup_of"),
+                    F.max("jaccard").alias("jaccard"),
+                )
+                .withColumnRenamed("new_id", "id")
+            )
+            tagged = batch_df.join(F.broadcast(dup_map), "id", "left")
+            fresh = tagged.filter(F.col("dup_of").isNull()).drop(
+                "dup_of", "jaccard"
+            )
+            dups = tagged.filter(F.col("dup_of").isNotNull()).select(
+                "id",
+                "doc_id",
+                F.col("dup_of").cast("long"),
+                "jaccard",
+                F.current_timestamp().alias("quarantined_at"),
+            )
+            if not dups.isEmpty():
+                dups.write.mode("append").parquet(
+                    workspace._tbl("dup_quarantine")
+                )
+            if not fresh.isEmpty():
+                workspace.merge_chunks(fresh)
+        finally:
+            batch_df.unpersist()
+
+    return (
+        chunks_stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
