@@ -91,6 +91,9 @@ HEADLINE = [
     "source_psi_drift",
     "graph_label_propagation",
     "events_decayed_engagement",
+    "unpivot_status_qty",
+    "events_value_winsorized",
+    "events_robust_anomalies",
     # NOT benched: bpe_* (the per-session training cache would turn
     # min-of-N replays into cache reads — see catalog._bpe_trained)
 ]

@@ -142,6 +142,12 @@ EXPECT = {
     "graph_label_propagation": ["!MapInPandas", "!ArrowEvalPython"],
     # map-side decay terms + ONE user agg + TakeOrdered — no join/window
     "events_decayed_engagement": ["TakeOrderedAndProject", "!SortMergeJoin", "!BroadcastHashJoin", "!Window"],
+    # Expand-based wide->long — no join, no UDF
+    "unpivot_status_qty": ["!SortMergeJoin", "!MapInPandas", "!BroadcastHashJoin"],
+    # tiny per-type bounds broadcast back; clip is map-side
+    "events_value_winsorized": ["BroadcastHashJoin", "!SortMergeJoin", "!Window"],
+    # two tiny type aggregates broadcast back over the daily pre-agg
+    "events_robust_anomalies": ["BroadcastHashJoin", "!SortMergeJoin", "!Window"],
 }
 
 
