@@ -73,3 +73,18 @@ def test_uri_and_local_paths_are_equivalent(spark, tmp_path):
     a = sorted(r["id"] for r in local.chunks().select("id").collect())
     b = sorted(r["id"] for r in uri.chunks().select("id").collect())
     assert a == b
+
+
+def test_uri_workspace_snapshot_restore(spark, tmp_path):
+    """Snapshots over a URI workspace go through the Hadoop FileUtil
+    copy path (no hardlinks on generic stores) — same lifecycle."""
+    ws = _ws(spark, tmp_path, "uri_snap")
+    ws.add_chunks(_chunks_df(spark, n=8), partition_buckets=2)
+    before = sorted(r.id for r in ws.chunks().select("id").collect())
+    ws.snapshot("v1")
+    ws.delete_doc("3")
+    assert ws.count() == 7
+    out = ws.restore("v1")
+    assert "chunks" in out["restored"]
+    assert sorted(r.id for r in ws.chunks().select("id").collect()) == before
+    assert ws.list_snapshots() == ["v1"]
