@@ -46,6 +46,93 @@ def ngram_contamination(
     )
 
 
+def bloom_contamination(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = DEFAULT_N,
+    min_hits: int = 1,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bloom-prefiltered decontamination — EXACT same result as
+    ngram_contamination, with a membership bitmap standing in for the
+    broadcast eval shingle set.
+
+    Why it exists: ngram_contamination broadcasts the eval shingles as
+    STRINGS. A large eval suite (hundreds of benchmarks x 13-gram
+    windows) is GBs of broadcast; a Bloom bitmap of m_bits is m/8 bytes
+    regardless of shingle length (2^20 bits = 128 KiB). The price is
+    false positives, which the exact verify join removes — so the bloom
+    stage is pure pruning, never semantics.
+
+    Plan shape at 100 TB: eval shingles hash to k bit positions
+    (JVM-side xxhash64 — the SAME hash the probe side computes, no
+    Python/JVM hash mismatch possible); the distinct positions (bounded
+    by m_bits) fold into one driver bitmap, broadcast to executors.
+    The training corpus is scanned ONCE; an Arrow-batched pandas UDF
+    tests the k precomputed positions per shingle against the numpy
+    bitmap, and only bloom-positive rows — true hits + the FP fraction
+    (~(1-e^(-kn/m))^k) — reach the exact broadcast-verify join. The
+    training side never shuffles.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BooleanType
+
+    train_sh = word_shingles(train, n=n, id_col=id_col, text_col=text_col)
+    eval_sh = word_shingles(eval_docs, n=n, id_col=id_col, text_col=text_col)
+
+    def positions(col):
+        # k independent hashes via salted xxhash64; pmod keeps [0, m)
+        return F.array(
+            *[
+                F.pmod(
+                    F.xxhash64(F.concat(col, F.lit(f"#bloom{j}"))), F.lit(m_bits)
+                ).cast("long")
+                for j in range(n_hashes)
+            ]
+        )
+
+    # bitmap build: distinct bit positions are bounded by m_bits, a
+    # scalar-sized collect (the sanctioned driver surface), never the
+    # shingle strings themselves
+    pos_rows = (
+        eval_sh.select(F.explode(positions(F.col("shingle"))).alias("p"))
+        .distinct()
+        .collect()
+    )
+    bitmap = np.zeros(m_bits, dtype=bool)
+    if pos_rows:
+        bitmap[np.fromiter((r.p for r in pos_rows), dtype=np.int64)] = True
+    spark = train.sparkSession
+    bc = spark.sparkContext.broadcast(bitmap)
+
+    # note: no type annotations — `from __future__ import annotations`
+    # stringifies them, which pandas_udf signature inference rejects
+    @F.pandas_udf(BooleanType())
+    def bloom_hit(pos):
+        bm = bc.value
+        return pd.Series(
+            [bool(bm[np.asarray(ps, dtype=np.int64)].all()) for ps in pos]
+        )
+
+    survivors = (
+        train_sh.withColumn("_pos", positions(F.col("shingle")))
+        .filter(bloom_hit(F.col("_pos")))
+        .drop("_pos")
+    )
+    hits = survivors.join(
+        F.broadcast(eval_sh.withColumnRenamed("id", "eval_id")), "shingle"
+    )
+    return (
+        hits.groupBy(F.col("id").alias("train_id"), "eval_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )
+
+
 def contaminated_ids(
     train: DataFrame,
     eval_docs: DataFrame,

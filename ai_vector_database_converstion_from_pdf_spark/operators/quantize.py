@@ -104,6 +104,85 @@ def int8_topk_rescore(
     return exact.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
+def sign_bits_col(vec: Column, dim: int) -> list[Column]:
+    """Pack the sign bits of a float vector into ``ceil(dim/64)`` long
+    words (bit i of word w set iff vec[w*64+i] >= 0) — the 1-bit/dim
+    binary quantization used by binary_topk_rescore. Pure codegen'd
+    expression: per word, a left-to-right fold over a static bit range;
+    the per-bit addends are disjoint bit patterns, so the integer sums
+    can never overflow (the fold is effectively a bitwise OR)."""
+    words = []
+    for w in range((dim + 63) // 64):
+        nbits = min(64, dim - w * 64)
+        acc = F.lit(0).cast("long")
+        for i in range(nbits):
+            bit = F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long")
+            acc = acc + F.when(
+                F.element_at(vec, w * 64 + i + 1) >= 0, bit
+            ).otherwise(F.lit(0).cast("long"))
+        words.append(acc)
+    return words
+
+
+def binary_topk_rescore(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval at 1-bit-per-dimension compression: Hamming
+    distance between packed sign signatures shortlists ``shortlist``
+    rows, exact float cosine re-ranks only those (the binary-quantized
+    sibling of int8_topk_rescore; reference brute-force scan analog
+    `vector_store.cpp:206-237`).
+
+    At 100 TB the first stage scans 32x fewer bytes than float32 (64
+    dims = ONE long word) and the distance is a single
+    bit_count(xor(sig, qsig)) per word — no multiply at all, the
+    cheapest possible scan kernel, entirely whole-stage codegen. Sign
+    quantization is deterministic (no training, no randomness), so like
+    the int8 path this approximate entry gets a REAL value oracle: the
+    SQL replays sign disagreement counts directly on the float arrays.
+
+    Ranking: (hamming asc, id asc) for the shortlist, then
+    (cosine_rounded desc, id asc) for the final k — total orders on
+    both stages, so the cutoff is engine-independent.
+    """
+    from ..functions.vector import cosine_rounded, query_vector_lit
+
+    dim = len(query_vec)
+    # query signature packed driver-side with the same >= 0 rule
+    q_words = []
+    for w in range((dim + 63) // 64):
+        acc = 0
+        for i in range(min(64, dim - w * 64)):
+            if float(query_vec[w * 64 + i]) >= 0.0:
+                acc |= 1 << i
+        if acc >= 1 << 63:  # two's-complement long
+            acc -= 1 << 64
+        q_words.append(acc)
+
+    sig = sign_bits_col(F.col(vec_col), dim)
+    hamming = None
+    for w, qw in zip(sig, q_words):
+        h = F.bit_count(w.bitwiseXOR(F.lit(qw).cast("long"))).cast("long")
+        hamming = h if hamming is None else hamming + h
+
+    short = (
+        embeddings.select(F.col(id_col), F.col(vec_col), hamming.alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+        .limit(shortlist)
+    )
+    exact = short.select(
+        F.col(id_col),
+        F.col("hamming"),
+        cosine_rounded(F.col(vec_col), query_vector_lit(query_vec)).alias("score"),
+    )
+    return exact.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
 def reconstruction_report(
     embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

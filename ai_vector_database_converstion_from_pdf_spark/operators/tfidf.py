@@ -59,6 +59,113 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def doc_similarity_topk(
+    docs: DataFrame,
+    k: int = 20,
+    max_df: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k most-similar document pairs by sparse TF-IDF cosine —
+    the weighted-vector sibling of the set-overlap dedup family
+    (dedup_ngram_prefix is exact Jaccard; this is exact cosine over
+    tf·idf term weights). Returns (id_a, id_b, cos_sim), id_a < id_b.
+
+    Semantics (part of the definition, replayed by the oracle):
+    * term weight = round(tf * (ln((N+1)/(df+1)) + 1), 6), the same
+      smoothed idf as tfidf_top_terms, then scaled to integer
+      micro-units BEFORE any sum — dot products and norms are exact
+      integer arithmetic, so float accumulation order can't drift
+      between engines (the decayed-engagement idiom).
+    * terms with df > max_df carry no weight (standard stopword-band
+      pruning; at Zipf scale the hottest terms contribute ~0 idf but
+      O(df^2) join rows — the cap is what keeps the posting-list
+      self-join sub-quadratic, exactly the hot-shingle cap of the
+      Jaccard path).
+
+    Scale shape: one scan -> (doc, term, weight) postings; the
+    vocab-sized df table joins back AQE-broadcast; the pair dot
+    product is ONE equi-join on term over df-capped postings + one
+    (id_a, id_b) aggregate; norms are node-sized and broadcast-join
+    onto the pair aggregate. Products accumulate in DECIMAL(38,0) so
+    hundred-page docs can't overflow the micro-unit sums."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+
+    w = (
+        tf.join(dfreq, "term")
+        .filter(F.col("df") <= max_df)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "term",
+            F.round(
+                F.round(
+                    F.col("tf")
+                    * (
+                        F.log(
+                            (F.col("n_docs") + F.lit(1.0))
+                            / (F.col("df") + F.lit(1.0))
+                        )
+                        + F.lit(1.0)
+                    ),
+                    6,
+                )
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("mi"),
+        )
+    )
+    mdec = F.col("mi").cast("decimal(19,0)")
+    norms = w.groupBy("id").agg(
+        F.sum(mdec * mdec).cast("decimal(38,0)").alias("nsq")
+    )
+    a = w.select(F.col("id").alias("id_a"), "term", F.col("mi").alias("ma"))
+    b = w.select(F.col("id").alias("id_b"), "term", F.col("mi").alias("mb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(
+                F.col("ma").cast("decimal(19,0)") * F.col("mb").cast("decimal(19,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("dot")
+        )
+    )
+    scored = (
+        dots.join(
+            norms.select(F.col("id").alias("id_a"), F.col("nsq").alias("nsq_a")),
+            "id_a",
+        )
+        .join(
+            norms.select(F.col("id").alias("id_b"), F.col("nsq").alias("nsq_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("nsq_a").cast("double"))
+                    * F.sqrt(F.col("nsq_b").cast("double"))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(
+        F.col("cos_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    ).limit(k)
+
+
 def corpus_ngram_counts(
     docs: DataFrame,
     n: int = 3,

@@ -1,0 +1,306 @@
+"""Fifth-session operators: binary-sign ANN, bloom decontamination,
+triangle counting, sparse TF-IDF document similarity."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+
+# ---------------------------------------------------------------------------
+# binary sign quantization / Hamming ANN
+# ---------------------------------------------------------------------------
+
+
+class TestBinarySignANN:
+    def _random_vecs(self, n, dim, seed):
+        rng = random.Random(seed)
+        return [
+            [rng.uniform(-1, 1) if rng.random() > 0.05 else 0.0 for _ in range(dim)]
+            for _ in range(n)
+        ]
+
+    @pytest.mark.parametrize("dim", [64, 70, 130])
+    def test_packed_hamming_matches_per_dim(self, spark, dim):
+        """bit_count(xor) over packed words == per-dimension sign
+        disagreement count, including dims not a multiple of 64 and
+        exact zeros (>= 0 rule on both sides)."""
+        from ai_vector_database_converstion_from_pdf_spark.operators.quantize import (
+            sign_bits_col,
+        )
+
+        vecs = self._random_vecs(50, dim, seed=dim)
+        q = self._random_vecs(1, dim, seed=999)[0]
+        df = spark.createDataFrame(
+            [Row(i=i, v=[float(x) for x in vec]) for i, vec in enumerate(vecs)]
+        )
+        words = sign_bits_col(F.col("v"), dim)
+        qwords = []
+        for w in range((dim + 63) // 64):
+            acc = 0
+            for i in range(min(64, dim - w * 64)):
+                if q[w * 64 + i] >= 0.0:
+                    acc |= 1 << i
+            if acc >= 1 << 63:
+                acc -= 1 << 64
+            qwords.append(acc)
+        ham = None
+        for wcol, qw in zip(words, qwords):
+            h = F.bit_count(wcol.bitwiseXOR(F.lit(qw).cast("long")))
+            ham = h if ham is None else ham + h
+        got = {r.i: r.h for r in df.select("i", ham.alias("h")).collect()}
+        for i, vec in enumerate(vecs):
+            want = sum((a >= 0) != (b >= 0) for a, b in zip(vec, q))
+            assert got[i] == want, f"row {i}: {got[i]} != {want}"
+
+    def test_shortlist_recall_on_fixture(self, spark):
+        """Binary shortlist-then-rescore recovers most of the exact
+        top-10 on the sf0.01 embeddings (50-deep shortlist)."""
+        from ai_vector_database_converstion_from_pdf_spark.catalog import _query_vec
+        from ai_vector_database_converstion_from_pdf_spark.operators.quantize import (
+            binary_topk_rescore,
+        )
+        from ai_vector_database_converstion_from_pdf_spark.operators.semantic import (
+            semantic_topk,
+        )
+
+        emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+        qv = _query_vec(spark, SF_ORACLE)
+        exact = {r.vec_id for r in semantic_topk(emb, qv, k=10).collect()}
+        approx = {r.vec_id for r in binary_topk_rescore(emb, qv, k=10).collect()}
+        # 1-bit sketches at dim 64 are coarse; demand a real majority
+        assert len(exact & approx) >= 6
+        # query vector itself (vec_id 0, hamming 0) must always survive
+        assert 0 in approx
+
+
+# ---------------------------------------------------------------------------
+# bloom-prefiltered decontamination
+# ---------------------------------------------------------------------------
+
+
+class TestBloomDecontaminate:
+    @pytest.mark.parametrize("m_bits", [1 << 8, 1 << 16])
+    def test_equals_exact_path(self, spark, m_bits):
+        """Bloom pruning + exact verify == the exact broadcast path,
+        even with a 256-bit bitmap that is mostly false positives."""
+        from ai_vector_database_converstion_from_pdf_spark.operators.decontaminate import (
+            bloom_contamination,
+            ngram_contamination,
+        )
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        train = docs.filter(F.col("doc_id") % 10 != 0)
+        ev = docs.filter(F.col("doc_id") % 10 == 0)
+        exact = sorted(
+            (r.train_id, r.eval_id, r.n_hits)
+            for r in ngram_contamination(train, ev, n=5, min_hits=2).collect()
+        )
+        bloom = sorted(
+            (r.train_id, r.eval_id, r.n_hits)
+            for r in bloom_contamination(
+                train, ev, n=5, min_hits=2, m_bits=m_bits, n_hashes=2
+            ).collect()
+        )
+        assert bloom == exact
+        assert len(exact) > 0  # fixture actually contains collisions
+
+    def test_empty_eval_set(self, spark):
+        from ai_vector_database_converstion_from_pdf_spark.operators.decontaminate import (
+            bloom_contamination,
+        )
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        out = bloom_contamination(
+            docs, docs.filter(F.lit(False)), n=5, min_hits=1, m_bits=1 << 10
+        )
+        assert out.count() == 0
+
+    def test_bloom_actually_prunes(self, spark):
+        """With an adequately sized bitmap, the verify join input is a
+        small fraction of the training shingle volume (the whole point
+        of the bloom stage)."""
+        from ai_vector_database_converstion_from_pdf_spark.operators import (
+            decontaminate as dc,
+        )
+        from ai_vector_database_converstion_from_pdf_spark.operators.dedup import (
+            word_shingles,
+        )
+        import numpy as np
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        train = docs.filter(F.col("doc_id") % 10 != 0)
+        ev = docs.filter(F.col("doc_id") % 10 == 0)
+        m_bits, n_hashes = 1 << 16, 2
+        train_sh = word_shingles(train, n=5)
+        eval_sh = word_shingles(ev, n=5)
+
+        def positions(col):
+            return F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.concat(col, F.lit(f"#bloom{j}"))), F.lit(m_bits)
+                    ).cast("long")
+                    for j in range(n_hashes)
+                ]
+            )
+
+        pos = (
+            eval_sh.select(F.explode(positions(F.col("shingle"))).alias("p"))
+            .distinct()
+            .collect()
+        )
+        bm = np.zeros(m_bits, dtype=bool)
+        bm[np.fromiter((r.p for r in pos), dtype=np.int64)] = True
+        rows = train_sh.select(positions(F.col("shingle")).alias("ps")).collect()
+        total = len(rows)
+        passed = sum(1 for r in rows if all(bm[p] for p in r.ps))
+        # true collisions are rare in the fixture; survivors should be a
+        # minority of the shingle volume at 2^16 bits
+        assert passed < total * 0.5, (passed, total)
+
+
+# ---------------------------------------------------------------------------
+# triangle counting
+# ---------------------------------------------------------------------------
+
+
+class TestTriangleCounts:
+    def _run(self, spark, edges):
+        from ai_vector_database_converstion_from_pdf_spark.operators.graph import (
+            triangle_counts,
+        )
+
+        df = spark.createDataFrame(
+            [Row(id_a=a, id_b=b) for a, b in edges], "id_a long, id_b long"
+        )
+        return {r.id: r.triangles for r in triangle_counts(df).collect()}
+
+    def test_four_clique_plus_pendant(self, spark):
+        k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+        got = self._run(spark, k4 + [(4, 5)])
+        # K4 has 4 triangles; every clique node sits on C(3,2)=3 of them
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_duplicate_and_reversed_edges_canonicalized(self, spark):
+        tri = [(1, 2), (2, 3), (1, 3)]
+        noisy = tri + [(2, 1), (3, 2), (1, 2), (3, 1), (7, 7)]
+        got = self._run(spark, noisy)
+        assert got == {1: 1, 2: 1, 3: 1}
+
+    def test_triangle_free_graph_empty(self, spark):
+        got = self._run(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+        assert got == {}
+
+    def test_matches_brute_force_on_fixture_graph(self, spark):
+        """Degree-oriented compact-forward returns exactly the brute
+        force per-node counts on the sf0.001 simhash pair graph."""
+        from ai_vector_database_converstion_from_pdf_spark.operators.dedup import (
+            simhash_pairs,
+        )
+        from ai_vector_database_converstion_from_pdf_spark.operators.graph import (
+            triangle_counts,
+        )
+        import collections
+        import itertools
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        pairs = simhash_pairs(docs, max_hamming=3).select("id_a", "id_b")
+        rows = [(r.id_a, r.id_b) for r in pairs.collect()]
+        adj = collections.defaultdict(set)
+        for a, b in rows:
+            adj[a].add(b)
+            adj[b].add(a)
+        want = collections.Counter()
+        for a, b in rows:
+            for c in adj[a] & adj[b]:
+                if c > max(a, b):
+                    want[a] += 1
+                    want[b] += 1
+                    want[c] += 1
+        got = {r.id: r.triangles for r in triangle_counts(pairs).collect()}
+        assert got == dict(want)
+
+
+# ---------------------------------------------------------------------------
+# sparse TF-IDF document similarity
+# ---------------------------------------------------------------------------
+
+
+class TestTfidfDocSimilarity:
+    def _brute(self, texts, k, max_df):
+        import re
+
+        tok = lambda t: [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        n = len(texts)
+        tfs = []
+        for t in texts:
+            tf = {}
+            for w in tok(t):
+                tf[w] = tf.get(w, 0) + 1
+            tfs.append(tf)
+        df = {}
+        for tf in tfs:
+            for w in tf:
+                df[w] = df.get(w, 0) + 1
+        weights = []
+        for tf in tfs:
+            wv = {}
+            for w, c in tf.items():
+                if df[w] <= max_df:
+                    raw = round(c * (math.log((n + 1.0) / (df[w] + 1.0)) + 1.0), 6)
+                    wv[w] = int(round(raw * 1e6))
+            weights.append(wv)
+        out = []
+        for a in range(n):
+            for b in range(a + 1, n):
+                dot = sum(weights[a][w] * weights[b].get(w, 0) for w in weights[a])
+                if dot == 0:
+                    continue
+                na = math.sqrt(sum(v * v for v in weights[a].values()))
+                nb = math.sqrt(sum(v * v for v in weights[b].values()))
+                out.append((a, b, round(dot / (na * nb), 6)))
+        out.sort(key=lambda r: (-r[2], r[0], r[1]))
+        return out[:k]
+
+    def test_matches_brute_force(self, spark):
+        from ai_vector_database_converstion_from_pdf_spark.operators.tfidf import (
+            doc_similarity_topk,
+        )
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox leaps over the lazy dog",
+            "pack my box with five dozen liquor jugs",
+            "five dozen jugs of liquor packed in my box",
+            "an entirely unrelated sentence about spark plans",
+            "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+        ]
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+        )
+        got = [
+            (r.id_a, r.id_b, r.cos_sim)
+            for r in doc_similarity_topk(docs, k=5, max_df=100).collect()
+        ]
+        want = self._brute(texts, k=5, max_df=100)
+        assert got == want
+        # the exact duplicate pair must rank first at cosine 1.0
+        assert got[0][:2] == (0, 5) and got[0][2] == pytest.approx(1.0)
+
+    def test_df_cap_drops_stopword_band(self, spark):
+        """A term present in every doc carries no weight under the cap,
+        so two docs sharing ONLY that term have no pair row."""
+        from ai_vector_database_converstion_from_pdf_spark.operators.tfidf import (
+            doc_similarity_topk,
+        )
+
+        texts = ["common alpha", "common beta", "common gamma", "common delta"]
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+        )
+        out = doc_similarity_topk(docs, k=10, max_df=3).collect()
+        assert out == []
