@@ -107,20 +107,31 @@ def int8_topk_rescore(
 def sign_bits_col(vec: Column, dim: int) -> list[Column]:
     """Pack the sign bits of a float vector into ``ceil(dim/64)`` long
     words (bit i of word w set iff vec[w*64+i] >= 0) — the 1-bit/dim
-    binary quantization used by binary_topk_rescore. Pure codegen'd
-    expression: per word, a left-to-right fold over a static bit range;
-    the per-bit addends are disjoint bit patterns, so the integer sums
-    can never overflow (the fold is effectively a bitwise OR)."""
+    binary quantization used by binary_topk_rescore. One compact
+    ``aggregate`` fold per word, NOT 64 chained CASE terms: a 64-term
+    expression tree costs Catalyst ~1.5 s of DRIVER-side optimization
+    per query build (measured at sf0.1 — 4x the whole query), while the
+    HOF form plans in milliseconds and row-evaluates the same bits.
+    Per-bit addends are disjoint bit patterns, so the integer fold can
+    never overflow (it is effectively a bitwise OR); shiftleft(1L, 63)
+    lands on the sign bit exactly like the two's-complement query word."""
+    def fold(base):
+        # two-arg lambda via closure: a default-arg third parameter would
+        # make PySpark declare a 3-arg lambda, which aggregate() rejects
+        return lambda acc, i: acc + F.when(
+            F.get(vec, F.lit(base) + i) >= 0,
+            F.call_function("shiftleft", F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+
     words = []
     for w in range((dim + 63) // 64):
         nbits = min(64, dim - w * 64)
-        acc = F.lit(0).cast("long")
-        for i in range(nbits):
-            bit = F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long")
-            acc = acc + F.when(
-                F.element_at(vec, w * 64 + i + 1) >= 0, bit
-            ).otherwise(F.lit(0).cast("long"))
-        words.append(acc)
+        word = F.aggregate(
+            F.sequence(F.lit(0), F.lit(nbits - 1)),
+            F.lit(0).cast("long"),
+            fold(w * 64),
+        )
+        words.append(word)
     return words
 
 

@@ -94,6 +94,12 @@ HEADLINE = [
     "unpivot_status_qty",
     "events_value_winsorized",
     "events_robust_anomalies",
+    "ann_hamming_topk",
+    "decontaminate_bloom",
+    "graph_triangle_counts",
+    "tfidf_doc_similarity",
+    "events_daily_trend_ols",
+    "events_value_histogram",
     # NOT benched: bpe_* (the per-session training cache would turn
     # min-of-N replays into cache reads — see catalog._bpe_trained)
 ]

@@ -148,6 +148,18 @@ EXPECT = {
     "events_value_winsorized": ["BroadcastHashJoin", "!SortMergeJoin", "!Window"],
     # two tiny type aggregates broadcast back over the daily pre-agg
     "events_robust_anomalies": ["BroadcastHashJoin", "!SortMergeJoin", "!Window"],
+    # packed sign bits + bit_count(xor): pure codegen, TakeOrdered both stages
+    "ann_hamming_topk": ["TakeOrderedAndProject", "!ArrowEvalPython", "!MapInPandas"],
+    # bloom probe is the ONLY Python stage; verify join stays broadcast
+    "decontaminate_bloom": ["ArrowEvalPython", "BroadcastHashJoin", "!SortMergeJoin"],
+    # returned frame is the eager localCheckpoint scan (graph idiom)
+    "graph_triangle_counts": ["!MapInPandas", "!ArrowEvalPython"],
+    # df-capped posting self-join; final top-k without global sort
+    "tfidf_doc_similarity": ["TakeOrderedAndProject", "!MapInPandas"],
+    # pure post-aggregate algebra: no join, no window, no UDF
+    "events_daily_trend_ols": ["!SortMergeJoin", "!BroadcastHashJoin", "!Window", "!MapInPandas"],
+    # tiny per-type min/max broadcast back; bucket math map-side
+    "events_value_histogram": ["BroadcastHashJoin", "!SortMergeJoin", "!Window"],
 }
 
 
