@@ -126,3 +126,96 @@ def stratified_sample(
             F.col(strat_col) == stratum, F.lit(int(rate * SAMPLE_MOD))
         ).otherwise(thresh)
     return docs.filter(bucket < thresh)
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how much more likely its hashed-unigram bag is under the
+    TARGET distribution than under the RAW distribution,
+
+        weight(d) = sum_tokens ln p_target(bucket(tok)) / p_raw(bucket(tok))
+
+    with add-one smoothing over ``n_buckets`` hashed features. High
+    weight = looks like the target domain; feed the output to
+    priority/top-k selection to re-balance a 100 TB crawl toward a
+    curated target (the published pipeline's exact shape).
+
+    Cross-engine determinism: buckets use the md5-prefix hash (portable
+    to the DuckDB oracle); per-bucket log-ratios are rounded to 6 and
+    scaled to integer micro-units BEFORE the per-doc sum, so the
+    accumulation is exact integer arithmetic (the decayed-engagement
+    idiom).
+
+    Scale shape: one token-explode scan per corpus for the two
+    bucket-count tables (each ``n_buckets`` rows — broadcast), then one
+    (doc, bucket) aggregate joined broadcast against the lambda table
+    and summed per doc. The raw corpus shuffles once, keyed by doc.
+    Returns (doc_id, n_tokens, weight) — every doc, unweighted rows
+    intact for downstream sampling.
+    """
+    from ..functions.text import tokens
+
+    def buckets(df):
+        toks = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        return toks.select(
+            "id",
+            (
+                F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+                % n_buckets
+            ).alias("bucket"),
+        )
+
+    raw_b = buckets(docs)
+    tgt_b = buckets(target)
+    raw_counts = raw_b.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tgt_counts = tgt_b.groupBy("bucket").agg(F.count("*").alias("ct"))
+    raw_total = raw_b.agg(F.count("*").alias("tr"))
+    tgt_total = tgt_b.agg(F.count("*").alias("tt"))
+
+    lam = (
+        raw_counts.join(tgt_counts, "bucket", "left")
+        .crossJoin(F.broadcast(raw_total))
+        .crossJoin(F.broadcast(tgt_total))
+        .select(
+            "bucket",
+            F.round(
+                F.round(
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("tt") + F.lit(float(n_buckets)))
+                    )
+                    - F.log(
+                        (F.col("cr") + F.lit(1.0))
+                        / (F.col("tr") + F.lit(float(n_buckets)))
+                    ),
+                    6,
+                )
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("lam_micro"),
+        )
+    )
+
+    doc_buckets = raw_b.groupBy("id", "bucket").agg(F.count("*").alias("c"))
+    return (
+        doc_buckets.join(F.broadcast(lam), "bucket")
+        .groupBy("id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("c") * F.col("lam_micro")).cast("double") / F.lit(1e6), 6
+            ).alias("weight"),
+        )
+        .withColumnRenamed("id", id_col)
+    )

@@ -100,6 +100,8 @@ HEADLINE = [
     "tfidf_doc_similarity",
     "events_daily_trend_ols",
     "events_value_histogram",
+    "sample_dsir_weights",
+    "quality_linear_probe",
     # NOT benched: bpe_* (the per-session training cache would turn
     # min-of-N replays into cache reads — see catalog._bpe_trained)
 ]

@@ -304,3 +304,79 @@ class TestTfidfDocSimilarity:
         )
         out = doc_similarity_topk(docs, k=10, max_df=3).collect()
         assert out == []
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights + logistic quality probe
+# ---------------------------------------------------------------------------
+
+
+class TestDsirAndProbe:
+    def test_dsir_separates_target_language(self, spark):
+        """Docs in the target (en) slice must average a higher
+        importance weight than the rest — the resampling signal."""
+        from ai_vector_database_converstion_from_pdf_spark.operators.sampling import (
+            dsir_importance_weights,
+        )
+
+        docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        out = dsir_importance_weights(docs, docs.filter(F.col("lang") == "en"))
+        j = out.join(docs.select("doc_id", "lang"), "doc_id")
+        rows = j.groupBy(F.col("lang") == "en").agg(F.avg("weight")).collect()
+        means = {r[0]: r[1] for r in rows}
+        assert means[True] > means[False]
+
+    def test_dsir_partition_invariance(self, spark):
+        from ai_vector_database_converstion_from_pdf_spark.operators.sampling import (
+            dsir_importance_weights,
+        )
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        tgt = docs.filter(F.col("lang") == "en")
+        a = sorted(
+            (r.doc_id, r.n_tokens, r.weight)
+            for r in dsir_importance_weights(docs, tgt).collect()
+        )
+        b = sorted(
+            (r.doc_id, r.n_tokens, r.weight)
+            for r in dsir_importance_weights(
+                docs.repartition(7), tgt.repartition(3)
+            ).collect()
+        )
+        assert a == b
+
+    def test_probe_separates_labels_and_improves(self, spark):
+        """Scores must separate en from non-en, and two GD steps must
+        separate MORE than one (the training actually trains)."""
+        from ai_vector_database_converstion_from_pdf_spark.operators.linear import (
+            logistic_probe,
+        )
+
+        docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+
+        def sep(n_iters):
+            out = logistic_probe(docs, F.col("lang") == "en", n_iters=n_iters)
+            m = {r[0]: r[1] for r in out.groupBy("y").agg(F.avg("score")).collect()}
+            return m[1] - m[0]
+
+        s1, s2 = sep(1), sep(2)
+        assert s1 > 0
+        assert s2 > s1
+
+    def test_probe_partition_invariance(self, spark):
+        from ai_vector_database_converstion_from_pdf_spark.operators.linear import (
+            logistic_probe,
+        )
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        a = sorted(
+            (r.id, r.y, r.score)
+            for r in logistic_probe(docs, F.col("lang") == "en").collect()
+        )
+        b = sorted(
+            (r.id, r.y, r.score)
+            for r in logistic_probe(
+                docs.repartition(11), F.col("lang") == "en"
+            ).collect()
+        )
+        assert a == b

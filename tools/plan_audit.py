@@ -160,6 +160,11 @@ EXPECT = {
     "events_daily_trend_ols": ["!SortMergeJoin", "!BroadcastHashJoin", "!Window", "!MapInPandas"],
     # tiny per-type min/max broadcast back; bucket math map-side
     "events_value_histogram": ["BroadcastHashJoin", "!SortMergeJoin", "!Window"],
+    # 512-row lambda table broadcast onto the (doc,bucket) aggregate
+    "sample_dsir_weights": ["BroadcastHashJoin", "!SortMergeJoin", "!MapInPandas"],
+    # 64-row weight table broadcast each GD step; residual join is
+    # id-keyed (co-partitionable at scale) — no Python stage anywhere
+    "quality_linear_probe": ["BroadcastHashJoin", "!MapInPandas", "!ArrowEvalPython"],
 }
 
 
