@@ -102,6 +102,8 @@ HEADLINE = [
     "events_value_histogram",
     "sample_dsir_weights",
     "quality_linear_probe",
+    "events_asof_join_forward",
+    "events_asof_join_nearest",
     # NOT benched: bpe_* (the per-session training cache would turn
     # min-of-N replays into cache reads — see catalog._bpe_trained)
 ]

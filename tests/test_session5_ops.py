@@ -380,3 +380,83 @@ class TestDsirAndProbe:
             ).collect()
         )
         assert a == b
+
+
+# ---------------------------------------------------------------------------
+# as-of join directions
+# ---------------------------------------------------------------------------
+
+
+class TestAsofDirections:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, 100, 10.0), (1, 200, 20.0), (2, 50, 5.0), (3, 10, 1.0)],
+            "k long, ts long, lv double",
+        )
+        right = spark.createDataFrame(
+            [(1, 90, 9.0), (1, 150, 15.0), (1, 300, 30.0), (2, 60, 6.0)],
+            "k long, ts long, rv double",
+        )
+        return left, right
+
+    def _run(self, spark, direction):
+        from ai_vector_database_converstion_from_pdf_spark.operators.asof import (
+            asof_join,
+        )
+
+        left, right = self._frames(spark)
+        out = asof_join(
+            left, right, key="k", ts_col="ts", right_value_col="rv",
+            direction=direction,
+        )
+        return {(r.k, r.ts): r.asof_value for r in out.collect()}
+
+    def test_backward(self, spark):
+        assert self._run(spark, "backward") == {
+            (1, 100): 9.0, (1, 200): 15.0, (2, 50): None, (3, 10): None,
+        }
+
+    def test_forward(self, spark):
+        assert self._run(spark, "forward") == {
+            (1, 100): 15.0, (1, 200): 30.0, (2, 50): 6.0, (3, 10): None,
+        }
+
+    def test_nearest_prefers_closer_and_ties_backward(self, spark):
+        from ai_vector_database_converstion_from_pdf_spark.operators.asof import (
+            asof_join,
+        )
+
+        # (k=1, ts=100): bwd delta 10 (ts 90) < fwd delta 50 -> 9.0
+        # (k=1, ts=200): bwd delta 50 (ts 150) < fwd delta 100 -> 15.0
+        # (k=2, ts=50):  no bwd, fwd 6.0; (k=3): no match at all
+        assert self._run(spark, "nearest") == {
+            (1, 100): 9.0, (1, 200): 15.0, (2, 50): 6.0, (3, 10): None,
+        }
+        # exact tie -> backward (pandas rule)
+        left = spark.createDataFrame([(1, 100)], "k long, ts long")
+        right = spark.createDataFrame(
+            [(1, 90, 111.0), (1, 110, 222.0)], "k long, ts long, rv double"
+        )
+        out = asof_join(
+            left, right, key="k", ts_col="ts", right_value_col="rv",
+            direction="nearest",
+        )
+        assert out.collect()[0].asof_value == 111.0
+
+    def test_nearest_single_shuffle(self, spark):
+        """Both directional windows must share ONE key exchange."""
+        from ai_vector_database_converstion_from_pdf_spark.operators.asof import (
+            asof_join,
+        )
+
+        left, right = self._frames(spark)
+        out = asof_join(
+            left, right, key="k", ts_col="ts", right_value_col="rv",
+            direction="nearest",
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # hashpartitioning(k, ...) appears in exactly one Exchange
+        import re
+
+        n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert n_exchanges == 1, plan[:2000]

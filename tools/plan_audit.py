@@ -165,6 +165,10 @@ EXPECT = {
     # 64-row weight table broadcast each GD step; residual join is
     # id-keyed (co-partitionable at scale) — no Python stage anywhere
     "quality_linear_probe": ["BroadcastHashJoin", "!MapInPandas", "!ArrowEvalPython"],
+    # union + flipped-order window: still one key shuffle, no join
+    "events_asof_join_forward": ["!SortMergeJoin", "!BroadcastHashJoin", "!MapInPandas"],
+    # both directional windows share ONE key exchange; map-side pick
+    "events_asof_join_nearest": ["!SortMergeJoin", "!BroadcastHashJoin", "!MapInPandas"],
 }
 
 
