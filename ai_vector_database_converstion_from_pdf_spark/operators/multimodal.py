@@ -445,3 +445,115 @@ def image_near_dup_pairs(
         pairs.select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= F.lit(int(max_hamming)))
     )
+
+
+def audio_fingerprints(
+    media: DataFrame,
+    frame_len: int = 256,
+    hop: int = 128,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Per-audio spectral fingerprints for near-dup detection on the
+    binary column — the audio sibling of perceptual_hashes. Shazam-lite
+    scheme: frame the PCM signal (frame_len samples, hop overlap), FFT
+    each frame, take the peak frequency bin in each of `n_bands`
+    log-spaced bands, and pack the banded peaks into one long per
+    frame. The fingerprint is the DISTINCT set of frame hashes —
+    invariant to amplitude scaling (argmax is), robust to mild noise,
+    and stable across partitionings (pure numpy per row).
+
+    Output: (media_id, fp_hash) exploded — ready for a posting-list
+    self-join. Non-audio / undecodable rows yield no fingerprint rows
+    instead of failing the stage (the quarantine convention)."""
+    from ..functions.audiocodec import decode_wav
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "audio":
+                    continue
+                try:
+                    samples, _sr = decode_wav(bytes(r.payload))
+                except (NotImplementedError, ValueError):
+                    continue
+                x = samples.astype(np.float64)
+                if len(x) < frame_len:
+                    continue
+                n_frames = 1 + (len(x) - frame_len) // hop
+                idx = (
+                    np.arange(frame_len)[None, :]
+                    + hop * np.arange(n_frames)[:, None]
+                )
+                mags = np.abs(np.fft.rfft(x[idx] * np.hanning(frame_len), axis=1))
+                # log-spaced band edges over the positive spectrum
+                # (skip DC); peak bin per band, packed 8 bits/band
+                n_bins = mags.shape[1]
+                edges = np.unique(
+                    np.geomspace(2, n_bins - 1, n_bands + 1).astype(int)
+                )
+                seen = set()
+                for f in range(n_frames):
+                    fmax = mags[f].max()
+                    h = 0
+                    for b in range(len(edges) - 1):
+                        lo, hi = edges[b], edges[b + 1]
+                        peak = int(lo + np.argmax(mags[f, lo:hi]))
+                        # a band contributes only if its peak carries
+                        # real energy (>= 10% of the frame max): weak
+                        # bands are quantization noise, whose argmax
+                        # shifts with amplitude — gating on a RATIO
+                        # keeps the hash scale-invariant
+                        code = peak if fmax > 0 and mags[f, peak] >= 0.1 * fmax else 0
+                        h = (h << 8) | (code & 0xFF)
+                    seen.add(h)
+                for h in seen:
+                    ids.append(r.media_id)
+                    hashes.append(h)
+            yield pd.DataFrame({"media_id": ids, "fp_hash": hashes})
+
+    return media.mapInPandas(per_batch, "media_id long, fp_hash long")
+
+
+def audio_near_dup_pairs(
+    media: DataFrame, min_matches: int = 3, max_doc_freq: int = 50
+) -> DataFrame:
+    """Audio near-dup pairs: posting-list self-join on shared
+    fingerprint hashes (the word_shingles/ngram-Jaccard idiom applied
+    to spectra) — (id_a, id_b, n_matches) for pairs sharing >=
+    min_matches distinct frame hashes. Hot hashes (silence, test tones)
+    are capped at max_doc_freq exactly like hot shingles, bounding the
+    pair explosion at C(cap, 2) per hash.
+
+    Scale shape: ONE mapInPandas decode pass, one hash-keyed groupBy,
+    candidate pair counts only — never an all-pairs audio compare."""
+    fp = audio_fingerprints(media)
+    pl = (
+        fp.groupBy("fp_hash")
+        .agg(F.collect_set("media_id").alias("ids"))
+        .filter(
+            (F.size("ids") > 1) & (F.size("ids") <= max_doc_freq)
+        )
+        .select(F.array_sort("ids").alias("ids"))
+    )
+    pairs = pl.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda a: F.transform(
+                            F.col("ids"),
+                            lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                        ),
+                    )
+                ),
+                lambda s: s["id_a"] < s["id_b"],
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_matches"))
+        .filter(F.col("n_matches") >= min_matches)
+    )

@@ -460,3 +460,86 @@ class TestAsofDirections:
 
         n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
         assert n_exchanges == 1, plan[:2000]
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint dedup
+# ---------------------------------------------------------------------------
+
+
+class TestAudioFingerprints:
+    def _media(self, spark):
+        import numpy as np
+        from ai_vector_database_converstion_from_pdf_spark.functions.audiocodec import (
+            encode_wav,
+        )
+        from ai_vector_database_converstion_from_pdf_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+        )
+
+        sr = 8000
+
+        def melody(notes, amp=12000, noise=0.0, seed=0):
+            # a SEQUENCE of notes, not a stationary tone: stationary
+            # signals collapse to one distinct frame hash, which can
+            # never reach min_matches
+            rng = np.random.RandomState(seed)
+            segs = []
+            for f in notes:
+                t = np.arange(sr // 4, dtype=np.float64) / sr
+                segs.append(np.sin(2 * np.pi * f * t))
+            w = np.concatenate(segs) * amp
+            if noise:
+                w = w + rng.normal(0, noise * amp, len(w))
+            return np.clip(w, -32767, 32767).astype(np.int16)
+
+        mel_a = [440, 550, 660, 880, 520, 720, 610, 470]
+        mel_b = [1200, 1500, 1900, 2300, 1350, 1750, 2100, 1600]
+        rows = [
+            # 0: melody A; 1: same melody, lower amplitude + mild noise
+            (0, "audio", "audio/wav", bytearray(encode_wav(melody(mel_a), sr)), None, None, 2000),
+            (1, "audio", "audio/wav", bytearray(encode_wav(melody(mel_a, amp=5000, noise=0.02, seed=3), sr)), None, None, 2000),
+            # 2: unrelated melody
+            (2, "audio", "audio/wav", bytearray(encode_wav(melody(mel_b), sr)), None, None, 2000),
+            # 3: an image row — must be ignored, not crash
+            (3, "image", "image/bmp", bytearray(b"BMnotreally"), 4, 4, None),
+        ]
+        return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    def test_duplicate_found_unrelated_not(self, spark):
+        from ai_vector_database_converstion_from_pdf_spark.operators.multimodal import (
+            audio_near_dup_pairs,
+        )
+
+        media = self._media(spark)
+        pairs = {
+            (r.id_a, r.id_b): r.n_matches
+            for r in audio_near_dup_pairs(media, min_matches=3).collect()
+        }
+        assert (0, 1) in pairs          # scaled+noisy copy is caught
+        assert (0, 2) not in pairs      # unrelated tone is not
+        assert (1, 2) not in pairs
+
+    def test_fingerprint_amplitude_invariance(self, spark):
+        """Pure rescaling yields the IDENTICAL fingerprint set."""
+        import numpy as np
+        from ai_vector_database_converstion_from_pdf_spark.functions.audiocodec import (
+            encode_wav,
+        )
+        from ai_vector_database_converstion_from_pdf_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            audio_fingerprints,
+        )
+
+        sr = 8000
+        t = np.arange(sr, dtype=np.float64) / sr
+        w = np.sin(2 * np.pi * 330 * t)
+        rows = [
+            (0, "audio", "audio/wav", bytearray(encode_wav((w * 16000).astype(np.int16), sr)), None, None, 1000),
+            (1, "audio", "audio/wav", bytearray(encode_wav((w * 4000).astype(np.int16), sr)), None, None, 1000),
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        fp = audio_fingerprints(media).collect()
+        a = {r.fp_hash for r in fp if r.media_id == 0}
+        b = {r.fp_hash for r in fp if r.media_id == 1}
+        assert a and a == b
