@@ -150,6 +150,25 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--shards", type=int, default=8)
     sp.add_argument("--split-salt", default="v1")
 
+    sp = sub.add_parser(
+        "select-data",
+        help="DSIR + quality-probe target-domain selection over a corpus",
+    )
+    common(sp)
+    sp.add_argument("--parquet", required=True, help="(doc_id, text, ...) input")
+    sp.add_argument(
+        "--target-filter",
+        required=True,
+        help="SQL predicate defining the target slice, e.g. \"lang = 'en'\"",
+    )
+    sp.add_argument("--top", type=int, default=100)
+    sp.add_argument(
+        "--probe",
+        action="store_true",
+        help="also train the 2-step logistic probe and report its score",
+    )
+    sp.add_argument("--out", help="write the selected docs as parquet")
+
     args = p.parse_args(argv)
     spark = _spark()
 
@@ -419,6 +438,41 @@ def main(argv: list[str] | None = None) -> int:
         _emit({"split_counts": split_counts})
         for r in manifest.orderBy("shard").collect():
             _emit({"shard_manifest": r.asDict()})
+    elif args.cmd == "select-data":
+        # DSIR importance resampling toward the --target-filter slice
+        # (operators/sampling.py::dsir_importance_weights, oracle entry
+        # sample_dsir_weights), optionally blended with the trained
+        # logistic quality probe (operators/linear.py, oracle entry
+        # quality_linear_probe). Selection = top-N by DSIR weight.
+        from pyspark.sql import functions as F
+
+        from .operators.sampling import dsir_importance_weights
+
+        docs = spark.read.parquet(args.parquet)
+        target = docs.filter(args.target_filter)
+        n_target = target.count()
+        w = dsir_importance_weights(docs, target)
+        if args.probe:
+            from .operators.linear import logistic_probe
+
+            scores = logistic_probe(docs, F.expr(args.target_filter)).select(
+                F.col("id").alias("doc_id"), F.col("score").alias("probe_score")
+            )
+            w = w.join(scores, "doc_id", "left")
+        top = w.orderBy(F.desc("weight"), F.asc("doc_id")).limit(args.top)
+        if args.out:
+            sel = docs.join(top.select("doc_id"), "doc_id")
+            sel.write.mode("overwrite").parquet(args.out)
+        rows = top.collect()
+        _emit(
+            {
+                "n_docs": docs.count(),
+                "n_target": n_target,
+                "n_selected": len(rows),
+            }
+        )
+        for r in rows[:10]:
+            _emit(r.asDict())
     elif args.cmd == "optimize":
         from .sinks import Workspace
 

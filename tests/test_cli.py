@@ -255,3 +255,34 @@ def test_cli_dedup_report(spark, capsys, tmp_path):
     # exact method: no byte-identical dups in this workspace
     out = _run(capsys, ["dedup-report", "-w", ws, "--method", "exact"])
     assert out[0]["n_dups"] == 0
+
+
+def test_cli_select_data(spark, capsys, tmp_path):
+    """select-data: DSIR selection toward a target slice, probe blend,
+    and parquet output of the selected docs."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "docs_sel.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "selected")
+
+    got = _run(
+        capsys,
+        [
+            "select-data", "-w", str(tmp_path / "ws_unused"),
+            "--parquet", src, "--target-filter", "lang = 'en'",
+            "--top", "10", "--probe", "--out", out,
+        ],
+    )
+    head = got[0]
+    assert head["n_selected"] == 10
+    assert head["n_target"] > 0
+    # emitted rows carry both scores, ordered by weight desc
+    weights = [r["weight"] for r in got[1:]]
+    assert weights == sorted(weights, reverse=True)
+    assert all("probe_score" in r for r in got[1:])
+    sel = spark.read.parquet(out)
+    assert sel.count() == 10
+    # the selection is biased toward the target slice vs the corpus base rate
+    en_rate_sel = sel.filter("lang = 'en'").count() / 10
+    en_rate_all = docs.filter("lang = 'en'").count() / docs.count()
+    assert en_rate_sel > en_rate_all
