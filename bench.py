@@ -104,6 +104,8 @@ HEADLINE = [
     "quality_linear_probe",
     "events_asof_join_forward",
     "events_asof_join_nearest",
+    "dedup_semdedup",
+    "events_lag_features",
     # NOT benched: bpe_* (the per-session training cache would turn
     # min-of-N replays into cache reads — see catalog._bpe_trained)
 ]

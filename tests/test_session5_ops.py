@@ -543,3 +543,67 @@ class TestAudioFingerprints:
         a = {r.fp_hash for r in fp if r.media_id == 0}
         b = {r.fp_hash for r in fp if r.media_id == 1}
         assert a and a == b
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+# ---------------------------------------------------------------------------
+
+
+class TestSemDeDup:
+    def test_keeper_is_farthest_from_centroid(self, spark):
+        """Planted duplicate group: the member with the LOWEST cosine to
+        its centroid is kept (diversity rule), others dropped."""
+        import numpy as np
+        from ai_vector_database_converstion_from_pdf_spark.operators.dedup import (
+            semdedup_prune,
+        )
+
+        rng = np.random.RandomState(42)
+        base = rng.normal(size=(4, 8))
+        rows = []
+        # ids 0..3: well-separated singletons (they seed the centroids)
+        for i in range(4):
+            v = base[i] / np.linalg.norm(base[i])
+            rows.append((i, [float(x) for x in v]))
+        # ids 10..12: near-copies of base[0] with growing perturbation
+        for j, eps in enumerate([0.01, 0.02, 0.3]):
+            v = base[0] + eps * rng.normal(size=8)
+            v = v / np.linalg.norm(v)
+            rows.append((10 + j, [float(x) for x in v]))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = semdedup_prune(emb, n_clusters=4, tau=0.9)
+        got = {r.vec_id: (r.component, r.ccos, r.keep) for r in out.collect()}
+        # the dup group = {0, 10, 11} (12 is perturbed past tau or kept
+        # separately); exactly one keeper per component, and the keeper
+        # has the group's minimal centroid cosine
+        comps = {}
+        for vid, (comp, ccos, keep) in got.items():
+            comps.setdefault(comp, []).append((vid, ccos, keep))
+        assert comps, got
+        for comp, members in comps.items():
+            keepers = [m for m in members if m[2]]
+            assert len(keepers) == 1
+            assert keepers[0][1] == min(m[1] for m in members)
+        # vectors 0 and 10 (eps=0.01 copies) must share a component
+        assert got[0][0] == got[10][0]
+
+    def test_pairs_are_cluster_scoped(self, spark):
+        """Vectors similar across DIFFERENT clusters are not paired —
+        the documented approximation that buys the c_i^2 cost bound."""
+        from ai_vector_database_converstion_from_pdf_spark.operators.dedup import (
+            semdedup_prune,
+        )
+
+        # two centroids at 90 degrees; two probes each closest to a
+        # DIFFERENT centroid but 0.995-similar to each other
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.72, 0.69, 0.0, 0.0]),
+            (3, [0.69, 0.72, 0.0, 0.0]),
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = semdedup_prune(emb, n_clusters=2, tau=0.99)
+        comps = {r.vec_id for r in out.collect()}
+        assert 2 not in comps and 3 not in comps

@@ -169,6 +169,11 @@ EXPECT = {
     "events_asof_join_forward": ["!SortMergeJoin", "!BroadcastHashJoin", "!MapInPandas"],
     # both directional windows share ONE key exchange; map-side pick
     "events_asof_join_nearest": ["!SortMergeJoin", "!BroadcastHashJoin", "!MapInPandas"],
+    # returned frame is the eager localCheckpoint scan (graph idiom);
+    # the pair search behind it was cluster-scoped, never N^2
+    "dedup_semdedup": ["!MapInPandas", "!ArrowEvalPython"],
+    # type-partitioned windows over the (type, day) pre-agg — no join
+    "events_lag_features": ["!SortMergeJoin", "!BroadcastHashJoin", "!MapInPandas"],
 }
 
 
