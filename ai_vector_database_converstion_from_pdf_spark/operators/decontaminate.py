@@ -103,9 +103,12 @@ def bloom_contamination(
         .distinct()
         .collect()
     )
-    bitmap = np.zeros(m_bits, dtype=bool)
+    # a PACKED bitset (uint8, m/8 bytes broadcast) — a numpy bool array
+    # would cost m bytes, 8x the claim that justifies this path
+    bits = np.zeros(m_bits, dtype=bool)
     if pos_rows:
-        bitmap[np.fromiter((r.p for r in pos_rows), dtype=np.int64)] = True
+        bits[np.fromiter((r.p for r in pos_rows), dtype=np.int64)] = True
+    bitmap = np.packbits(bits)  # bit i -> byte i>>3, MSB-first bit 7-(i&7)
     spark = train.sparkSession
     bc = spark.sparkContext.broadcast(bitmap)
 
@@ -114,9 +117,12 @@ def bloom_contamination(
     @F.pandas_udf(BooleanType())
     def bloom_hit(pos):
         bm = bc.value
-        return pd.Series(
-            [bool(bm[np.asarray(ps, dtype=np.int64)].all()) for ps in pos]
-        )
+
+        def hit(ps):
+            p = np.asarray(ps, dtype=np.int64)
+            return bool(((bm[p >> 3] >> (7 - (p & 7))) & 1).all())
+
+        return pd.Series([hit(ps) for ps in pos])
 
     survivors = (
         train_sh.withColumn("_pos", positions(F.col("shingle")))

@@ -173,5 +173,105 @@ def main() -> None:
     )
 
 
+def fifth_session() -> None:
+    """Fifth-session scale paths over the same 10x corpus: triangles,
+    SemDeDup (K scaled so clusters stay bounded), DSIR weighting, the
+    logistic probe, and bloom decontamination.
+    Usage: python tools/stress10x.py fifth"""
+    from pyspark.sql import functions as F
+
+    from ai_vector_database_converstion_from_pdf_spark.operators.dedup import (
+        semdedup_prune,
+        simhash_pairs,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.operators.decontaminate import (
+        bloom_contamination,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.operators.graph import (
+        triangle_counts,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.operators.linear import (
+        logistic_probe,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.session import get_spark
+
+    spark = get_spark("stress10x-5")
+    docs0 = spark.read.parquet(f"{SF}/documents.parquet")
+    emb0 = spark.read.parquet(f"{SF}/embeddings.parquet")
+    reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+    docs = (
+        docs0.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+            "text",
+            "lang",
+        )
+        .persist()
+    )
+    emb = (
+        emb0.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"),
+            "embedding",
+        )
+        .persist()
+    )
+    nd, ne = docs.count(), emb.count()
+    print(f"docs -> {nd}; vectors -> {ne}")
+
+    def timed(label, fn):
+        t = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t
+        print(f"STRESS {label}: {dt:.1f}s  ({out})")
+        return out
+
+    sh_pairs = simhash_pairs(docs, max_hamming=3).select("id_a", "id_b").persist()
+    timed("simhash pairs(500k docs)", lambda: f"{sh_pairs.count()} pairs")
+    timed(
+        "triangle_counts(10x graph)",
+        lambda: "{} nodes on triangles".format(triangle_counts(sh_pairs).count()),
+    )
+    # K scaled with N (the SemDeDup guidance): 64 clusters of ~7.8k —
+    # per-task GEMM blocks stay MBs, not the 20 GB an n x n matrix
+    # over 10-cluster/50k-vector groups would need
+    timed(
+        "semdedup(500k vecs, K=64)",
+        lambda: "{} dup-group rows".format(
+            semdedup_prune(emb, n_clusters=64, tau=0.45).count()
+        ),
+    )
+    timed(
+        "dsir_weights(500k docs)",
+        lambda: "{} weighted docs".format(
+            dsir_importance_weights(
+                docs, docs.filter(F.col("lang") == "en")
+            ).count()
+        ),
+    )
+    timed(
+        "logistic_probe(500k docs, 2 iters)",
+        lambda: "{} scored docs".format(
+            logistic_probe(docs, F.col("lang") == "en", n_iters=2).count()
+        ),
+    )
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    timed(
+        "bloom_decontaminate(450k train vs 50k eval, 2^22 bits)",
+        lambda: "{} contaminated pairs".format(
+            bloom_contamination(
+                train, ev, n=5, min_hits=2, m_bits=1 << 22, n_hashes=2
+            ).count()
+        ),
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "fifth":
+        fifth_session()
+    else:
+        main()
