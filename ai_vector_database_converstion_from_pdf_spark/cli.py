@@ -460,10 +460,17 @@ def main(argv: list[str] | None = None) -> int:
             )
             w = w.join(scores, "doc_id", "left")
         top = w.orderBy(F.desc("weight"), F.asc("doc_id")).limit(args.top)
-        if args.out:
-            sel = docs.join(top.select("doc_id"), "doc_id")
-            sel.write.mode("overwrite").parquet(args.out)
+        # collect ONCE; the parquet write joins against the collected id
+        # list (a <= top-N literal frame) instead of re-running the whole
+        # DSIR(+probe) lineage a second time
         rows = top.collect()
+        if args.out:
+            ids = spark.createDataFrame(
+                [(r["doc_id"],) for r in rows], "doc_id long"
+            )
+            docs.join(F.broadcast(ids), "doc_id").write.mode(
+                "overwrite"
+            ).parquet(args.out)
         _emit(
             {
                 "n_docs": docs.count(),

@@ -22,6 +22,25 @@ from .dedup import word_shingles
 DEFAULT_N = 13  # the GPT-3 decontamination window
 
 
+def _verify_hits(
+    train_sh: DataFrame, eval_sh: DataFrame, min_hits: int
+) -> DataFrame:
+    """Shared exact-verify tail: broadcast-join the eval shingles onto
+    the (possibly prefiltered) training shingles and keep pairs with >=
+    min_hits distinct collisions. Both the exact and the bloom path end
+    here — one definition, so the bloom path's 'byte-identical results'
+    guarantee can't silently drift."""
+    hits = train_sh.join(
+        F.broadcast(eval_sh.withColumnRenamed("id", "eval_id")), "shingle"
+    )
+    # shingles are distinct per doc, so count(*) == distinct collisions
+    return (
+        hits.groupBy(F.col("id").alias("train_id"), "eval_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )
+
+
 def ngram_contamination(
     train: DataFrame,
     eval_docs: DataFrame,
@@ -35,15 +54,7 @@ def ngram_contamination(
     `dedup.word_shingles` (lowercased, punctuation-split tokens)."""
     train_sh = word_shingles(train, n=n, id_col=id_col, text_col=text_col)
     eval_sh = word_shingles(eval_docs, n=n, id_col=id_col, text_col=text_col)
-    hits = train_sh.join(
-        F.broadcast(eval_sh.withColumnRenamed("id", "eval_id")), "shingle"
-    )
-    # shingles are distinct per doc, so count(*) == distinct collisions
-    return (
-        hits.groupBy(F.col("id").alias("train_id"), "eval_id")
-        .agg(F.count("*").cast("long").alias("n_hits"))
-        .filter(F.col("n_hits") >= min_hits)
-    )
+    return _verify_hits(train_sh, eval_sh, min_hits)
 
 
 def bloom_contamination(
@@ -69,13 +80,15 @@ def bloom_contamination(
 
     Plan shape at 100 TB: eval shingles hash to k bit positions
     (JVM-side xxhash64 — the SAME hash the probe side computes, no
-    Python/JVM hash mismatch possible); the distinct positions (bounded
-    by m_bits) fold into one driver bitmap, broadcast to executors.
-    The training corpus is scanned ONCE; an Arrow-batched pandas UDF
-    tests the k precomputed positions per shingle against the numpy
-    bitmap, and only bloom-positive rows — true hits + the FP fraction
-    (~(1-e^(-kn/m))^k) — reach the exact broadcast-verify join. The
-    training side never shuffles.
+    Python/JVM hash mismatch possible); positions fold executor-side
+    into m/64 packed 64-bit words (one word-keyed bit_or aggregate), so
+    the driver collects a frame the size of the BITMAP — never the
+    positions, never the strings. The training corpus is scanned ONCE;
+    an Arrow-batched pandas UDF tests the k precomputed positions per
+    shingle against the packed bitset, and only bloom-positive rows —
+    true hits + the FP fraction (~(1-e^(-kn/m))^k) — reach the exact
+    broadcast-verify join (`_verify_hits`, shared with the exact path).
+    The training side never shuffles.
     """
     import numpy as np
     import pandas as pd
@@ -95,22 +108,27 @@ def bloom_contamination(
             ]
         )
 
-    # bitmap build: distinct bit positions are bounded by m_bits, a
-    # scalar-sized collect (the sanctioned driver surface), never the
-    # shingle strings themselves
-    pos_rows = (
+    # bitmap build: positions fold into packed words EXECUTOR-side —
+    # the driver sees <= m/64 (word, bits) rows (bitmap-sized), not up
+    # to m position rows
+    words = (
         eval_sh.select(F.explode(positions(F.col("shingle"))).alias("p"))
-        .distinct()
+        .select(
+            (F.col("p") / 64).cast("long").alias("w"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("p") % 64).cast("int")
+            ).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
         .collect()
     )
-    # a PACKED bitset (uint8, m/8 bytes broadcast) — a numpy bool array
-    # would cost m bytes, 8x the claim that justifies this path
-    bits = np.zeros(m_bits, dtype=bool)
-    if pos_rows:
-        bits[np.fromiter((r.p for r in pos_rows), dtype=np.int64)] = True
-    bitmap = np.packbits(bits)  # bit i -> byte i>>3, MSB-first bit 7-(i&7)
+    n_words = (m_bits + 63) // 64
+    packed = np.zeros(n_words, dtype=np.uint64)
+    for r in words:
+        packed[r.w] = np.uint64(r.bits & 0xFFFFFFFFFFFFFFFF)
     spark = train.sparkSession
-    bc = spark.sparkContext.broadcast(bitmap)
+    bc = spark.sparkContext.broadcast(packed)
 
     # note: no type annotations — `from __future__ import annotations`
     # stringifies them, which pandas_udf signature inference rejects
@@ -120,7 +138,9 @@ def bloom_contamination(
 
         def hit(ps):
             p = np.asarray(ps, dtype=np.int64)
-            return bool(((bm[p >> 3] >> (7 - (p & 7))) & 1).all())
+            return bool(
+                ((bm[p >> 6] >> (p & 63).astype(np.uint64)) & np.uint64(1)).all()
+            )
 
         return pd.Series([hit(ps) for ps in pos])
 
@@ -129,14 +149,7 @@ def bloom_contamination(
         .filter(bloom_hit(F.col("_pos")))
         .drop("_pos")
     )
-    hits = survivors.join(
-        F.broadcast(eval_sh.withColumnRenamed("id", "eval_id")), "shingle"
-    )
-    return (
-        hits.groupBy(F.col("id").alias("train_id"), "eval_id")
-        .agg(F.count("*").cast("long").alias("n_hits"))
-        .filter(F.col("n_hits") >= min_hits)
-    )
+    return _verify_hits(survivors, eval_sh, min_hits)
 
 
 def contaminated_ids(

@@ -145,7 +145,9 @@ def pagerank(
     return ranks
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(
+    edges: DataFrame, sample_p: float | None = None, salt: str = "tri"
+) -> DataFrame:
     """Per-node triangle participation counts over an undirected pair
     graph: (id, triangles) for every node on >= 1 triangle. The
     clustering-coefficient / community-density primitive next to CC,
@@ -161,6 +163,17 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     "last reducer" hot-key killer at 100 TB — while leaving the
     triangle SET unchanged, so a plain a<b<c oracle replays it exactly.
 
+    `sample_p`: DOULION edge sampling (Tsourakakis et al., KDD'09) for
+    DENSE graphs — keep each canonical edge with probability p via a
+    content-stable hash (deterministic, partition-independent), count
+    triangles on the sample, scale per-node counts by 1/p^3 (each
+    triangle survives iff its 3 edges all survive). On a near-clique
+    duplicate graph (every doc + its replicas) the EXACT wedge set is
+    Theta(sum deg^2) and spills unboundedly — sampling is the published
+    answer, trading a small variance for a p^2 reduction in wedge
+    volume. Exact mode returns `triangles` (long); sampled mode returns
+    `triangles_est` (double, unbiased).
+
     Shape: degree agg (node-sized) broadcast-joinable onto edges, one
     self-join keyed on the wedge apex, one join against canonical
     edges keyed on (min, max) id, one explode + count. No driver-side
@@ -171,8 +184,21 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .persist()
     )
+    if sample_p is not None:
+        if not (0.0 < sample_p <= 1.0):
+            raise ValueError(f"sample_p must be in (0, 1], got {sample_p}")
+        keep = (
+            F.pmod(
+                F.xxhash64(
+                    F.concat_ws(":", F.lit(salt), F.col("u"), F.col("v"))
+                ),
+                F.lit(1_000_000),
+            )
+            < int(sample_p * 1_000_000)
+        )
+        canon = canon.filter(keep)
+    canon = canon.persist()
     try:
         deg = (
             canon.select(F.col("u").alias("id"))
@@ -205,9 +231,16 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         corners = closed.select(
             F.explode(F.array("a", "b", "c")).alias("id")
         )
-        out = corners.groupBy("id").agg(
-            F.count("*").cast("long").alias("triangles")
-        )
+        if sample_p is None:
+            out = corners.groupBy("id").agg(
+                F.count("*").cast("long").alias("triangles")
+            )
+        else:
+            out = corners.groupBy("id").agg(
+                F.round(
+                    F.count("*").cast("double") / F.lit(float(sample_p) ** 3), 3
+                ).alias("triangles_est")
+            )
         # node-sized eager materialization (the CC/PageRank idiom): the
         # twice-read canonical edge cache can be released immediately
         # instead of leaking blocks across repeated calls

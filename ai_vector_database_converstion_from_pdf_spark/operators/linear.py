@@ -91,6 +91,8 @@ def logistic_probe(
     separation AND the logistic loss improve monotonically across
     iterations on the fixture (larger rates oscillate, smaller crawl).
     """
+    if int(n_iters) < 1:
+        raise ValueError(f"n_iters must be >= 1, got {n_iters}")
     feat = _features(docs, label_col, id_col, text_col, n_buckets).persist()
     try:
         n_docs = docs.count()  # scalar aggregate (sanctioned driver surface)

@@ -475,7 +475,9 @@ def audio_fingerprints(
                     continue
                 try:
                     samples, _sr = decode_wav(bytes(r.payload))
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, ValueError, struct.error):
+                    # struct.error: RIFF header present but a chunk is
+                    # truncated — quarantine the row, don't fail the stage
                     continue
                 x = samples.astype(np.float64)
                 if len(x) < frame_len:

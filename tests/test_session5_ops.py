@@ -607,3 +607,96 @@ class TestSemDeDup:
         out = semdedup_prune(emb, n_clusters=2, tau=0.99)
         comps = {r.vec_id for r in out.collect()}
         assert 2 not in comps and 3 not in comps
+
+
+class TestAsofNullAndDate:
+    def test_nearest_matches_rows_not_nonnull_values(self, spark):
+        """The matched ts and value must come from the SAME right row:
+        a null-valued right row at ts=95 IS the backward match for
+        left ts=100 (DuckDB ASOF row semantics), so nearest returns
+        its (null) value rather than pairing ts=95 with an older
+        value and mis-computing the delta."""
+        from ai_vector_database_converstion_from_pdf_spark.operators.asof import (
+            asof_join,
+        )
+
+        left = spark.createDataFrame([(1, 100)], "k long, ts long")
+        right = spark.createDataFrame(
+            [(1, 95, None), (1, 80, 5.0), (1, 107, 7.0)],
+            "k long, ts long, rv double",
+        )
+        out = asof_join(
+            left, right, key="k", ts_col="ts", right_value_col="rv",
+            direction="nearest",
+        )
+        # nearest row is ts=95 (delta 5 < 7); its value is null
+        assert out.collect()[0].asof_value is None
+
+    def test_nearest_with_date_ts(self, spark):
+        """DATE ts columns must not silently degrade the delta math
+        (cast(date as double) is NULL in Spark)."""
+        import datetime as dt
+        from ai_vector_database_converstion_from_pdf_spark.operators.asof import (
+            asof_join,
+        )
+
+        d = dt.date
+        left = spark.createDataFrame([(1, d(2024, 6, 10))], "k long, ts date")
+        right = spark.createDataFrame(
+            [(1, d(2024, 6, 8), 8.0), (1, d(2024, 6, 18), 18.0)],
+            "k long, ts date, rv double",
+        )
+        out = asof_join(
+            left, right, key="k", ts_col="ts", right_value_col="rv",
+            direction="nearest",
+        )
+        # backward match is 2 days away, forward is 8 -> 8.0
+        assert out.collect()[0].asof_value == 8.0
+
+
+class TestTriangleSampling:
+    def test_doulion_estimate_tracks_exact(self, spark):
+        """DOULION edge-sampled totals approximate the exact global
+        triangle count on a moderately dense random graph."""
+        import random
+
+        from ai_vector_database_converstion_from_pdf_spark.operators.graph import (
+            triangle_counts,
+        )
+
+        rng = random.Random(7)
+        n = 60
+        edges = [
+            (a, b)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if rng.random() < 0.4
+        ]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        exact_total = (
+            sum(r.triangles for r in triangle_counts(df).collect()) // 3
+        )
+        est_rows = triangle_counts(df, sample_p=0.5).collect()
+        est_total = sum(r.triangles_est for r in est_rows) / 3
+        assert exact_total > 100  # the graph is actually dense
+        # unbiased estimator; at p=0.5 on ~700 edges allow 40% band
+        assert abs(est_total - exact_total) < exact_total * 0.4
+
+    def test_sampling_is_deterministic(self, spark):
+        from ai_vector_database_converstion_from_pdf_spark.operators.graph import (
+            triangle_counts,
+        )
+
+        edges = [(a, b) for a in range(30) for b in range(a + 1, 30)]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        a = sorted(
+            (r.id, r.triangles_est)
+            for r in triangle_counts(df, sample_p=0.3).collect()
+        )
+        b = sorted(
+            (r.id, r.triangles_est)
+            for r in triangle_counts(
+                df.repartition(5), sample_p=0.3
+            ).collect()
+        )
+        assert a == b

@@ -230,10 +230,22 @@ def fifth_session() -> None:
         return out
 
     sh_pairs = simhash_pairs(docs, max_hamming=3).select("id_a", "id_b").persist()
-    timed("simhash pairs(500k docs)", lambda: f"{sh_pairs.count()} pairs")
+    timed("simhash pairs(10x docs)", lambda: f"{sh_pairs.count()} pairs")
+    # the replica graph is near-clique (avg degree ~1000): EXACT wedges
+    # are Theta(sum deg^2) and spill unboundedly — h<=1 gives the exact
+    # path a realistic sparser graph, and DOULION sampling (p=0.05,
+    # wedge volume down p^2 = 400x) covers the dense one
+    sh1_pairs = simhash_pairs(docs, max_hamming=1).select("id_a", "id_b").persist()
+    timed("simhash pairs(h<=1)", lambda: f"{sh1_pairs.count()} pairs")
     timed(
-        "triangle_counts(10x graph)",
-        lambda: "{} nodes on triangles".format(triangle_counts(sh_pairs).count()),
+        "triangle_counts(10x, h<=1 exact)",
+        lambda: "{} nodes on triangles".format(triangle_counts(sh1_pairs).count()),
+    )
+    timed(
+        "triangle_estimate(24M-edge graph, DOULION p=0.05)",
+        lambda: "{} nodes estimated".format(
+            triangle_counts(sh_pairs, sample_p=0.05).count()
+        ),
     )
     # K scaled with N (the SemDeDup guidance): 64 clusters of ~7.8k —
     # per-task GEMM blocks stay MBs, not the 20 GB an n x n matrix
