@@ -106,6 +106,7 @@ HEADLINE = [
     "events_asof_join_nearest",
     "dedup_semdedup",
     "events_lag_features",
+    "graph_clustering_coefficient",
     # NOT benched: bpe_* (the per-session training cache would turn
     # min-of-N replays into cache reads — see catalog._bpe_trained)
 ]

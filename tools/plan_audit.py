@@ -174,6 +174,8 @@ EXPECT = {
     "dedup_semdedup": ["!MapInPandas", "!ArrowEvalPython"],
     # type-partitioned windows over the (type, day) pre-agg — no join
     "events_lag_features": ["!SortMergeJoin", "!BroadcastHashJoin", "!MapInPandas"],
+    # node-sized checkpointed deg x triangle frames — no Python stage
+    "graph_clustering_coefficient": ["!MapInPandas", "!ArrowEvalPython", "!SortMergeJoin"],
 }
 
 
