@@ -309,3 +309,68 @@ def label_propagation(
         return labels.select("id", "label")
     finally:
         sym.unpersist()
+
+
+def kcore_peel(
+    edges: DataFrame, k: int = 3, n_rounds: int = 3
+) -> DataFrame:
+    """Fixed-round k-core peeling (Seidman 1983; the iterative-peel
+    formulation every distributed graph library uses): repeatedly
+    remove nodes of degree < k, `n_rounds` synchronous rounds. Returns
+    (id, peel_round, deg_final): peel_round = the round the node was
+    removed (1-based), NULL for survivors; deg_final = remaining
+    degree for survivors, NULL for peeled nodes. Survivors after
+    enough rounds are exactly the k-core; a FIXED round count keeps
+    the op deterministic and SQL-replayable (the LPA contract — full
+    convergence on chain graphs needs O(n) rounds; dup-family graphs
+    are near-cliques and settle in 2-3).
+
+    Scale shape: per round, one degree aggregate + two semi-join edge
+    filters, all keyed on node id; the edge frame is checkpointed per
+    round so lineage stays bounded."""
+    canon = (
+        edges.select(
+            F.least("id_a", "id_b").alias("u"), F.greatest("id_a", "id_b").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    peeled = None  # (id, peel_round)
+    alive = canon
+    for rnd in range(1, int(n_rounds) + 1):
+        deg = (
+            alive.select(F.col("u").alias("id"))
+            .union(alive.select(F.col("v")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+        doomed = deg.filter(F.col("deg") < k).select(
+            "id", F.lit(rnd).alias("peel_round")
+        )
+        peeled = (
+            doomed if peeled is None else peeled.unionByName(doomed)
+        ).localCheckpoint(eager=True)
+        alive = (
+            alive.join(
+                peeled.select(F.col("id").alias("u")), "u", "left_anti"
+            )
+            .join(peeled.select(F.col("id").alias("v")), "v", "left_anti")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    survivors = (
+        alive.select(F.col("u").alias("id"))
+        .union(alive.select(F.col("v")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg_final"))
+    )
+    return survivors.select(
+        "id", F.lit(None).cast("int").alias("peel_round"), "deg_final"
+    ).unionByName(
+        peeled.select(
+            "id",
+            F.col("peel_round").cast("int"),
+            F.lit(None).cast("long").alias("deg_final"),
+        )
+    )

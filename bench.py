@@ -107,6 +107,7 @@ HEADLINE = [
     "dedup_semdedup",
     "events_lag_features",
     "graph_clustering_coefficient",
+    "graph_kcore",
     # NOT benched: bpe_* (the per-session training cache would turn
     # min-of-N replays into cache reads — see catalog._bpe_trained)
 ]

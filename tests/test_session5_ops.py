@@ -700,3 +700,26 @@ class TestTriangleSampling:
             ).collect()
         )
         assert a == b
+
+
+class TestKCore:
+    def test_peel_rounds_on_known_graph(self, spark):
+        """Chain + clique: chain ends peel in round 1, the next layer
+        in round 2; the 4-clique survives 3-core peeling intact."""
+        from ai_vector_database_converstion_from_pdf_spark.operators.graph import (
+            kcore_peel,
+        )
+
+        k4 = [(10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13)]
+        chain = [(1, 2), (2, 3), (3, 10)]
+        df = spark.createDataFrame(k4 + chain, "id_a long, id_b long")
+        got = {
+            r.id: (r.peel_round, r.deg_final)
+            for r in kcore_peel(df, k=3, n_rounds=3).collect()
+        }
+        # chain nodes: 1 (deg 1), 2 (deg 2), 3 (deg 2) all peel round 1
+        assert got[1][0] == 1 and got[2][0] == 1 and got[3][0] == 1
+        # clique nodes survive with internal degree 3 (node 10 loses its
+        # chain edge when 3 peels)
+        for n in (10, 11, 12, 13):
+            assert got[n][0] is None and got[n][1] == 3

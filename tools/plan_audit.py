@@ -179,6 +179,8 @@ EXPECT = {
     # scans with no stats; co-partitionable at scale) — assert only
     # that no Python stage appears
     "graph_clustering_coefficient": ["!MapInPandas", "!ArrowEvalPython"],
+    # per-round checkpointed peel frames — no Python stage
+    "graph_kcore": ["!MapInPandas", "!ArrowEvalPython"],
 }
 
 
