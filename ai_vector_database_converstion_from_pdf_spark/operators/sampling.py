@@ -128,6 +128,106 @@ def stratified_sample(
     return docs.filter(bucket < thresh)
 
 
+def _token_buckets(
+    df: DataFrame, n_buckets: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, bucket) one row per token occurrence — the md5-prefix hashed
+    feature stream shared by the DSIR lambda build and scoring."""
+    from ..functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    return toks.select(
+        "id",
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+            % n_buckets
+        ).alias("bucket"),
+    )
+
+
+def dsir_score_expr(
+    text_col, lam_micro: dict[int, int], n_buckets: int = 512
+):
+    """Map-side DSIR scoring as a PURE EXPRESSION over a frozen lambda
+    table: (n_tokens, weight) struct per row — sum over the row's
+    tokens of lam_micro[bucket(token)], identical integer arithmetic to
+    the shuffle-based batch scorer. The <= n_buckets lambda entries
+    ship as a map literal in the plan, so this is a stateless
+    projection: usable in STRUCTURED STREAMING (no aggregation state,
+    no watermark needed) and on any batch frame without a shuffle."""
+    from ..functions.text import tokens
+
+    pairs = []
+    for b, m in sorted(lam_micro.items()):
+        pairs.append(F.lit(int(b)))
+        pairs.append(F.lit(int(m)))
+    ts = tokens(text_col)
+    if pairs:
+        lam_map = F.create_map(*pairs)
+        bucket_of = lambda t: (
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % n_buckets
+        )
+        total = F.aggregate(
+            ts,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc
+            + F.coalesce(lam_map[bucket_of(t)], F.lit(0).cast("long")),
+        )
+    else:
+        # empty model: create_map() has VOID keys and can't be indexed
+        total = F.lit(0).cast("long")
+    return F.struct(
+        F.size(ts).cast("long").alias("n_tokens"),
+        F.round(total.cast("double") / F.lit(1e6), 6).alias("weight"),
+    )
+
+
+def dsir_lambda(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The frozen DSIR model: (bucket, lam_micro) log-likelihood-ratio
+    table (add-one smoothed, rounded to 6, integer micro-units).
+    Collect it once and feed `dsir_score_expr` to score ANY frame —
+    including a structured stream — map-side."""
+    raw_b = _token_buckets(docs, n_buckets, id_col, text_col)
+    tgt_b = _token_buckets(target, n_buckets, id_col, text_col)
+    raw_counts = raw_b.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tgt_counts = tgt_b.groupBy("bucket").agg(F.count("*").alias("ct"))
+    raw_total = raw_b.agg(F.count("*").alias("tr"))
+    tgt_total = tgt_b.agg(F.count("*").alias("tt"))
+    return (
+        raw_counts.join(tgt_counts, "bucket", "left")
+        .crossJoin(F.broadcast(raw_total))
+        .crossJoin(F.broadcast(tgt_total))
+        .select(
+            "bucket",
+            F.round(
+                F.round(
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("tt") + F.lit(float(n_buckets)))
+                    )
+                    - F.log(
+                        (F.col("cr") + F.lit(1.0))
+                        / (F.col("tr") + F.lit(float(n_buckets)))
+                    ),
+                    6,
+                )
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("lam_micro"),
+        )
+    )
+
+
 def dsir_importance_weights(
     docs: DataFrame,
     target: DataFrame,
@@ -160,53 +260,8 @@ def dsir_importance_weights(
     Returns (doc_id, n_tokens, weight) — every doc, unweighted rows
     intact for downstream sampling.
     """
-    from ..functions.text import tokens
-
-    def buckets(df):
-        toks = df.select(
-            F.col(id_col).alias("id"),
-            F.explode(tokens(F.col(text_col))).alias("tok"),
-        )
-        return toks.select(
-            "id",
-            (
-                F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
-                % n_buckets
-            ).alias("bucket"),
-        )
-
-    raw_b = buckets(docs)
-    tgt_b = buckets(target)
-    raw_counts = raw_b.groupBy("bucket").agg(F.count("*").alias("cr"))
-    tgt_counts = tgt_b.groupBy("bucket").agg(F.count("*").alias("ct"))
-    raw_total = raw_b.agg(F.count("*").alias("tr"))
-    tgt_total = tgt_b.agg(F.count("*").alias("tt"))
-
-    lam = (
-        raw_counts.join(tgt_counts, "bucket", "left")
-        .crossJoin(F.broadcast(raw_total))
-        .crossJoin(F.broadcast(tgt_total))
-        .select(
-            "bucket",
-            F.round(
-                F.round(
-                    F.log(
-                        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
-                        / (F.col("tt") + F.lit(float(n_buckets)))
-                    )
-                    - F.log(
-                        (F.col("cr") + F.lit(1.0))
-                        / (F.col("tr") + F.lit(float(n_buckets)))
-                    ),
-                    6,
-                )
-                * F.lit(1e6)
-            )
-            .cast("long")
-            .alias("lam_micro"),
-        )
-    )
-
+    raw_b = _token_buckets(docs, n_buckets, id_col, text_col)
+    lam = dsir_lambda(docs, target, n_buckets, id_col, text_col)
     doc_buckets = raw_b.groupBy("id", "bucket").agg(F.count("*").alias("c"))
     return (
         doc_buckets.join(F.broadcast(lam), "bucket")

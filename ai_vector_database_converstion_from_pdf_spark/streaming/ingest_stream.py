@@ -452,3 +452,29 @@ def stream_dedup_upsert_to_workspace(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+def streaming_dsir_score(
+    docs_stream: DataFrame,
+    lam_rows,
+    n_buckets: int = 512,
+    text_col: str = "text",
+) -> DataFrame:
+    """Score ARRIVING documents against a frozen DSIR model — the
+    streaming end of the selection pipeline (train the lambda table
+    offline with `sampling.dsir_lambda`, collect its <= n_buckets rows,
+    ship them here): each micro-batch row gains (n_tokens, weight) via
+    `sampling.dsir_score_expr`, a stateless map-side projection — no
+    aggregation state, no watermark, exact integer arithmetic identical
+    to the batch scorer (tokens hashing to buckets unseen at training
+    time contribute 0, the add-one-smoothed model's floor). Use it to
+    route incoming crawl shards into keep/review/drop lanes at ingest
+    time instead of re-scoring the corpus after the fact."""
+    from ..operators.sampling import dsir_score_expr
+
+    lam = {int(r["bucket"]): int(r["lam_micro"]) for r in lam_rows}
+    scored = dsir_score_expr(F.col(text_col), lam, n_buckets)
+    return docs_stream.withColumn("_dsir", scored).select(
+        "*", F.col("_dsir.n_tokens").alias("n_tokens"),
+        F.col("_dsir.weight").alias("weight"),
+    ).drop("_dsir")

@@ -723,3 +723,60 @@ class TestKCore:
         # chain edge when 3 peels)
         for n in (10, 11, 12, 13):
             assert got[n][0] is None and got[n][1] == 3
+
+
+# ---------------------------------------------------------------------------
+# streaming DSIR scoring
+# ---------------------------------------------------------------------------
+
+
+class TestStreamingDsir:
+    def test_stream_scores_equal_batch(self, spark, tmp_path):
+        """Frozen-lambda streaming scores == the batch shuffle-based
+        scorer on the same docs (exact integer arithmetic both ways)."""
+        from ai_vector_database_converstion_from_pdf_spark.operators.sampling import (
+            dsir_importance_weights,
+            dsir_lambda,
+        )
+        from ai_vector_database_converstion_from_pdf_spark.streaming.ingest_stream import (
+            run_to_memory,
+            streaming_dsir_score,
+        )
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+            "doc_id", "text", "lang"
+        )
+        target = docs.filter(F.col("lang") == "en")
+        batch = {
+            r.doc_id: (r.n_tokens, r.weight)
+            for r in dsir_importance_weights(docs, target).collect()
+        }
+        lam_rows = dsir_lambda(docs, target).collect()
+
+        src_dir = str(tmp_path / "dsir_stream_src")
+        docs.write.parquet(src_dir)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src_dir)
+        )
+        scored = streaming_dsir_score(stream, lam_rows)
+        run_to_memory(scored, "dsir_scored")
+        got = {
+            r.doc_id: (r.n_tokens, r.weight)
+            for r in spark.sql("select * from dsir_scored").collect()
+            if r.n_tokens > 0
+        }
+        batch_nonempty = {k: v for k, v in batch.items() if v[0] > 0}
+        assert got == batch_nonempty
+
+    def test_unseen_tokens_score_zero(self, spark):
+        from ai_vector_database_converstion_from_pdf_spark.operators.sampling import (
+            dsir_score_expr,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "zzzzqqqq wwwwxxxx")], "doc_id long, text string"
+        )
+        out = df.select(dsir_score_expr(F.col("text"), {}).alias("s")).collect()
+        assert out[0].s.weight == 0.0 and out[0].s.n_tokens == 2
