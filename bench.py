@@ -108,6 +108,7 @@ HEADLINE = [
     "events_lag_features",
     "graph_clustering_coefficient",
     "graph_kcore",
+    "retrieval_eval_labels",
     # NOT benched: bpe_* (the per-session training cache would turn
     # min-of-N replays into cache reads — see catalog._bpe_trained)
 ]

@@ -780,3 +780,65 @@ class TestStreamingDsir:
         )
         out = df.select(dsir_score_expr(F.col("text"), {}).alias("s")).collect()
         assert out[0].s.weight == 0.0 and out[0].s.n_tokens == 2
+
+
+# ---------------------------------------------------------------------------
+# retrieval metrics
+# ---------------------------------------------------------------------------
+
+
+class TestRetrievalMetrics:
+    def test_hand_computed_metrics(self, spark):
+        import math
+
+        from ai_vector_database_converstion_from_pdf_spark.operators.evalmetrics import (
+            retrieval_metrics,
+        )
+
+        # q1: rel docs {10, 11, 12}; retrieved hits at ranks 1 and 3
+        # q2: rel docs {20};         no hit in top-k
+        rankings = spark.createDataFrame(
+            [(1, 10, 1), (1, 99, 2), (1, 12, 3), (2, 98, 1), (2, 97, 2)],
+            "q_id long, doc_id long, rank long",
+        )
+        qrels = spark.createDataFrame(
+            [(1, 10), (1, 11), (1, 12), (2, 20)], "q_id long, doc_id long"
+        )
+        got = {
+            r.q_id: r.asDict()
+            for r in retrieval_metrics(rankings, qrels, k=10).collect()
+        }
+        m1 = got[1]
+        assert m1["n_rel"] == 3 and m1["hits_at_k"] == 2
+        assert m1["recall_at_k"] == pytest.approx(2 / 3, abs=1e-6)
+        assert m1["mrr"] == 1.0
+        dcg = round(round(1 / math.log2(2), 6) * 1e6) + round(
+            round(1 / math.log2(4), 6) * 1e6
+        )
+        idcg = sum(
+            round(round(1 / math.log2(i + 1), 6) * 1e6) for i in (1, 2, 3)
+        )
+        assert m1["ndcg_at_k"] == pytest.approx(dcg / idcg, abs=1e-6)
+        m2 = got[2]
+        assert (
+            m2["hits_at_k"] == 0
+            and m2["mrr"] == 0.0
+            and m2["ndcg_at_k"] == 0.0
+            and m2["recall_at_k"] == 0.0
+        )
+
+    def test_perfect_ranking_scores_one(self, spark):
+        from ai_vector_database_converstion_from_pdf_spark.operators.evalmetrics import (
+            retrieval_metrics,
+        )
+
+        rankings = spark.createDataFrame(
+            [(1, d, r) for r, d in enumerate([5, 6, 7], start=1)],
+            "q_id long, doc_id long, rank long",
+        )
+        qrels = spark.createDataFrame(
+            [(1, 5), (1, 6), (1, 7)], "q_id long, doc_id long"
+        )
+        m = retrieval_metrics(rankings, qrels, k=10).collect()[0]
+        assert m.recall_at_k == 1.0 and m.mrr == 1.0
+        assert m.ndcg_at_k == pytest.approx(1.0, abs=1e-6)

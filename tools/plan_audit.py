@@ -181,6 +181,8 @@ EXPECT = {
     "graph_clustering_coefficient": ["!MapInPandas", "!ArrowEvalPython"],
     # per-round checkpointed peel frames — no Python stage
     "graph_kcore": ["!MapInPandas", "!ArrowEvalPython"],
+    # broadcast query side; qrels join + per-query agg — no Python stage
+    "retrieval_eval_labels": ["!MapInPandas", "!ArrowEvalPython", "BroadcastNestedLoopJoin"],
 }
 
 
