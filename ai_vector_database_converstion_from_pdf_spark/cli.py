@@ -62,6 +62,10 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser("index-text", help="index pre-chunked (doc_id, text) parquet")
     common(sp)
+    sp.add_argument(
+        "--doc-col",
+        help="column carrying the source-document identity of each chunk",
+    )
     sp.add_argument("--parquet", required=True)
     sp.add_argument("--upsert", action="store_true")
 
@@ -169,6 +173,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     sp.add_argument("--out", help="write the selected docs as parquet")
 
+    sp = sub.add_parser(
+        "evaluate",
+        help="retrieval-quality self-check: recall@k / MRR / nDCG@k over "
+        "doc-coherence relevance",
+    )
+    common(sp)
+    sp.add_argument("--queries", type=int, default=10)
+    sp.add_argument("-k", type=int, default=5)
+    sp.add_argument("--ann", action="store_true", help="route through the ANN index")
+
     args = p.parse_args(argv)
     spark = _spark()
 
@@ -189,15 +203,27 @@ def main(argv: list[str] | None = None) -> int:
             F.xxhash64(F.col("doc"), F.col("chunk_idx"))
             .bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF))
             .alias("doc_id"),
+            F.col("doc").alias("source_doc"),
             "text",
         )
         eng = _engine(spark, args)
-        n = eng.index_documents(docs, source_file=args.pdf_glob, upsert=args.upsert)
+        # doc_col: chunk ids stay content-hashed (re-index stable), but
+        # the workspace doc_id column now carries the real SOURCE
+        # DOCUMENT, so doc-scoped DML / neighbor windows / evaluate's
+        # doc-coherence relevance all work after a CLI ingest
+        n = eng.index_documents(
+            docs, source_file=args.pdf_glob, upsert=args.upsert,
+            doc_col="source_doc",
+        )
         _emit({"indexed": n})
     elif args.cmd == "index-text":
         eng = _engine(spark, args)
-        docs = spark.read.parquet(args.parquet).select("doc_id", "text")
-        n = eng.index_documents(docs, source_file=args.parquet, upsert=args.upsert)
+        cols = ["doc_id", "text"] + ([args.doc_col] if args.doc_col else [])
+        docs = spark.read.parquet(args.parquet).select(*cols)
+        n = eng.index_documents(
+            docs, source_file=args.parquet, upsert=args.upsert,
+            doc_col=args.doc_col,
+        )
         _emit({"indexed": n})
     elif args.cmd == "search":
         eng = _engine(spark, args)
@@ -438,6 +464,21 @@ def main(argv: list[str] | None = None) -> int:
         _emit({"split_counts": split_counts})
         for r in manifest.orderBy("shard").collect():
             _emit({"shard_manifest": r.asDict()})
+    elif args.cmd == "evaluate":
+        eng = _engine(spark, args)
+        rep = eng.evaluate(
+            n_queries=args.queries, k=args.k, use_ann=True if args.ann else None
+        )
+        _emit(
+            {
+                "n_queries": rep["n_queries"],
+                "recall_at_k": rep["recall_at_k"],
+                "mrr": rep["mrr"],
+                "ndcg_at_k": rep["ndcg_at_k"],
+            }
+        )
+        for r in rep.get("per_query", []):
+            _emit(r)
     elif args.cmd == "select-data":
         # DSIR importance resampling toward the --target-filter slice
         # (operators/sampling.py::dsir_importance_weights, oracle entry

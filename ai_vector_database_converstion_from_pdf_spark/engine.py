@@ -66,22 +66,37 @@ class PvdbEngine:
 
     # -- indexing (SURVEY §3.1) ------------------------------------------
     def index_documents(
-        self, docs: DataFrame, source_file: str = "batch", upsert: bool = False
+        self,
+        docs: DataFrame,
+        source_file: str = "batch",
+        upsert: bool = False,
+        doc_col: str | None = None,
     ) -> int:
         """Index pre-chunked documents (doc_id, text): tiny-chunk filter
         (I14) → batched embed UDF (I16) → workspace append with dim
         guardrail (I17/S1). Returns rows indexed.
+
+        doc_col: optional column naming the SOURCE DOCUMENT each chunk
+        belongs to. Without it every chunk is its own document (the
+        pre-chunked contract); with it the workspace's doc_id column
+        carries real document grouping — doc-scoped DML, Q15 neighbor
+        windows, and evaluate()'s doc-coherence relevance all key on it.
 
         upsert=True re-indexes changed documents in place (the reference
         flow when a PDF is re-added): rows MERGE by id instead of
         appending, so the revised version replaces the old chunks —
         bucket-scoped on a bucketed workspace."""
         embed = self.embed_udf or make_embed_udf(self.dim)
+        doc_ident = (
+            F.col(doc_col).cast("string")
+            if doc_col
+            else F.col("doc_id").cast("string")
+        )
         chunks = (
             docs.filter(F.length(F.trim(F.col("text"))) > 3)
             .select(
                 F.col("doc_id").cast("long").alias("id"),
-                F.col("doc_id").cast("string").alias("doc_id"),
+                doc_ident.alias("doc_id"),
                 F.lit(source_file).alias("source_file"),
                 F.lit(1).alias("page_num"),
                 # pre-chunked input: each doc IS its single chunk. A
@@ -309,6 +324,79 @@ class PvdbEngine:
         return synthesize(query, contexts)
 
     # -- session-state persistence (`mainwindow.cpp:499-503`) -------------
+    def evaluate(
+        self, n_queries: int = 10, k: int = 5, use_ann: bool | None = None
+    ) -> dict:
+        """Retrieval-quality self-check over the indexed workspace:
+        sample `n_queries` chunks deterministically (smallest ids), use
+        each chunk's text as the query, and treat the OTHER chunks of
+        the same source document as relevant (doc-coherence relevance —
+        the standard zero-label proxy for "did retrieval stay on
+        topic"). Returns mean recall@k / MRR / nDCG@k plus per-query
+        rows, computed by operators/evalmetrics.retrieval_metrics.
+
+        The query chunk itself always matches its own text — it is
+        excluded from both rankings and qrels, so a perfect engine
+        scores 1.0 only by ranking its doc-siblings on top."""
+        from pyspark.sql import functions as F
+
+        from .operators.evalmetrics import retrieval_metrics
+
+        chunks = self.workspace.chunks()
+        sample = (
+            chunks.select("id", "doc_id", "text")
+            .orderBy("id")
+            .limit(int(n_queries))
+            .collect()
+        )
+        rank_rows, qrel_rows = [], []
+        sibling_counts = {
+            r["doc_id"]: r["n"]
+            for r in chunks.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for row in sample:
+            if sibling_counts.get(row["doc_id"], 1) < 2:
+                continue  # no siblings -> no denominator
+            hits = self.search(row["text"], k=k + 1, use_ann=use_ann)
+            rank = 0
+            for h in hits:
+                if h["id"] == row["id"]:
+                    continue  # self-match excluded
+                rank += 1
+                if rank > k:
+                    break
+                rank_rows.append((int(row["id"]), int(h["id"]), rank))
+        qid_set = {r[0] for r in rank_rows}
+        if not qid_set:
+            return {"n_queries": 0, "recall_at_k": None, "mrr": None, "ndcg_at_k": None}
+        sib = (
+            chunks.select(F.col("id").alias("doc_chunk"), "doc_id")
+            .join(
+                chunks.select(
+                    F.col("id").alias("q_id"), F.col("doc_id").alias("qdoc")
+                ).filter(F.col("q_id").isin([int(q) for q in qid_set])),
+                F.col("doc_id") == F.col("qdoc"),
+            )
+            .filter(F.col("doc_chunk") != F.col("q_id"))
+            .select("q_id", F.col("doc_chunk").alias("doc_id"))
+        )
+        spark = self.spark
+        rankings = spark.createDataFrame(
+            rank_rows, "q_id long, doc_id long, rank long"
+        )
+        per_q = retrieval_metrics(rankings, sib, k=k).collect()
+        n = len(per_q)
+        mean = lambda c: round(sum(r[c] for r in per_q) / n, 6) if n else None
+        return {
+            "n_queries": n,
+            "recall_at_k": mean("recall_at_k"),
+            "mrr": mean("mrr"),
+            "ndcg_at_k": mean("ndcg_at_k"),
+            "per_query": [r.asDict() for r in sorted(per_q, key=lambda r: r["q_id"])],
+        }
+
     def save_session_state(self) -> None:
         """Persist the rerank calibrator's μ/σ into workspace metadata so
         the next session resumes calibrated (the reference writes these

@@ -286,3 +286,42 @@ def test_cli_select_data(spark, capsys, tmp_path):
     en_rate_sel = sel.filter("lang = 'en'").count() / 10
     en_rate_all = docs.filter("lang = 'en'").count() / docs.count()
     assert en_rate_sel > en_rate_all
+
+
+def test_cli_evaluate(spark, capsys, tmp_path):
+    """evaluate: index multi-chunk docs, then the doc-coherence
+    self-check returns sane metric ranges and per-query rows."""
+    ws = str(tmp_path / "cli_eval")
+    # 3 source docs x 3 chunks each, chunked vocabularies kept coherent
+    # per doc so siblings rank above other docs
+    vocab = {
+        "A": "alpha beta gamma delta epsilon zeta eta theta",
+        "B": "omicron pi rho sigma tau upsilon phi chi",
+        "C": "lambzeta kappa iota mu nu xi omega psi",
+    }
+    rows = []
+    cid = 1
+    for d, words in vocab.items():
+        for j in range(3):
+            rows.append((cid, d, (words + f" part{j} ") * 20))
+            cid += 1
+    docs = spark.createDataFrame(rows, "doc_id long, src_doc string, text string")
+    src = str(tmp_path / "docs_eval.parquet")
+    docs.write.parquet(src)
+    got = _run(capsys, ["index-text", "-w", ws, "--dim", "16",
+                        "--asof", "2024-06-01 00:00:00", "--parquet", src,
+                        "--doc-col", "src_doc"])
+    assert got[0]["indexed"] > 0
+
+    got = _run(capsys, ["evaluate", "-w", ws, "--dim", "16",
+                        "--asof", "2024-06-01 00:00:00",
+                        "--queries", "5", "-k", "3"])
+    head = got[0]
+    assert head["n_queries"] > 0
+    for m in ("recall_at_k", "mrr", "ndcg_at_k"):
+        assert 0.0 <= head[m] <= 1.0
+    # per-query rows follow, one per evaluated query
+    assert len(got) == 1 + head["n_queries"]
+    # chunk queries should retrieve their own doc's siblings well —
+    # repeated-vocabulary docs make this an easy corpus
+    assert head["mrr"] > 0.5
