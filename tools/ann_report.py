@@ -1,0 +1,92 @@
+"""ANN accuracy report: recall@10 and MRR-vs-exact for every
+approximate retrieval path in the engine, measured over 20 query
+vectors at sf0.01 (pass a dir to override). Prints a markdown table —
+paste into BASELINE.md.
+
+Usage: python tools/ann_report.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from pyspark.sql import functions as F
+
+    from ai_vector_database_converstion_from_pdf_spark.operators import (
+        quantize,
+        semantic,
+        similarity,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.session import get_spark
+
+    spark = get_spark("ann-report")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").persist()
+    emb.count()
+    qrows = (
+        emb.filter(F.col("vec_id") < 20).select("vec_id", "embedding").collect()
+    )
+    queries = [(int(r.vec_id), list(r.embedding)) for r in qrows]
+
+    # shared trained structures (deterministic seeds)
+    cents = similarity.kmeans_centroids(emb, 16)
+    books = similarity.pq_train(emb, dim=64, m=16, k=32)
+    codes = similarity.pq_encode(emb, books)
+    ivfpq_idx = similarity.ivf_pq_index(emb, cents, books)
+    assign = similarity.ivf_assign(emb, cents)
+
+    def ids(df):
+        return [int(r[0]) for r in df.collect()]
+
+    methods = {
+        "exact (baseline)": lambda qv: semantic.semantic_topk(emb, qv, k=10),
+        "binary/hamming (50-shortlist)": lambda qv: quantize.binary_topk_rescore(
+            emb, qv, k=10, shortlist=50
+        ),
+        "int8 (50-shortlist)": lambda qv: quantize.int8_topk_rescore(
+            emb, qv, k=10, shortlist=50
+        ),
+        "rp-lsh (4 planes x 8 tables)": lambda qv: similarity.ann_lsh_topk(
+            emb, qv, k=10, dim=64, n_planes=4, n_tables=8
+        ),
+        "pq adc+rescore (m=16,k=32)": lambda qv: similarity.pq_topk_rescore(
+            codes, emb, qv, books, k=10
+        ),
+        "ivf-pq (probe 4/16)": lambda qv: similarity.ivf_pq_topk(
+            ivfpq_idx, emb, qv, books, cents, k=10, n_probe=4
+        ),
+    }
+    methods["ivf (probe 4/16)"] = lambda qv: similarity.ivf_topk(
+        emb, qv, k=10, centroids=cents, assignments=assign, n_probe=4
+    )
+
+    exact_by_q = {}
+    for qid, qv in queries:
+        exact_by_q[qid] = ids(methods["exact (baseline)"](qv))
+
+    print("| method | recall@10 | MRR vs exact top-1 |")
+    print("|---|---|---|")
+    for name, fn in methods.items():
+        recalls, mrrs = [], []
+        for qid, qv in queries:
+            got = ids(fn(qv))
+            exact = exact_by_q[qid]
+            recalls.append(len(set(got) & set(exact)) / 10.0)
+            top1 = exact[0]
+            mrr = 0.0
+            for i, g in enumerate(got, start=1):
+                if g == top1:
+                    mrr = 1.0 / i
+                    break
+            mrrs.append(mrr)
+        r = sum(recalls) / len(recalls)
+        m = sum(mrrs) / len(mrrs)
+        print(f"| {name} | {r:.3f} | {m:.3f} |")
+
+
+if __name__ == "__main__":
+    main()
