@@ -109,6 +109,7 @@ HEADLINE = [
     "graph_clustering_coefficient",
     "graph_kcore",
     "retrieval_eval_labels",
+    "text_readability",
     # NOT benched: bpe_* (the per-session training cache would turn
     # min-of-N replays into cache reads — see catalog._bpe_trained)
 ]

@@ -183,6 +183,8 @@ EXPECT = {
     "graph_kcore": ["!MapInPandas", "!ArrowEvalPython"],
     # broadcast query side; qrels join + per-query agg — no Python stage
     "retrieval_eval_labels": ["!MapInPandas", "!ArrowEvalPython", "BroadcastNestedLoopJoin"],
+    # one scan, pure regex/HOF expressions — no join, no UDF
+    "text_readability": ["!SortMergeJoin", "!BroadcastHashJoin", "!MapInPandas"],
 }
 
 
