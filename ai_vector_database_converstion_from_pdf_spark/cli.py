@@ -204,21 +204,25 @@ def main(argv: list[str] | None = None) -> int:
             .bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF))
             .alias("doc_id"),
             F.col("doc").alias("source_doc"),
+            F.col("chunk_idx").alias("source_chunk_idx"),
             "text",
         )
         eng = _engine(spark, args)
-        # doc_col: chunk ids stay content-hashed (re-index stable), but
-        # the workspace doc_id column now carries the real SOURCE
-        # DOCUMENT, so doc-scoped DML / neighbor windows / evaluate's
-        # doc-coherence relevance all work after a CLI ingest
+        # doc_col + chunk_idx_col: chunk ids stay content-hashed
+        # (re-index stable), but the workspace rows now carry the real
+        # SOURCE DOCUMENT and within-doc ordinal, so doc-scoped DML,
+        # Q15 neighbor windows, and evaluate's doc-coherence relevance
+        # all work after a CLI ingest
         n = eng.index_documents(
             docs, source_file=args.pdf_glob, upsert=args.upsert,
-            doc_col="source_doc",
+            doc_col="source_doc", chunk_idx_col="source_chunk_idx",
         )
         _emit({"indexed": n})
     elif args.cmd == "index-text":
         eng = _engine(spark, args)
-        cols = ["doc_id", "text"] + ([args.doc_col] if args.doc_col else [])
+        cols = ["doc_id", "text"] + (
+            [args.doc_col] if args.doc_col and args.doc_col not in ("doc_id", "text") else []
+        )
         docs = spark.read.parquet(args.parquet).select(*cols)
         n = eng.index_documents(
             docs, source_file=args.parquet, upsert=args.upsert,

@@ -71,6 +71,7 @@ class PvdbEngine:
         source_file: str = "batch",
         upsert: bool = False,
         doc_col: str | None = None,
+        chunk_idx_col: str | None = None,
     ) -> int:
         """Index pre-chunked documents (doc_id, text): tiny-chunk filter
         (I14) → batched embed UDF (I16) → workspace append with dim
@@ -79,8 +80,12 @@ class PvdbEngine:
         doc_col: optional column naming the SOURCE DOCUMENT each chunk
         belongs to. Without it every chunk is its own document (the
         pre-chunked contract); with it the workspace's doc_id column
-        carries real document grouping — doc-scoped DML, Q15 neighbor
-        windows, and evaluate()'s doc-coherence relevance all key on it.
+        carries real document grouping — doc-scoped DML and evaluate()'s
+        doc-coherence relevance key on it. chunk_idx_col: optional
+        within-document ordinal; REQUIRED (alongside doc_col) for the
+        Q15 neighbor-context windows to order siblings meaningfully —
+        without it all siblings share chunk_idx 0 and neighbor order is
+        arbitrary.
 
         upsert=True re-indexes changed documents in place (the reference
         flow when a PDF is re-added): rows MERGE by id instead of
@@ -99,10 +104,15 @@ class PvdbEngine:
                 doc_ident.alias("doc_id"),
                 F.lit(source_file).alias("source_file"),
                 F.lit(1).alias("page_num"),
-                # pre-chunked input: each doc IS its single chunk. A
+                # pre-chunked input: each doc IS its single chunk (a
                 # doc_id-derived ordinal would overflow int for
-                # content-hash ids (xxhash64 doc ids from the CLI).
-                F.lit(0).alias("chunk_idx"),
+                # content-hash ids) unless the caller names the real
+                # within-doc ordinal via chunk_idx_col
+                (
+                    F.col(chunk_idx_col).cast("int")
+                    if chunk_idx_col
+                    else F.lit(0)
+                ).alias("chunk_idx"),
                 "text",
             )
             .withColumn("embedding", embed(F.col("text")))
@@ -349,16 +359,26 @@ class PvdbEngine:
             .limit(int(n_queries))
             .collect()
         )
-        rank_rows, qrel_rows = [], []
+        rank_rows = []
+        # sibling counts for the SAMPLED docs only — never a
+        # workspace-cardinality driver collect
+        sampled_docs = list({row["doc_id"] for row in sample})
         sibling_counts = {
             r["doc_id"]: r["n"]
-            for r in chunks.groupBy("doc_id")
+            for r in chunks.filter(F.col("doc_id").isin(sampled_docs))
+            .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
+        # every sibling-having sampled query counts toward the mean —
+        # including ones whose search returns NO non-self hits (they
+        # must score 0, not silently vanish; the harness would
+        # otherwise overstate quality exactly when retrieval fails)
+        qid_set = set()
         for row in sample:
             if sibling_counts.get(row["doc_id"], 1) < 2:
                 continue  # no siblings -> no denominator
+            qid_set.add(int(row["id"]))
             hits = self.search(row["text"], k=k + 1, use_ann=use_ann)
             rank = 0
             for h in hits:
@@ -368,7 +388,6 @@ class PvdbEngine:
                 if rank > k:
                     break
                 rank_rows.append((int(row["id"]), int(h["id"]), rank))
-        qid_set = {r[0] for r in rank_rows}
         if not qid_set:
             return {"n_queries": 0, "recall_at_k": None, "mrr": None, "ndcg_at_k": None}
         sib = (

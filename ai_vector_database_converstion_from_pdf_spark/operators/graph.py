@@ -328,6 +328,8 @@ def kcore_peel(
     Scale shape: per round, one degree aggregate + two semi-join edge
     filters, all keyed on node id; the edge frame is checkpointed per
     round so lineage stays bounded."""
+    if int(n_rounds) < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
     canon = (
         edges.select(
             F.least("id_a", "id_b").alias("u"), F.greatest("id_a", "id_b").alias("v")

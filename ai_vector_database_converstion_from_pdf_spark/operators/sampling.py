@@ -202,8 +202,16 @@ def dsir_lambda(
     tgt_counts = tgt_b.groupBy("bucket").agg(F.count("*").alias("ct"))
     raw_total = raw_b.agg(F.count("*").alias("tr"))
     tgt_total = tgt_b.agg(F.count("*").alias("tt"))
+    # FULL bucket spine: buckets unseen in the raw corpus still carry
+    # their add-one-smoothed log-ratio (ln((tt+B)...(tr+B)) algebra with
+    # cr=ct=0), so a frozen model scores NEW vocabulary correctly
+    # instead of substituting 0
+    spine = docs.sparkSession.range(n_buckets).select(
+        F.col("id").alias("bucket")
+    )
     return (
-        raw_counts.join(tgt_counts, "bucket", "left")
+        spine.join(raw_counts, "bucket", "left")
+        .join(tgt_counts, "bucket", "left")
         .crossJoin(F.broadcast(raw_total))
         .crossJoin(F.broadcast(tgt_total))
         .select(
@@ -215,7 +223,7 @@ def dsir_lambda(
                         / (F.col("tt") + F.lit(float(n_buckets)))
                     )
                     - F.log(
-                        (F.col("cr") + F.lit(1.0))
+                        (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(1.0))
                         / (F.col("tr") + F.lit(float(n_buckets)))
                     ),
                     6,

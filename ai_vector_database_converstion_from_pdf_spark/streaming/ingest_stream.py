@@ -466,8 +466,9 @@ def streaming_dsir_score(
     ship them here): each micro-batch row gains (n_tokens, weight) via
     `sampling.dsir_score_expr`, a stateless map-side projection — no
     aggregation state, no watermark, exact integer arithmetic identical
-    to the batch scorer (tokens hashing to buckets unseen at training
-    time contribute 0, the add-one-smoothed model's floor). Use it to
+    to the batch scorer. dsir_lambda emits the FULL bucket spine, so
+    new-vocabulary tokens get their true add-one-smoothed log-ratio
+    (an empty/partial model falls back to 0 per token). Use it to
     route incoming crawl shards into keep/review/drop lanes at ingest
     time instead of re-scoring the corpus after the fact."""
     from ..operators.sampling import dsir_score_expr
