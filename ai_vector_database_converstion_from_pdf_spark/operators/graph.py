@@ -146,7 +146,10 @@ def pagerank(
 
 
 def triangle_counts(
-    edges: DataFrame, sample_p: float | None = None, salt: str = "tri"
+    edges: DataFrame,
+    sample_p: float | None = None,
+    salt: str = "tri",
+    with_degrees: bool = False,
 ) -> DataFrame:
     """Per-node triangle participation counts over an undirected pair
     graph: (id, triangles) for every node on >= 1 triangle. The
@@ -173,6 +176,11 @@ def triangle_counts(
     answer, trading a small variance for a p^2 reduction in wedge
     volume. Exact mode returns `triangles` (long); sampled mode returns
     `triangles_est` (double, unbiased).
+
+    with_degrees=True adds every node's degree to the output (full
+    outer against the triangle counts, zero-filled) — callers computing
+    clustering coefficients reuse the degree aggregate this function
+    already builds instead of re-deriving it from the pair frame.
 
     Shape: degree agg (node-sized) broadcast-joinable onto edges, one
     self-join keyed on the wedge apex, one join against canonical
@@ -240,6 +248,14 @@ def triangle_counts(
                 F.round(
                     F.count("*").cast("double") / F.lit(float(sample_p) ** 3), 3
                 ).alias("triangles_est")
+            )
+        if with_degrees:
+            cnt_col = "triangles" if sample_p is None else "triangles_est"
+            zero = F.lit(0).cast("long") if sample_p is None else F.lit(0.0)
+            out = deg.join(out, "id", "left").select(
+                "id",
+                F.coalesce(F.col(cnt_col), zero).alias(cnt_col),
+                F.col("deg").cast("long").alias("deg"),
             )
         # node-sized eager materialization (the CC/PageRank idiom): the
         # twice-read canonical edge cache can be released immediately
