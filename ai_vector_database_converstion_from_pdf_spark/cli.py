@@ -96,9 +96,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("-q", "--query", required=True)
     sp.add_argument("-k", type=int, default=10)
 
-    sp = sub.add_parser("export", help="S2: CSV export")
+    sp = sub.add_parser("export", help="S2: CSV/JSONL export")
     common(sp)
     sp.add_argument("--out", required=True)
+    sp.add_argument("--format", choices=["csv", "jsonl"], default="csv")
+    sp.add_argument("--embeddings", action="store_true",
+                    help="carry vectors in the JSONL export")
 
     for name in ("stats", "optimize", "vacuum"):
         sp = sub.add_parser(name)
@@ -289,8 +292,12 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "export":
         from .sinks import Workspace
 
-        Workspace(spark, args.workspace).export_csv(args.out)
-        _emit({"exported": args.out})
+        ws = Workspace(spark, args.workspace)
+        if args.format == "jsonl":
+            ws.export_jsonl(args.out, with_embeddings=args.embeddings)
+        else:
+            ws.export_csv(args.out)
+        _emit({"exported": args.out, "format": args.format})
     elif args.cmd == "stats":
         from .sinks import Workspace
 

@@ -95,63 +95,131 @@ def logistic_probe(
         raise ValueError(f"n_iters must be >= 1, got {n_iters}")
     feat = _features(docs, label_col, id_col, text_col, n_buckets).persist()
     try:
-        n_docs = docs.count()  # scalar aggregate (sanctioned driver surface)
-
-        # residual table starts closed-form: p = 0.5 everywhere at w = 0
-        resid = feat.select("id", "y").distinct().select(
-            "id", (F.lit(500_000) - F.col("y") * F.lit(1_000_000)).alias("r_micro")
-        )
-        w = None  # (bucket, w_micro)
-        for _ in range(int(n_iters)):
-            grad = (
-                feat.join(resid, "id")
-                .groupBy("bucket")
-                .agg(F.sum(F.col("r_micro") * F.col("x_micro")).alias("g_micro"))
-            )
-            step = F.round(
-                F.round(
-                    F.lit(LR)
-                    * (F.col("g_micro").cast("double") / F.lit(1e12))
-                    / F.lit(float(n_docs)),
-                    6,
-                )
-                * F.lit(1e6)
-            ).cast("long")
-            if w is None:
-                w = grad.select("bucket", (-step).alias("w_micro"))
-            else:
-                w = (
-                    w.join(grad, "bucket", "full")
-                    .select(
-                        "bucket",
-                        (
-                            F.coalesce(F.col("w_micro"), F.lit(0))
-                            - F.coalesce(step, F.lit(0))
-                        ).alias("w_micro"),
-                    )
-                )
-            # model-sized frame: materialize + cut lineage each round
-            w = w.localCheckpoint(eager=True)
-
-            dots = (
-                feat.join(F.broadcast(w), "bucket")
-                .groupBy("id", "y")
-                .agg(F.sum(F.col("w_micro") * F.col("x_micro")).alias("dot_micro"))
-            )
-            p = F.round(
-                F.lit(1.0)
-                / (F.lit(1.0) + F.exp(-(F.col("dot_micro").cast("double") / F.lit(1e12)))),
-                6,
-            )
-            scored = dots.select(
-                "id",
-                "y",
-                p.alias("score"),
-                (F.round(p * F.lit(1e6)).cast("long") - F.col("y") * F.lit(1_000_000)).alias(
-                    "r_micro"
-                ),
-            )
-            resid = scored.select("id", "r_micro")
+        w, scored = _train(feat, docs.count(), int(n_iters))
         return scored.select("id", "y", "score")
     finally:
         feat.unpersist()
+
+
+def _train(feat: DataFrame, n_docs: int, n_iters: int):
+    """The shared GD core: returns (weight frame (bucket, w_micro) —
+    eagerly checkpointed, safe to use after feat unpersists — and the
+    final lazy scored frame (id, y, score, r_micro))."""
+    # residual table starts closed-form: p = 0.5 everywhere at w = 0
+    resid = feat.select("id", "y").distinct().select(
+        "id", (F.lit(500_000) - F.col("y") * F.lit(1_000_000)).alias("r_micro")
+    )
+    w = None  # (bucket, w_micro)
+    for _ in range(n_iters):
+        grad = (
+            feat.join(resid, "id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("r_micro") * F.col("x_micro")).alias("g_micro"))
+        )
+        step = F.round(
+            F.round(
+                F.lit(LR)
+                * (F.col("g_micro").cast("double") / F.lit(1e12))
+                / F.lit(float(n_docs)),
+                6,
+            )
+            * F.lit(1e6)
+        ).cast("long")
+        if w is None:
+            w = grad.select("bucket", (-step).alias("w_micro"))
+        else:
+            w = (
+                w.join(grad, "bucket", "full")
+                .select(
+                    "bucket",
+                    (
+                        F.coalesce(F.col("w_micro"), F.lit(0))
+                        - F.coalesce(step, F.lit(0))
+                    ).alias("w_micro"),
+                )
+            )
+        # model-sized frame: materialize + cut lineage each round
+        w = w.localCheckpoint(eager=True)
+
+        dots = (
+            feat.join(F.broadcast(w), "bucket")
+            .groupBy("id", "y")
+            .agg(F.sum(F.col("w_micro") * F.col("x_micro")).alias("dot_micro"))
+        )
+        p = F.round(
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-(F.col("dot_micro").cast("double") / F.lit(1e12)))),
+            6,
+        )
+        scored = dots.select(
+            "id",
+            "y",
+            p.alias("score"),
+            (F.round(p * F.lit(1e6)).cast("long") - F.col("y") * F.lit(1_000_000)).alias(
+                "r_micro"
+            ),
+        )
+        resid = scored.select("id", "r_micro")
+    return w, scored
+
+
+def collect_weights(
+    docs: DataFrame,
+    label_col,
+    n_iters: int = 2,
+    n_buckets: int = N_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict[int, int]:
+    """Train logistic_probe's model and return the FINAL weight table
+    as {bucket: w_micro} for probe_score_expr — the frozen-model
+    export. Shares _train with logistic_probe (one definition of the
+    step math)."""
+    if int(n_iters) < 1:
+        raise ValueError(f"n_iters must be >= 1, got {n_iters}")
+    feat = _features(docs, label_col, id_col, text_col, n_buckets).persist()
+    try:
+        w, _scored = _train(feat, docs.count(), int(n_iters))
+        return {int(r.bucket): int(r.w_micro) for r in w.collect()}
+    finally:
+        feat.unpersist()
+
+
+def probe_score_expr(text_col, w_micro: dict[int, int], n_buckets: int = N_BUCKETS):
+    """Map-side scoring against a FROZEN probe model as a pure
+    expression: sigmoid(w · x) per row, where x is the L1-normalized
+    hashed-feature vector and the <= n_buckets weights ship as a map
+    literal — stateless, shuffle-free, structured-streaming-safe (the
+    dsir_score_expr idiom applied to the trained classifier). Exact
+    same feature math as _features: per-token bucket weights are
+    averaged over doc length (sum w[bucket]/len == w · (counts/len)),
+    with micro-unit rounding differences <= 1e-6 per feature.
+
+    Train once with logistic_probe + collect_weights, then gate an
+    ingest stream into keep/review/drop lanes at arrival time."""
+    from ..functions.text import tokens
+
+    pairs = []
+    for b, m in sorted(w_micro.items()):
+        pairs.append(F.lit(int(b)))
+        pairs.append(F.lit(int(m)))
+    ts = tokens(text_col)
+    if pairs:
+        w_map = F.create_map(*pairs)
+        bucket_of = lambda t: (
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % n_buckets
+        )
+        dot_sum = F.aggregate(
+            ts,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc
+            + F.coalesce(w_map[bucket_of(t)], F.lit(0).cast("long")),
+        )
+    else:
+        dot_sum = F.lit(0).cast("long")
+    dot = F.when(F.size(ts) == 0, F.lit(0.0)).otherwise(
+        dot_sum.cast("double") / F.size(ts).cast("double") / F.lit(1e6)
+    )
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-dot)), 6)
+
+

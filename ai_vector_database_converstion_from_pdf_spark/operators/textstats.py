@@ -178,6 +178,83 @@ def winnowing_fingerprints(
     )
 
 
+def winnowing_fingerprint_set(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """The raw (id, wmin) fingerprint rows behind winnowing_fingerprints
+    — the joinable form for pair matching."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import shingle_base_hash
+
+    norm = F.array_join(tokens(F.col(text_col)), "")
+    base = docs.select(F.col(id_col).alias("id"), norm.alias("_norm"))
+    grams = base.select(
+        "id",
+        F.length("_norm").alias("_len"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(_norm) - {k - 1}, 0)),"
+                f" i -> substr(_norm, i, {k}))"
+            )
+        ).alias("pos", "gram"),
+    )
+    hashed = grams.select(
+        "id", "_len", "pos", shingle_base_hash(F.col("gram")).alias("x")
+    )
+    win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        hashed.withColumn("wmin", F.min("x").over(win))
+        .filter(F.col("pos") + 1 <= F.col("_len") - (k - 1) - w + 1)
+        .select("id", "wmin")
+        .distinct()
+    )
+
+
+def winnowing_matches(
+    docs: DataFrame,
+    min_shared: int = 5,
+    max_doc_freq: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """MOSS-style match pairs: (id_a < id_b, n_shared) for document
+    pairs sharing >= min_shared winnowing fingerprints — the actual
+    plagiarism/boilerplate detector the fingerprints exist for. Since
+    any shared substring of length >= k+w-1 chars yields a shared
+    fingerprint, n_shared lower-bounds the shared-passage volume.
+
+    Scale shape: the same posting-list idiom as the n-gram Jaccard
+    family — ONE groupBy(wmin) builds the posting lists, the hot cap
+    (fingerprints appearing in > max_doc_freq docs: boilerplate
+    headers, license text) bounds the pair explosion at C(cap, 2) per
+    fingerprint, and candidate pairs aggregate straight to counts. No
+    all-pairs text comparison anywhere."""
+    from ..operators.dedup import _sorted_id_pairs
+
+    fp = winnowing_fingerprint_set(docs, id_col, text_col, k, w)
+    pl = (
+        fp.groupBy("wmin")
+        .agg(F.collect_set("id").alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_doc_freq))
+        .select(F.array_sort("ids").alias("ids"))
+    )
+    pairs = pl.select(F.explode(_sorted_id_pairs()).alias("p")).select(
+        "p.id_a", "p.id_b"
+    )
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of the normalized token stream (rolling-
     hash analog that is order-sensitive but whitespace/punct-insensitive)."""

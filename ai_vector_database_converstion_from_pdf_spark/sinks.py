@@ -1407,6 +1407,18 @@ class Workspace:
             .csv(out_path)
         )
 
+    def export_jsonl(self, out_path: str, with_embeddings: bool = False) -> None:
+        """JSONL export — the interchange format LLM-data pipelines
+        actually pass around (one JSON object per line; Spark's json
+        sink IS JSONL). Mirrors export_csv's column contract; pass
+        with_embeddings=True to carry the vectors (floats serialize as
+        JSON arrays). Round-trips through sources/textfiles.read_jsonl
+        and any jq/pandas consumer."""
+        cols = ["id", "doc_id", "source_file", "text"] + (
+            ["embedding"] if with_embeddings else []
+        )
+        self.chunks().select(*cols).write.mode("overwrite").json(out_path)
+
 
 def list_workspaces(root: str) -> list[str]:
     """Workspace enumeration (`mainwindow.cpp:936-952` globs *.sqlite;

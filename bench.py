@@ -110,6 +110,7 @@ HEADLINE = [
     "graph_kcore",
     "retrieval_eval_labels",
     "text_readability",
+    "winnowing_matches",
     # NOT benched: bpe_* (the per-session training cache would turn
     # min-of-N replays into cache reads — see catalog._bpe_trained)
 ]

@@ -842,3 +842,62 @@ class TestRetrievalMetrics:
         m = retrieval_metrics(rankings, qrels, k=10).collect()[0]
         assert m.recall_at_k == 1.0 and m.mrr == 1.0
         assert m.ndcg_at_k == pytest.approx(1.0, abs=1e-6)
+
+
+class TestFrozenProbe:
+    def test_frozen_scores_track_batch(self, spark):
+        """probe_score_expr over exported weights approximates the
+        batch scorer (per-feature micro-rounding differs, so approx)
+        and preserves the label separation."""
+        from ai_vector_database_converstion_from_pdf_spark.operators.linear import (
+            collect_weights,
+            logistic_probe,
+            probe_score_expr,
+        )
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        label = F.col("lang") == "en"
+        batch = {r.id: r.score for r in logistic_probe(docs, label).collect()}
+        w = collect_weights(docs, label)
+        frozen = {
+            r.doc_id: r.s
+            for r in docs.select(
+                "doc_id", probe_score_expr(F.col("text"), w).alias("s")
+            ).collect()
+        }
+        common = set(batch) & set(frozen)
+        assert len(common) >= len(batch) * 0.9
+        for i in common:
+            assert abs(batch[i] - frozen[i]) < 1e-3, (i, batch[i], frozen[i])
+
+    def test_empty_model_scores_half(self, spark):
+        from ai_vector_database_converstion_from_pdf_spark.operators.linear import (
+            probe_score_expr,
+        )
+
+        df = spark.createDataFrame([(1, "some words here")], "doc_id long, text string")
+        out = df.select(probe_score_expr(F.col("text"), {}).alias("s")).collect()
+        assert out[0].s == 0.5
+
+
+class TestExportJsonl:
+    def test_jsonl_roundtrip(self, spark, tmp_path):
+        from ai_vector_database_converstion_from_pdf_spark.engine import PvdbEngine
+
+        eng = PvdbEngine(
+            spark, str(tmp_path / "ws_jsonl"), dim=16,
+            asof="2024-06-01 00:00:00",
+        )
+        docs = spark.createDataFrame(
+            [(1, 'alpha "quoted" beta'), (2, "newline\ncarrier gamma")],
+            "doc_id long, text string",
+        )
+        eng.index_documents(docs)
+        out = str(tmp_path / "export.jsonl")
+        eng.workspace.export_jsonl(out, with_embeddings=True)
+        back = spark.read.json(out)
+        rows = {r.id: r for r in back.collect()}
+        assert set(rows) == {1, 2}
+        assert rows[1].text == 'alpha "quoted" beta'
+        assert rows[2].text == "newline\ncarrier gamma"
+        assert len(rows[1].embedding) == 16

@@ -185,6 +185,8 @@ EXPECT = {
     "retrieval_eval_labels": ["!MapInPandas", "!ArrowEvalPython", "BroadcastNestedLoopJoin"],
     # one scan, pure regex/HOF expressions — no join, no UDF
     "text_readability": ["!SortMergeJoin", "!BroadcastHashJoin", "!MapInPandas"],
+    # posting-list pair explosion with the hot cap — no all-pairs join
+    "winnowing_matches": ["!MapInPandas", "!BroadcastNestedLoopJoin"],
 }
 
 
