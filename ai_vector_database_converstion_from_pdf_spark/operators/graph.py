@@ -147,9 +147,10 @@ def pagerank(
 
 def triangle_counts(
     edges: DataFrame,
-    sample_p: float | None = None,
+    sample_p: float | str | None = None,
     salt: str = "tri",
     with_degrees: bool = False,
+    auto_wedge_budget: float = 5e8,
 ) -> DataFrame:
     """Per-node triangle participation counts over an undirected pair
     graph: (id, triangles) for every node on >= 1 triangle. The
@@ -177,6 +178,19 @@ def triangle_counts(
     volume. Exact mode returns `triangles` (long); sampled mode returns
     `triangles_est` (double, unbiased).
 
+    `sample_p="auto"`: measure the wedge-volume bound sum(deg^2) from
+    the degree aggregate this function builds anyway; below
+    `auto_wedge_budget` run EXACT (byte-identical to sample_p=None —
+    small/sparse graphs never pay a variance tax), above it switch to
+    DOULION with p = sqrt(budget / sum(deg^2)) so the sampled wedge
+    volume (~ p^2 * sum deg^2) lands back on budget, and log the switch.
+    This is the dense-graph guard: a replica-heavy corpus turns the
+    simhash graph into near-cliques where the exact wedge set is
+    Theta(sum deg^2) and spills unboundedly (measured: 24M-edge 10x dup
+    graph spilled ~50 GB exact, completed sampled — BASELINE.md); auto
+    mode makes the catalog entries survive that input without the
+    caller knowing to ask.
+
     with_degrees=True adds every node's degree to the output (full
     outer against the triangle counts, zero-filled) — callers computing
     clustering coefficients reuse the degree aggregate this function
@@ -192,7 +206,35 @@ def triangle_counts(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .persist()
     )
+    if sample_p == "auto":
+        # one node-sized degree aggregate + scalar sum over the persisted
+        # canonical edges — the dispatch probe costs one cheap pass
+        full_deg = (
+            canon.select(F.col("u").alias("id"))
+            .union(canon.select(F.col("v")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        sdeg2 = (
+            full_deg.agg(F.sum(F.col("deg") * F.col("deg")).alias("s")).first()[0]
+            or 0
+        )
+        if sdeg2 > auto_wedge_budget:
+            sample_p = max(0.01, min(1.0, (auto_wedge_budget / sdeg2) ** 0.5))
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "triangle_counts auto-dispatch: wedge bound sum(deg^2)=%.3g "
+                "exceeds budget %.3g — switching to DOULION sampling with "
+                "p=%.4f (unbiased estimates in `triangles_est`)",
+                float(sdeg2),
+                float(auto_wedge_budget),
+                sample_p,
+            )
+        else:
+            sample_p = None
     if sample_p is not None:
         if not (0.0 < sample_p <= 1.0):
             raise ValueError(f"sample_p must be in (0, 1], got {sample_p}")
@@ -205,8 +247,11 @@ def triangle_counts(
             )
             < int(sample_p * 1_000_000)
         )
-        canon = canon.filter(keep)
-    canon = canon.persist()
+        if sample_p < 1.0:
+            sampled = canon.filter(keep).persist()
+            sampled.count()  # materialize before releasing the superset
+            canon.unpersist()
+            canon = sampled
     try:
         deg = (
             canon.select(F.col("u").alias("id"))

@@ -224,6 +224,43 @@ class TestTriangleCounts:
         got = {r.id: r.triangles for r in triangle_counts(pairs).collect()}
         assert got == dict(want)
 
+    def test_auto_dispatch_sparse_stays_exact(self, spark):
+        """sample_p="auto" below the wedge budget is byte-identical to
+        the exact path — same column name, same counts."""
+        from ai_vector_database_converstion_from_pdf_spark.operators.graph import (
+            triangle_counts,
+        )
+
+        k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+        df = spark.createDataFrame(
+            [Row(id_a=a, id_b=b) for a, b in k4], "id_a long, id_b long"
+        )
+        out = triangle_counts(df, sample_p="auto")
+        assert "triangles" in out.columns
+        got = {r.id: r.triangles for r in out.collect()}
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_auto_dispatch_dense_switches_to_doulion(self, spark):
+        """Above the wedge budget, auto mode switches to DOULION: the
+        estimate column appears and the (deterministic-hash) estimate
+        lands near the true global count."""
+        from ai_vector_database_converstion_from_pdf_spark.operators.graph import (
+            triangle_counts,
+        )
+
+        n = 40  # K40: sum(deg^2) = 40 * 39^2 = 60,840 >> budget 1,000
+        edges = [(a, b) for a in range(n) for b in range(a + 1, n)]
+        df = spark.createDataFrame(
+            [Row(id_a=a, id_b=b) for a, b in edges], "id_a long, id_b long"
+        )
+        out = triangle_counts(df, sample_p="auto", auto_wedge_budget=1000.0)
+        assert "triangles_est" in out.columns
+        total_est = sum(r.triangles_est for r in out.collect()) / 3
+        true_total = n * (n - 1) * (n - 2) / 6
+        # p ~ sqrt(1000/60840) ~ 0.13 -> ~21 surviving triangles; loose
+        # band, but deterministic (content-hash sampling, fixed salt)
+        assert 0.25 * true_total < total_est < 4 * true_total, total_est
+
 
 # ---------------------------------------------------------------------------
 # sparse TF-IDF document similarity
