@@ -28,6 +28,16 @@ GOLDEN_NAMES = [
     "bpe_merges",
     "bpe_word_segmentation",
     "bpe_compression_by_lang",
+    # The ANN quartet is approximate-by-contract but fully seeded and
+    # deterministic (seed 42 planes/centroids/codebooks, id tie-breaks),
+    # so the expected sf0.01 output can be pinned exactly — like the
+    # int8/Hamming entries. The recall table (tests/test_similarity_ann)
+    # stays the semantic check; this pins run-to-run stability for the
+    # driver's value gate.
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_ivf_pq_topk",
 ]
 GOLDEN_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "golden"
