@@ -501,6 +501,7 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.sampling import dsir_importance_weights
 
         docs = spark.read.parquet(args.parquet)
+        n_docs = docs.count()  # counted ONCE, reused in the summary emit
         target = docs.filter(args.target_filter)
         n_target = target.count()
         w = dsir_importance_weights(docs, target)
@@ -520,12 +521,14 @@ def main(argv: list[str] | None = None) -> int:
             ids = spark.createDataFrame(
                 [(r["doc_id"],) for r in rows], "doc_id long"
             )
-            docs.join(F.broadcast(ids), "doc_id").write.mode(
-                "overwrite"
-            ).parquet(args.out)
+            # dropDuplicates guards a dirty input: duplicate doc_id rows
+            # would otherwise fan the join out past --top output rows
+            docs.dropDuplicates(["doc_id"]).join(
+                F.broadcast(ids), "doc_id"
+            ).write.mode("overwrite").parquet(args.out)
         _emit(
             {
-                "n_docs": docs.count(),
+                "n_docs": n_docs,
                 "n_target": n_target,
                 "n_selected": len(rows),
             }

@@ -83,15 +83,21 @@ def asof_join(
     u = l.select(*lcols, "_side", "_m").unionByName(r.select(*lcols, "_side", "_m"))
     # at equal ts the right row must be visible to the left row in BOTH
     # directions (inclusive semantics): right (side 0) sorts before left
-    # on each pass, and only the ts order flips between them
+    # on each pass, and only the ts order flips between them. The match
+    # struct itself is the tertiary key: when SEVERAL right rows share
+    # (key, ts) the winner would otherwise be partition-order-dependent;
+    # ordering by _m makes both directions deterministically pick the
+    # max (ts, value) struct among the tied rows, run-to-run and
+    # layout-independent. (_m is NULL on left rows, whose relative order
+    # never matters — they carry no match.)
     wb = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), F.col("_m").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     wf = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts_col).desc(), F.col("_side").asc())
+        .orderBy(F.col(ts_col).desc(), F.col("_side").asc(), F.col("_m").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     if direction == "backward":

@@ -160,10 +160,22 @@ def binary_topk_rescore(
     Ranking: (hamming asc, id asc) for the shortlist, then
     (cosine_rounded desc, id asc) for the final k — total orders on
     both stages, so the cutoff is engine-independent.
+
+    Input contract: vectors must be exactly ``dim`` long with no null
+    elements. sign_bits_col would otherwise silently pack a missing
+    element as a 0 ("negative") bit and inflate the Hamming distance, so
+    malformed rows are FILTERED before packing — they can never be
+    scored meaningfully and must not claim shortlist slots. (Rows
+    ingested through the workspace sink are already dimension-checked;
+    this guards the raw-parquet path.)
     """
     from ..functions.vector import cosine_rounded, query_vector_lit
 
     dim = len(query_vec)
+    well_formed = (F.size(F.col(vec_col)) == dim) & ~F.exists(
+        F.col(vec_col), lambda x: x.isNull()
+    )
+    embeddings = embeddings.filter(well_formed)
     # query signature packed driver-side with the same >= 0 rule
     q_words = []
     for w in range((dim + 63) // 64):

@@ -76,6 +76,26 @@ class TestBinarySignANN:
         # query vector itself (vec_id 0, hamming 0) must always survive
         assert 0 in approx
 
+    def test_malformed_rows_filtered_not_misscored(self, spark):
+        """Short vectors / null elements are excluded before sign
+        packing — a truncated copy of the query must NOT outrank real
+        rows by having its missing dims read as sign matches."""
+        from ai_vector_database_converstion_from_pdf_spark.operators.quantize import (
+            binary_topk_rescore,
+        )
+
+        q = [1.0, -1.0, 1.0, -1.0]
+        rows = [
+            (1, [1.0, -1.0, 1.0, -1.0]),   # exact match
+            (2, [-1.0, 1.0, -1.0, 1.0]),   # opposite
+            (3, [1.0, -1.0]),              # truncated -> must be dropped
+            (4, [1.0, None, 1.0, -1.0]),   # null element -> dropped
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = [r.vec_id for r in binary_topk_rescore(df, q, k=4).collect()]
+        assert 3 not in got and 4 not in got
+        assert got[0] == 1
+
 
 # ---------------------------------------------------------------------------
 # bloom-prefiltered decontamination
@@ -479,6 +499,30 @@ class TestAsofDirections:
             direction="nearest",
         )
         assert out.collect()[0].asof_value == 111.0
+
+    def test_duplicate_right_ts_deterministic(self, spark):
+        """Several right rows sharing (key, ts): the match must be the
+        max-struct (i.e. max value at that ts) row REGARDLESS of input
+        partition layout — the tertiary _m sort key in both windows."""
+        from ai_vector_database_converstion_from_pdf_spark.operators.asof import (
+            asof_join,
+        )
+
+        left = spark.createDataFrame([(1, 100), (1, 40)], "k long, ts long")
+        dup_rows = [(1, 50, 7.0), (1, 50, 3.0), (1, 50, 5.0)]
+        for nparts in (1, 2, 3):
+            right = spark.createDataFrame(
+                dup_rows, "k long, ts long, rv double"
+            ).repartition(nparts)
+            for direction in ("backward", "forward", "nearest"):
+                out = asof_join(
+                    left, right, key="k", ts_col="ts",
+                    right_value_col="rv", direction=direction,
+                )
+                got = {r.ts: r.asof_value for r in out.collect()}
+                # ts=100 matches backward/nearest; ts=40 forward/nearest
+                for v in got.values():
+                    assert v in (None, 7.0), (direction, nparts, got)
 
     def test_nearest_single_shuffle(self, spark):
         """Both directional windows must share ONE key exchange."""
