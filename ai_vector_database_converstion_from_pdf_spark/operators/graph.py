@@ -145,6 +145,36 @@ def pagerank(
     return ranks
 
 
+def similarity_graph(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialized near-duplicate pair table (id_a, id_b) — the shared
+    input of the whole graph family (CC, PageRank, LPA, triangles,
+    clustering coefficient, k-core).
+
+    Each family member previously regenerated the simhash candidate
+    pipeline from the raw corpus (~5 equal pair builds across the
+    suite); a real pipeline materializes the pair table ONCE and runs
+    every graph analysis against it. localCheckpoint(eager) pins the
+    pairs: downstream operators see a plain scan, the candidate
+    generation runs exactly once, and iterative consumers don't replay
+    it per action. At 100 TB the same role is played by writing the pair
+    frame to a workspace table (sinks.Workspace) — the checkpoint is the
+    in-session equivalent."""
+    from .dedup import simhash_pairs
+
+    return (
+        simhash_pairs(
+            docs, max_hamming=max_hamming, id_col=id_col, text_col=text_col
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+
+
 def triangle_counts(
     edges: DataFrame,
     sample_p: float | str | None = None,
@@ -208,6 +238,7 @@ def triangle_counts(
         .distinct()
         .persist()
     )
+    deg = None
     if sample_p == "auto":
         # one node-sized degree aggregate + scalar sum over the persisted
         # canonical edges — the dispatch probe costs one cheap pass
@@ -235,6 +266,10 @@ def triangle_counts(
             )
         else:
             sample_p = None
+            # staying exact: the probe's degree table IS the orientation
+            # degree table — pin it (node-sized) so the two orientation
+            # joins below don't re-aggregate it per action
+            deg = full_deg.localCheckpoint(eager=True)
     if sample_p is not None:
         if not (0.0 < sample_p <= 1.0):
             raise ValueError(f"sample_p must be in (0, 1], got {sample_p}")
@@ -253,12 +288,13 @@ def triangle_counts(
             canon.unpersist()
             canon = sampled
     try:
-        deg = (
-            canon.select(F.col("u").alias("id"))
-            .union(canon.select(F.col("v")))
-            .groupBy("id")
-            .agg(F.count("*").alias("deg"))
-        )
+        if deg is None:  # explicit/sampled path: degrees of the WORKING edge set
+            deg = (
+                canon.select(F.col("u").alias("id"))
+                .union(canon.select(F.col("v")))
+                .groupBy("id")
+                .agg(F.count("*").alias("deg"))
+            )
         with_deg = (
             canon.join(deg.withColumnRenamed("id", "u").withColumnRenamed("deg", "du"), "u")
             .join(deg.withColumnRenamed("id", "v").withColumnRenamed("deg", "dv"), "v")

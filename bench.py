@@ -111,6 +111,7 @@ HEADLINE = [
     "retrieval_eval_labels",
     "text_readability",
     "winnowing_matches",
+    "graph_core_triangles",
     # NOT benched: bpe_* (the per-session training cache would turn
     # min-of-N replays into cache reads — see catalog._bpe_trained)
 ]
