@@ -57,6 +57,7 @@ class PvdbEngine:
         self.embed_udf = embed_udf
         self.governor = LatencyGovernor()
         self.cache = QueryCache()
+        self._corpus_hint: dict | None = None  # rollup-backed, per corpus version
         self.mmr_state = mmr_mod.MmrState()
         # calibration state survives sessions via workspace metadata
         # (reference persists on close and reloads on open,
@@ -132,7 +133,30 @@ class PvdbEngine:
         else:
             self.workspace.add_chunks(chunks)
         self.cache.clear()  # cached results are stale once the corpus changes
+        self._corpus_hint = None
         return self.workspace.count()
+
+    def _rollup_chunk_total(self) -> int | None:
+        """Governor depth hint from the maintained doc rollup: the folded
+        total chunk count — a rollup-sized aggregate (one row per doc of
+        partials), NOT a corpus scan, and DML-maintained so never stale.
+        Cached per corpus version (mutation paths reset it alongside the
+        query cache); None on rollup-less workspaces keeps the governor
+        exactly as before."""
+        if self._corpus_hint is None:
+            n = None
+            try:
+                if self.workspace._rollup_enabled() and self.workspace._exists(
+                    "doc_rollup"
+                ):
+                    row = self.workspace.doc_rollup().agg(
+                        F.sum("n_chunks").alias("n")
+                    ).first()
+                    n = int(row["n"]) if row["n"] is not None else None
+            except Exception:
+                n = None
+            self._corpus_hint = {"n_chunks": n}
+        return self._corpus_hint.get("n_chunks")
 
     # -- search (SURVEY §3.2) --------------------------------------------
     def search(
@@ -175,7 +199,12 @@ class PvdbEngine:
 
         t0 = time.perf_counter()
         it = intent_mod.detect_intent(query)
-        plan = self.governor.plan(k, intent_mod.route(it).depth_mult, it)
+        plan = self.governor.plan(
+            k,
+            intent_mod.route(it).depth_mult,
+            it,
+            corpus_chunks=self._rollup_chunk_total(),
+        )
 
         chunks = self.workspace.chunks()
         corpus = chunks.select(
@@ -361,15 +390,29 @@ class PvdbEngine:
         )
         rank_rows = []
         # sibling counts for the SAMPLED docs only — never a
-        # workspace-cardinality driver collect
+        # workspace-cardinality driver collect. On a rollup-enabled
+        # workspace the counts come straight from the maintained doc
+        # rollup (chunks-per-doc is literally its n_chunks column):
+        # one fewer corpus aggregate per evaluation pass.
         sampled_docs = list({row["doc_id"] for row in sample})
-        sibling_counts = {
-            r["doc_id"]: r["n"]
-            for r in chunks.filter(F.col("doc_id").isin(sampled_docs))
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        if self.workspace._rollup_enabled() and self.workspace._exists(
+            "doc_rollup"
+        ):
+            sibling_counts = {
+                r["doc_id"]: int(r["n_chunks"])
+                for r in self.workspace.doc_rollup()
+                .filter(F.col("doc_id").isin(sampled_docs))
+                .select("doc_id", "n_chunks")
+                .collect()
+            }
+        else:
+            sibling_counts = {
+                r["doc_id"]: r["n"]
+                for r in chunks.filter(F.col("doc_id").isin(sampled_docs))
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
         # every sibling-having sampled query counts toward the mean —
         # including ones whose search returns NO non-self hits (they
         # must score 0, not silently vanish; the harness would
@@ -440,3 +483,4 @@ class PvdbEngine:
         workspace) and invalidate cached results that may cite it."""
         self.workspace.delete_doc(doc_id)
         self.cache.clear()
+        self._corpus_hint = None

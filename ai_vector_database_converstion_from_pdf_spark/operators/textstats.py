@@ -218,7 +218,7 @@ def winnowing_fingerprint_set(
 def winnowing_matches(
     docs: DataFrame,
     min_shared: int = 5,
-    max_doc_freq: int = 50,
+    max_doc_freq: int | None = 50,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = WINNOW_K,
@@ -235,16 +235,25 @@ def winnowing_matches(
     (fingerprints appearing in > max_doc_freq docs: boilerplate
     headers, license text) bounds the pair explosion at C(cap, 2) per
     fingerprint, and candidate pairs aggregate straight to counts. No
-    all-pairs text comparison anywhere."""
+    all-pairs text comparison anywhere.
+
+    THE CAP IS THE SCALE CONTROL, and it UNDER-COUNTS on replica-dense
+    corpora (exactly like the capped n-gram path before its PPJoin
+    sibling): pairs whose shared fingerprints are ALL boilerplate-hot
+    vanish, and n_shared of surviving pairs drops by their hot overlap.
+    `max_doc_freq=None` runs EXACT (every posting list expands — only
+    safe when `winnowing_cap_report` says the hot tail is small);
+    `winnowing_cap_report(docs, max_doc_freq)` quantifies what the cap
+    drops so a pipeline can decide instead of guessing."""
     from ..operators.dedup import _sorted_id_pairs
 
     fp = winnowing_fingerprint_set(docs, id_col, text_col, k, w)
-    pl = (
-        fp.groupBy("wmin")
-        .agg(F.collect_set("id").alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= max_doc_freq))
-        .select(F.array_sort("ids").alias("ids"))
+    pl = fp.groupBy("wmin").agg(F.collect_set("id").alias("ids")).filter(
+        F.size("ids") > 1
     )
+    if max_doc_freq is not None:
+        pl = pl.filter(F.size("ids") <= max_doc_freq)
+    pl = pl.select(F.array_sort("ids").alias("ids"))
     pairs = pl.select(F.explode(_sorted_id_pairs()).alias("p")).select(
         "p.id_a", "p.id_b"
     )
@@ -252,6 +261,39 @@ def winnowing_matches(
         pairs.groupBy("id_a", "id_b")
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnowing_cap_report(
+    docs: DataFrame,
+    max_doc_freq: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Audit of what winnowing_matches' hot cap drops: one row —
+    (n_fingerprints, n_hot, max_df, pairs_kept_bound, pairs_dropped_bound)
+    where n_hot = shared fingerprints over the cap and the bounds are
+    Σ C(df,2) pair-expansion volumes on either side of it. A pipeline
+    runs this (one aggregate over the same posting build — no pair
+    explosion) to decide whether the exact mode (max_doc_freq=None) is
+    affordable or the cap's under-count is acceptable, instead of
+    silently trusting the default."""
+    fp = winnowing_fingerprint_set(docs, id_col, text_col, k, w)
+    df_ = (
+        fp.groupBy("wmin")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 1)
+    )
+    vol = (F.col("df") * (F.col("df") - 1) / 2).cast("long")
+    hot = F.col("df") > max_doc_freq
+    return df_.agg(
+        F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+        F.sum(hot.cast("long")).cast("long").alias("n_hot"),
+        F.max("df").cast("long").alias("max_df"),
+        F.sum(F.when(~hot, vol).otherwise(0)).cast("long").alias("pairs_kept_bound"),
+        F.sum(F.when(hot, vol).otherwise(0)).cast("long").alias("pairs_dropped_bound"),
     )
 
 

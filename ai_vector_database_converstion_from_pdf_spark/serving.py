@@ -34,13 +34,34 @@ class LatencyGovernor:
     def observe(self, elapsed_ms: float) -> None:
         self.avg_ms = (1 - self.alpha) * self.avg_ms + self.alpha * elapsed_ms
 
-    def plan(self, limit: int, depth_mult: int, intent: str) -> dict:
-        """Returns the effective retrieval plan: depth + branch gating."""
+    def plan(
+        self,
+        limit: int,
+        depth_mult: int,
+        intent: str,
+        corpus_chunks: int | None = None,
+    ) -> dict:
+        """Returns the effective retrieval plan: depth + branch gating.
+
+        `corpus_chunks`: total chunk count when cheaply known (the doc
+        rollup's folded n_chunks — a rollup-sized aggregate, never a
+        corpus scan). Depth is clamped to it: fetching candidates past
+        the corpus size buys nothing but a deeper TakeOrdered heap and
+        a wider fusion join on every branch."""
         if self.avg_ms > self.critical_ms and intent != "summary":
-            return {"depth": limit, "vector_branch": False, "mode": "critical"}
-        if self.avg_ms > self.high_ms:
-            return {"depth": limit * 3, "vector_branch": True, "mode": "degraded"}
-        return {"depth": limit * depth_mult, "vector_branch": True, "mode": "normal"}
+            d = limit
+        elif self.avg_ms > self.high_ms:
+            d = limit * 3
+        else:
+            d = limit * depth_mult
+        mode = (
+            "critical"
+            if (self.avg_ms > self.critical_ms and intent != "summary")
+            else ("degraded" if self.avg_ms > self.high_ms else "normal")
+        )
+        if corpus_chunks is not None:
+            d = min(d, max(int(corpus_chunks), limit))
+        return {"depth": d, "vector_branch": mode != "critical", "mode": mode}
 
 
 def _cosine(a: list[float], b: list[float]) -> float:

@@ -74,6 +74,9 @@ class _LocalFS:
     def rename(self, src: str, dst: str) -> None:
         os.rename(src, dst)
 
+    def makedirs(self, p: str) -> None:
+        os.makedirs(p, exist_ok=True)
+
     def has_parquet(self, p: str) -> bool:
         if not os.path.isdir(p):
             return False
@@ -81,6 +84,22 @@ class _LocalFS:
             if any(f.endswith(".parquet") for f in files):
                 return True
         return False
+
+    def read_text(self, p: str) -> str | None:
+        try:
+            with open(p) as f:
+                return f.read()
+        except (FileNotFoundError, OSError):
+            return None
+
+    def write_text_atomic(self, p: str, s: str) -> None:
+        """Single-file commit primitive: write a sibling temp file and
+        os.replace() it over the target — atomic on POSIX."""
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(s)
+        os.replace(tmp, p)
 
     def copytree(self, src: str, dst: str) -> None:
         """Zero-copy directory snapshot via hardlinks (parquet data
@@ -112,6 +131,7 @@ class _HadoopFS:
 
     def __init__(self, spark: SparkSession, root: str):
         jvm = spark._jvm
+        self._jvm = jvm
         self._Path = jvm.org.apache.hadoop.fs.Path
         self._fs = self._Path(root).getFileSystem(
             spark._jsc.hadoopConfiguration()
@@ -138,6 +158,9 @@ class _HadoopFS:
         if not self._fs.rename(self._Path(src), self._Path(dst)):
             raise OSError(f"hadoop fs rename failed: {src} -> {dst}")
 
+    def makedirs(self, p: str) -> None:
+        self._fs.mkdirs(self._Path(p))
+
     def has_parquet(self, p: str) -> bool:
         if not self.isdir(p):
             return False
@@ -146,6 +169,30 @@ class _HadoopFS:
             if it.next().getPath().getName().endswith(".parquet"):
                 return True
         return False
+
+    def read_text(self, p: str) -> str | None:
+        P = self._Path(p)
+        if not self._fs.exists(P):
+            return None
+        stream = self._fs.open(P)
+        try:
+            # commons-io ships with Hadoop; one RPC for the whole file
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    def write_text_atomic(self, p: str, s: str) -> None:
+        """Single-file commit primitive. A full-object create/PUT is
+        atomic on object stores (S3 PUT) and close-visible on HDFS —
+        readers see either the old or the new manifest, never a torn
+        one (manifests are < 1 KB: one filesystem block/part)."""
+        stream = self._fs.create(self._Path(p), True)  # overwrite=True
+        try:
+            stream.write(bytearray(s.encode("utf-8")))  # py4j -> byte[]
+        finally:
+            stream.close()
 
     def copytree(self, src: str, dst: str) -> None:
         """Server-side copy through Hadoop FileUtil (no hardlinks on
@@ -180,21 +227,199 @@ def _logged(fn):
 
 
 class Workspace:
-    """Directory-backed workspace (reference: one SQLite file each)."""
+    """Directory-backed workspace (reference: one SQLite file each).
 
-    def __init__(self, spark: SparkSession, path: str):
+    Commit protocols (`commit_protocol` ctor arg, persisted in metadata
+    on first write):
+
+    * ``"rename"`` (default) — the two-phase versioned directory swap:
+      local-fast, recoverable, but rename of the LIVE bucket directory
+      is a server-side copy on S3-like stores and leaves a window where
+      the bucket is parked aside.
+    * ``"manifest"`` — object-store-safe, bucketed workspaces only.
+      Bucket data lives in immutable segment directories
+      (``_bucket=k/seg-N/``); a per-table pointer file
+      (``<table>/_manifest.json``) names the LIVE segments per bucket,
+      and every mutation commits by atomically rewriting that one tiny
+      file (PUT on S3, replace() locally). Live data directories are
+      NEVER renamed or parked: appends install a new segment, rewrites
+      point the bucket at a fresh segment and delete the displaced one
+      only after the pointer landed. A crash before the pointer write
+      leaves invisible garbage segments (vacuum reclaims); readers see
+      either the old or the new table state, never a mix-in-progress.
+    """
+
+    def __init__(
+        self, spark: SparkSession, path: str, commit_protocol: str | None = None
+    ):
         self.spark = spark
         self.path = path.rstrip("/")
         # URI scheme → Hadoop FileSystem API; bare path → os/shutil
         self._fs = (
             _HadoopFS(spark, self.path) if "://" in path else _LocalFS()
         )
+        if commit_protocol not in (None, "rename", "manifest"):
+            raise ValueError(f"unknown commit_protocol {commit_protocol!r}")
+        self._requested_protocol = commit_protocol
+        self._protocol_cache: str | None = None
+
+    @property
+    def _protocol(self) -> str:
+        """Effective commit protocol: persisted registration wins (a
+        workspace's layout is fixed at creation, like its bucket count);
+        a ctor request applies to fresh workspaces and is persisted with
+        the first write."""
+        if self._protocol_cache is None:
+            stored = self.get_metadata("commit_protocol")
+            self._protocol_cache = (
+                stored or self._requested_protocol or "rename"
+            )
+        return self._protocol_cache
+
+    # -- manifest protocol primitives -------------------------------------
+    def _manifest_file(self, name: str) -> str:
+        return f"{self._tbl(name)}/_manifest.json"
+
+    def _manifest(self, name: str) -> dict | None:
+        """Live-segment pointer state for a manifest-managed table, or
+        None when the table is rename-managed / absent. Shape:
+        {"v": int, "buckets": {"<k>": ["seg-3", ...]}}."""
+        import json
+
+        raw = self._fs.read_text(self._manifest_file(name))
+        return None if raw is None else json.loads(raw)
+
+    def _save_manifest(self, name: str, m: dict) -> None:
+        import json
+
+        self._fs.write_text_atomic(self._manifest_file(name), json.dumps(m))
+
+    def _seg_paths(self, name: str, m: dict) -> list[str]:
+        t = self._tbl(name)
+        return [
+            f"{t}/_bucket={k}/{seg}"
+            for k, segs in sorted(m["buckets"].items(), key=lambda kv: int(kv[0]))
+            for seg in segs
+        ]
+
+    def _read_table(self, name: str) -> DataFrame:
+        """Manifest-aware table read: rename-managed tables read the
+        directory (partition discovery), manifest-managed tables read
+        exactly the live segment directories (basePath keeps `_bucket`
+        as a partition column; stale/garbage segments are invisible by
+        construction)."""
+        m = self._manifest(name)
+        if m is None:
+            return self.spark.read.parquet(self._tbl(name))
+        paths = self._seg_paths(name, m)
+        if not paths:
+            raise ValueError(f"table {name!r} is empty (manifest has no segments)")
+        return (
+            self.spark.read.option("basePath", self._tbl(name)).parquet(*paths)
+        )
 
     def _tbl(self, name: str) -> str:
         return f"{self.path}/{name}"
 
     def _exists(self, name: str) -> bool:
+        m = self._manifest(name)
+        if m is not None:
+            return bool(m["buckets"])
         return self._fs.has_parquet(self._tbl(name))
+
+    def _append_bucketed(self, name: str, df: DataFrame, bucketed: bool) -> None:
+        """Append rows to a table under the active commit protocol."""
+        if self._protocol != "manifest":
+            writer = df.write.mode("append")
+            if bucketed:
+                writer = writer.partitionBy("_bucket")
+            writer.parquet(self._tbl(name))
+            return
+        if not bucketed:
+            raise ValueError(
+                "manifest commit protocol requires bucketed tables "
+                f"(append to {name!r} carried no _bucket column)"
+            )
+        self._manifest_install(name, df, replace=None)
+
+    def _manifest_install(
+        self, name: str, df: DataFrame, replace: list[int] | str | None
+    ) -> None:
+        """Stage-write ``df`` (partitioned by ``_bucket``), install each
+        staged bucket directory as a fresh immutable segment, and COMMIT
+        by atomically rewriting the per-table pointer file. Live data
+        directories are never renamed or parked — the single rename here
+        moves the freshly staged bytes into their permanent segment
+        path, which no reader can see until the pointer names it.
+
+        ``replace``: None = append (new segment ADDED to each staged
+        bucket's live list); a bucket list = rewrite (those buckets'
+        live lists REPLACED by the new segment — a bucket in the list
+        with no staged rows was emptied and drops out); ``"all"`` = full
+        table overwrite. Displaced segments are deleted only AFTER the
+        pointer committed; a crash at any earlier point leaves invisible
+        garbage for vacuum, never a broken table."""
+        m = self._manifest(name) or {"v": 0, "buckets": {}}
+        v = int(m["v"]) + 1
+        seg = f"seg-{v}"
+        stage = self._tbl(f"_{name}_stage")
+        self._fs.rmtree(stage)
+        df.write.mode("overwrite").partitionBy("_bucket").parquet(stage)
+        staged = [
+            d for d in self._fs.listdir(stage) if d.startswith("_bucket=")
+        ]
+        root = self._tbl(name)
+        displaced: list[str] = []
+        staged_keys: set[str] = set()
+        for d in staged:
+            k = d.split("=", 1)[1]
+            staged_keys.add(k)
+            dst = f"{root}/{d}/{seg}"
+            # a retried crash can leave a same-version orphan (the
+            # pointer never advanced, so v recomputes identically)
+            self._fs.rmtree(dst)
+            self._fs.makedirs(f"{root}/{d}")
+            self._fs.rename(f"{stage}/{d}", dst)
+        if replace == "all":
+            for k, segs in m["buckets"].items():
+                displaced += [f"{root}/_bucket={k}/{s}" for s in segs]
+            m["buckets"] = {}
+        elif replace is not None:
+            for k in replace:
+                segs = m["buckets"].pop(str(k), [])
+                displaced += [f"{root}/_bucket={k}/{s}" for s in segs]
+        for k in sorted(staged_keys, key=int):
+            m["buckets"][k] = m["buckets"].get(k, []) + [seg]
+        m["v"] = v
+        self._save_manifest(name, m)  # THE commit point
+        for p in displaced:
+            self._fs.rmtree(p)
+        self._fs.rmtree(stage)
+
+    def _bucket_parquet_counts(self, name: str) -> dict[int, int] | None:
+        """Per-bucket live parquet file counts for a bucketed table
+        (compaction planning); None for an unbucketed directory layout."""
+        root = self._tbl(name)
+
+        def _count(d: str) -> int:
+            return len(
+                [
+                    f
+                    for f in self._fs.listdir(d)
+                    if f.endswith(".parquet") and not f.startswith((".", "_"))
+                ]
+            )
+
+        m = self._manifest(name)
+        if m is not None:
+            return {
+                int(k): sum(_count(f"{root}/_bucket={k}/{s}") for s in segs)
+                for k, segs in m["buckets"].items()
+            }
+        dirs = [e for e in self._fs.listdir(root) if e.startswith("_bucket=")]
+        if not dirs:
+            return None
+        return {int(e.split("=", 1)[1]): _count(f"{root}/{e}") for e in dirs}
 
     def _guarded_batch_stats(self, batch: DataFrame, extra_aggs: list = ()):
         """ONE aggregate job running the whole-batch I17 dimension
@@ -253,6 +478,11 @@ class Workspace:
                 f"workspace is partitioned with {registered_buckets} buckets; "
                 f"append requested {partition_buckets or 0}"
             )
+        if self._protocol == "manifest" and not partition_buckets:
+            raise ValueError(
+                "manifest commit protocol requires a bucketed workspace "
+                "(pass partition_buckets to add_chunks)"
+            )
         if partition_buckets:
             chunks = chunks.withColumn(
                 "_bucket",
@@ -261,16 +491,16 @@ class Workspace:
                     F.lit(partition_buckets),
                 ),
             )
-            chunks.write.mode("append").partitionBy("_bucket").parquet(
-                self._tbl("chunks")
-            )
+            self._append_bucketed("chunks", chunks, bucketed=True)
         else:
-            chunks.write.mode("append").parquet(self._tbl("chunks"))
+            self._append_bucketed("chunks", chunks, bucketed=False)
         # register metadata only after the write succeeded, so a failed
         # append cannot leave a stale dimension/bucket registration
         if new_dim is not None:
             self.set_metadata("embedding_dimension", str(new_dim))
         self.set_metadata("partition_buckets", str(partition_buckets or 0))
+        if self.get_metadata("commit_protocol") != self._protocol:
+            self.set_metadata("commit_protocol", self._protocol)
         # index maintenance, not invalidation: a pure append only needs
         # the new rows signed and appended to the index
         self._ann_append(chunks)
@@ -336,7 +566,7 @@ class Workspace:
                 "index documents first (Workspace.add_chunks / "
                 "PvdbEngine.index_documents)"
             )
-        df = self.spark.read.parquet(self._tbl("chunks"))
+        df = self._read_table("chunks")
         if fold_boosts and self._exists("boosts"):
             deltas = (
                 self.spark.read.parquet(self._tbl("boosts"))
@@ -375,11 +605,13 @@ class Workspace:
         self.delete_metadata("ann_params")
         self.delete_metadata("ivf_params")
         self.delete_metadata("doc_rollup")
-        # a cleared workspace is a FRESH workspace: both the dimension
-        # and the bucket-layout registration must go, or the next
-        # add_chunks would be locked to the old layout
+        # a cleared workspace is a FRESH workspace: the dimension, the
+        # bucket-layout and the commit-protocol registrations must all
+        # go, or the next add_chunks would be locked to the old layout
         self.delete_metadata("embedding_dimension")
         self.delete_metadata("partition_buckets")
+        self.delete_metadata("commit_protocol")
+        self._protocol_cache = None
 
     # -- S6: boost update (append-only delta, folded at read) -------------
     @_logged
@@ -426,7 +658,7 @@ class Workspace:
                 boosted = boosts.select(F.col("chunk_id").alias("id")).distinct()
                 affected = sorted(
                     r["_bucket"]
-                    for r in self.spark.read.parquet(self._tbl("chunks"))
+                    for r in self._read_table("chunks")
                     .join(F.broadcast(boosted), "id", "left_semi")
                     .select("_bucket")
                     .distinct()
@@ -499,7 +731,7 @@ class Workspace:
             self._rollup_replace_docs(doc_keys, updates, None)
             return
         affected = sorted(stats["buckets"])
-        current = self.spark.read.parquet(self._tbl("chunks")).filter(
+        current = self._read_table("chunks").filter(
             F.col("_bucket").isin(affected)  # partition-pruned read
         )
         merged = current.join(doc_keys, "doc_id", "left_anti").unionByName(updates_b)
@@ -533,7 +765,7 @@ class Workspace:
             return
         affected = self._doc_buckets([doc_id], b)
         remaining = (
-            self.spark.read.parquet(self._tbl("chunks"))
+            self._read_table("chunks")
             .filter(F.col("_bucket").isin(affected))
             .filter(F.col("doc_id") != doc_id)
         )
@@ -550,7 +782,13 @@ class Workspace:
         the workspace root (NOT inside the table dir — a leftover
         `...=...` directory inside it would be misread as a partition),
         so the worst crash leaves the old bucket recoverable beside the
-        table, never a half-written bucket in it."""
+        table, never a half-written bucket in it.
+
+        Manifest protocol: delegates to the pointer-file commit — live
+        bucket directories are never renamed (object-store-safe)."""
+        if self._protocol == "manifest":
+            self._manifest_install(name, df, replace=buckets)
+            return
         # refuse to proceed over UNRECOVERED crash leftovers: a parked
         # old-bucket copy whose live bucket directory is missing means a
         # prior swap crashed between its two renames — the parked copy is
@@ -672,7 +910,7 @@ class Workspace:
         )
         self._overwrite("ann_lsh", buckets)  # partitions by _bucket if present
         self.set_metadata("ann_params", f"{dim},{n_planes},{n_tables}")
-        return self.spark.read.parquet(self._tbl("ann_lsh")).count()
+        return self._read_table("ann_lsh").count()
 
     def _ann_sigs(self, chunk_rows: DataFrame) -> DataFrame | None:
         """Signatures for a batch of chunk rows under the registered ANN
@@ -698,10 +936,7 @@ class Workspace:
         sigs = self._ann_sigs(chunk_rows)
         if sigs is None:
             return
-        writer = sigs.write.mode("append")
-        if "_bucket" in sigs.columns:
-            writer = writer.partitionBy("_bucket")
-        writer.parquet(self._tbl("ann_lsh"))
+        self._append_bucketed("ann_lsh", sigs, "_bucket" in sigs.columns)
 
     def _ann_replace_docs(
         self,
@@ -719,7 +954,7 @@ class Workspace:
             return
         sigs = self._ann_sigs(new_rows) if new_rows is not None else None
         if affected:
-            cur = self.spark.read.parquet(self._tbl("ann_lsh")).filter(
+            cur = self._read_table("ann_lsh").filter(
                 F.col("_bucket").isin(affected)  # partition-pruned read
             )
             merged = cur.join(doc_keys, "doc_id", "left_anti")
@@ -727,7 +962,7 @@ class Workspace:
                 merged = merged.unionByName(sigs)
             self._swap_buckets("ann_lsh", merged, affected)
         else:
-            cur = self.spark.read.parquet(self._tbl("ann_lsh"))
+            cur = self._read_table("ann_lsh")
             merged = cur.join(doc_keys, "doc_id", "left_anti")
             if sigs is not None:
                 merged = merged.unionByName(sigs)
@@ -740,7 +975,7 @@ class Workspace:
         if params is None or not self._exists("ann_lsh"):
             return None
         dim, n_planes, n_tables = (int(x) for x in params.split(","))
-        return self.spark.read.parquet(self._tbl("ann_lsh")), dim, n_planes, n_tables
+        return self._read_table("ann_lsh"), dim, n_planes, n_tables
 
     def _invalidate_ann(self) -> None:
         self._fs.rmtree(self._tbl("ann_lsh"))
@@ -770,7 +1005,7 @@ class Workspace:
         every chunk. Returns the assignment row count."""
         from .operators.similarity import kmeans_centroids
 
-        chunks = self.spark.read.parquet(self._tbl("chunks"))
+        chunks = self._read_table("chunks")
         vecs = chunks.select(F.col("id").alias("vec_id"), "embedding")
         cents = kmeans_centroids(
             vecs, n_centroids, n_iter=n_iter, sample_size=sample_size, seed=seed
@@ -781,12 +1016,9 @@ class Workspace:
         )
         self._overwrite("ann_ivf_centroids", cdf)
         assigned = self._ivf_assign_rows(chunks, cents)
-        writer = assigned.write.mode("overwrite")
-        if "_bucket" in assigned.columns:
-            writer = writer.partitionBy("_bucket")
-        writer.parquet(self._tbl("ann_ivf"))
+        self._overwrite("ann_ivf", assigned)
         self.set_metadata("ivf_params", f"{int(dim)},{len(cents)}")
-        return self.spark.read.parquet(self._tbl("ann_ivf")).count()
+        return self._read_table("ann_ivf").count()
 
     def _ivf_centroids(self) -> list[tuple[int, list[float]]] | None:
         if self.get_metadata("ivf_params") is None or not self._exists(
@@ -819,10 +1051,7 @@ class Workspace:
         if cents is None or not self._exists("ann_ivf"):
             return
         assigned = self._ivf_assign_rows(chunk_rows, cents)
-        writer = assigned.write.mode("append")
-        if "_bucket" in assigned.columns:
-            writer = writer.partitionBy("_bucket")
-        writer.parquet(self._tbl("ann_ivf"))
+        self._append_bucketed("ann_ivf", assigned, "_bucket" in assigned.columns)
 
     def _ivf_replace_docs(
         self,
@@ -837,7 +1066,7 @@ class Workspace:
             self._ivf_assign_rows(new_rows, cents) if new_rows is not None else None
         )
         if affected:
-            cur = self.spark.read.parquet(self._tbl("ann_ivf")).filter(
+            cur = self._read_table("ann_ivf").filter(
                 F.col("_bucket").isin(affected)  # partition-pruned read
             )
             merged = cur.join(doc_keys, "doc_id", "left_anti")
@@ -845,7 +1074,7 @@ class Workspace:
                 merged = merged.unionByName(fresh)
             self._swap_buckets("ann_ivf", merged, affected)
         else:
-            cur = self.spark.read.parquet(self._tbl("ann_ivf"))
+            cur = self._read_table("ann_ivf")
             merged = cur.join(doc_keys, "doc_id", "left_anti")
             if fresh is not None:
                 merged = merged.unionByName(fresh)
@@ -857,7 +1086,7 @@ class Workspace:
         if cents is None or not self._exists("ann_ivf"):
             return None
         dim, k = (int(x) for x in self.get_metadata("ivf_params").split(","))
-        return self.spark.read.parquet(self._tbl("ann_ivf")), cents, dim, k
+        return self._read_table("ann_ivf"), cents, dim, k
 
     def ivf_candidates(self, query_vec, n_probe: int = 2) -> DataFrame | None:
         """Candidate chunk ids from the n_probe centroids nearest the
@@ -906,12 +1135,9 @@ class Workspace:
         if not self._exists("chunks"):
             return
         partials = self._rollup_partials(
-            self.spark.read.parquet(self._tbl("chunks"))
+            self._read_table("chunks")
         )
-        writer = partials.write.mode("overwrite")
-        if "_bucket" in partials.columns:
-            writer = writer.partitionBy("_bucket")
-        writer.parquet(self._tbl("doc_rollup"))
+        self._overwrite("doc_rollup", partials)
 
     def _rollup_enabled(self) -> bool:
         return self.get_metadata("doc_rollup") == "1"
@@ -941,10 +1167,7 @@ class Workspace:
         if not self._rollup_enabled():
             return
         partials = self._rollup_partials(chunk_rows)
-        writer = partials.write.mode("append")
-        if "_bucket" in partials.columns:
-            writer = writer.partitionBy("_bucket")
-        writer.parquet(self._tbl("doc_rollup"))
+        self._append_bucketed("doc_rollup", partials, "_bucket" in partials.columns)
 
     def _rollup_replace_docs(
         self,
@@ -960,7 +1183,7 @@ class Workspace:
             return
         fresh = self._rollup_partials(new_rows) if new_rows is not None else None
         if affected:
-            cur = self.spark.read.parquet(self._tbl("doc_rollup")).filter(
+            cur = self._read_table("doc_rollup").filter(
                 F.col("_bucket").isin(affected)  # partition-pruned read
             )
             merged = cur.join(doc_keys, "doc_id", "left_anti")
@@ -968,7 +1191,7 @@ class Workspace:
                 merged = merged.unionByName(fresh)
             self._swap_buckets("doc_rollup", merged, affected)
         else:
-            cur = self.spark.read.parquet(self._tbl("doc_rollup"))
+            cur = self._read_table("doc_rollup")
             merged = cur.join(doc_keys, "doc_id", "left_anti")
             if fresh is not None:
                 merged = merged.unionByName(fresh)
@@ -983,7 +1206,7 @@ class Workspace:
                 "doc rollup not enabled — call enable_doc_rollup() first"
             )
         return (
-            self.spark.read.parquet(self._tbl("doc_rollup"))
+            self._read_table("doc_rollup")
             .groupBy("doc_id")
             .agg(
                 F.sum("n_chunks").cast("long").alias("n_chunks"),
@@ -1002,7 +1225,7 @@ class Workspace:
         never loses partials."""
         if not self._rollup_enabled() or not self._exists("doc_rollup"):
             return
-        cur = self.spark.read.parquet(self._tbl("doc_rollup"))
+        cur = self._read_table("doc_rollup")
         keys = ["doc_id"] + (["_bucket"] if "_bucket" in cur.columns else [])
         folded = cur.groupBy(*keys).agg(
             F.sum("n_chunks").cast("long").alias("n_chunks"),
@@ -1063,20 +1286,14 @@ class Workspace:
             if not self._exists(iname):
                 continue
             iroot = self._tbl(iname)
-            idirs = [
-                e for e in self._fs.listdir(iroot) if e.startswith("_bucket=")
-            ]
-            if idirs:
-                per = {
-                    int(e.split("=", 1)[1]): len(_files(f"{iroot}/{e}"))
-                    for e in idirs
-                }
+            per = self._bucket_parquet_counts(iname)
+            if per is not None:
                 hit = sorted(
                     k for k, n in per.items() if n > max_files_per_bucket
                 )
                 if hit:
                     df = (
-                        self.spark.read.parquet(iroot)
+                        self._read_table(iname)
                         .filter(F.col("_bucket").isin(hit))
                         .repartition(len(hit), "_bucket")
                         .sortWithinPartitions("_bucket", *sort_cols)
@@ -1091,7 +1308,7 @@ class Workspace:
                 if n_before > max_files_per_bucket:
                     self._overwrite(
                         iname,
-                        self.spark.read.parquet(iroot)
+                        self._read_table(iname)
                         .coalesce(1)
                         .sortWithinPartitions(*sort_cols),
                     )
@@ -1113,11 +1330,7 @@ class Workspace:
                     "files_after": len(_files(root)),
                     "index_tables": index_results}
 
-        per_bucket = {}
-        for entry in self._fs.listdir(root):
-            if entry.startswith("_bucket="):
-                k = int(entry.split("=", 1)[1])
-                per_bucket[k] = len(_files(f"{root}/{entry}"))
+        per_bucket = self._bucket_parquet_counts("chunks") or {}
         affected = sorted(k for k, n in per_bucket.items() if n > max_files_per_bucket)
         files_before = sum(per_bucket.values())
         if not affected:
@@ -1135,11 +1348,7 @@ class Workspace:
             .sortWithinPartitions("_bucket", "doc_id", "chunk_idx")
         )
         self._swap_buckets("chunks", compacted, affected)
-        files_after = sum(
-            len(_files(f"{root}/{e}"))
-            for e in self._fs.listdir(root)
-            if e.startswith("_bucket=")
-        )
+        files_after = sum((self._bucket_parquet_counts("chunks") or {}).values())
         return {"buckets_compacted": affected, "files_before": files_before,
                 "files_after": files_after, "index_tables": index_results}
 
@@ -1154,13 +1363,31 @@ class Workspace:
         that are crash-recovery material, so vacuum refuses: the live
         table is missing entirely, OR (bucket-aware) the leftover holds
         a bucket whose live directory is gone — mid-swap crash, the
-        parked/tmp copy is the ONLY copy; recover() restores it."""
+        parked/tmp copy is the ONLY copy; recover() restores it.
+
+        Manifest-protocol garbage: segments not named by a table's
+        pointer file are committed-over versions or crashed-install
+        leftovers — the pointer is the single source of truth and its
+        write was atomic, so they are unconditionally reclaimable; same
+        for `_<table>_stage` staging dirs once a manifest exists."""
         removed, kept = [], []
         for entry in sorted(self._fs.listdir(self.path)):
             path = f"{self.path}/{entry}"
             if not (entry.startswith("_") and self._fs.isdir(path)):
                 continue
             base = None
+            if entry.endswith("_stage"):
+                # manifest staging leftover (clean installs delete it):
+                # committed data was MOVED out, so remaining content is
+                # garbage — but only once the table's pointer exists (a
+                # crashed FIRST append has no manifest; keep the stage
+                # as evidence for the operator)
+                if self._manifest(entry[1:-6]) is not None:
+                    self._fs.rmtree(path)
+                    removed.append(entry)
+                else:
+                    kept.append(entry)
+                continue
             if entry.endswith("_tmp"):
                 base = entry[1:-4]
             elif "_old" in entry:
@@ -1191,6 +1418,24 @@ class Workspace:
                     continue
             self._fs.rmtree(path)
             removed.append(entry)
+        # manifest-managed tables: reclaim segments the pointer no
+        # longer names (displaced versions whose post-commit delete
+        # crashed, or installs whose pointer write never happened)
+        for entry in sorted(self._fs.listdir(self.path)):
+            if entry.startswith(("_", ".")):
+                continue
+            m = self._manifest(entry)
+            if m is None:
+                continue
+            troot = self._tbl(entry)
+            for d in self._fs.listdir(troot):
+                if not d.startswith("_bucket="):
+                    continue
+                live = set(m["buckets"].get(d.split("=", 1)[1], []))
+                for seg in self._fs.listdir(f"{troot}/{d}"):
+                    if seg.startswith("seg-") and seg not in live:
+                        self._fs.rmtree(f"{troot}/{d}/{seg}")
+                        removed.append(f"{entry}/{d}/{seg}")
         return {"removed": removed, "kept": kept}
 
     def _log_history(self, op: str) -> None:
@@ -1221,7 +1466,16 @@ class Workspace:
         deleted before its replacement exists, so the worst crash leaves
         either the old version in place or both `_old` and the final dir
         on disk (recoverable) — never an empty workspace. (True
-        multi-reader atomicity needs the Delta path; see module doc.)"""
+        multi-reader atomicity needs the Delta path; see module doc.)
+
+        Manifest protocol + bucketed data: full-table pointer commit
+        (every bucket repointed at the fresh segment atomically).
+        Unbucketed side tables (metadata KV, centroids) stay on the
+        rename path even in manifest workspaces — they are tiny, and
+        their rename cost on an object store is one small copy."""
+        if self._protocol == "manifest" and "_bucket" in df.columns:
+            self._manifest_install(name, df, replace="all")
+            return
         tmp = self._tbl(f"_{name}_tmp")
         old = self._tbl(f"_{name}_old")
         self._fs.rmtree(old)  # leftover from a crash

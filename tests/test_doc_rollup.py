@@ -171,3 +171,51 @@ def test_rollup_fresh_through_streaming_upserts(spark, tmp_path):
     q.stop()
 
     assert _rollup(ws) == _recompute(ws)
+
+
+def test_rollup_feeds_governor_and_evaluate(spark, tmp_path):
+    """Serving integration (r3 item 8): with a rollup-enabled workspace
+    the engine's governor depth hint and evaluate() sibling counts come
+    from the maintained rollup — one fewer corpus aggregate per pass —
+    and results are identical to the corpus-scan path."""
+    from ai_vector_database_converstion_from_pdf_spark.engine import PvdbEngine
+
+    def build(path, enable):
+        eng = PvdbEngine(spark, str(tmp_path / path), dim=DIM)
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta doc {i} text body") for i in range(12)],
+            "doc_id long, text string",
+        )
+        eng.index_documents(docs, source_file="t.pdf")
+        if enable:
+            eng.workspace.enable_doc_rollup()
+        return eng
+
+    a = build("noru", False)
+    b = build("ru", True)
+
+    # governor hint: None without rollup, the exact chunk total with it
+    assert a._rollup_chunk_total() is None
+    assert b._rollup_chunk_total() == 12
+
+    # the hint clamps planned depth to the corpus size
+    plan = b.governor.plan(5, 10, "general", corpus_chunks=b._rollup_chunk_total())
+    assert plan["depth"] == 12  # min(5*10, 12)
+    unclamped = a.governor.plan(5, 10, "general", corpus_chunks=None)
+    assert unclamped["depth"] == 50
+
+    # search parity: same results either way
+    ra = [r["id"] for r in a.search("alpha beta", k=4)]
+    rb = [r["id"] for r in b.search("alpha beta", k=4)]
+    assert ra == rb and len(rb) == 4
+
+    # hint invalidates with the corpus
+    b.delete_document("3")
+    assert b._rollup_chunk_total() == 11
+
+    # evaluate parity (rollup-backed sibling counts vs corpus groupBy):
+    # single-chunk docs have no siblings in this fixture, so both paths
+    # must agree on the degenerate result too
+    ea = a.evaluate(n_queries=3, k=2)
+    eb = b.evaluate(n_queries=3, k=2)
+    assert ea == eb
