@@ -54,5 +54,12 @@ def cosine_rounded(a: Column, b: Column, digits: int = 6) -> Column:
 
 def query_vector_lit(vec: Iterable[float]) -> Column:
     """A literal query vector column (broadcast to every row for free as a
-    constant in the codegen'd expression — no join, no shuffle)."""
-    return F.array(*[F.lit(float(x)) for x in vec])
+    constant in the codegen'd expression — no join, no shuffle). One
+    array literal, not dim chained lit() calls — the scalar form costs
+    one py4j round-trip per element at plan-build time, which adds up
+    in the multi-plane LSH paths (32 planes x 64 dims)."""
+    vals = [float(x) for x in vec]
+    try:
+        return F.lit(vals)
+    except Exception:  # older runtimes without container lit support
+        return F.array(*[F.lit(x) for x in vals])

@@ -58,18 +58,30 @@ def rp_lsh_buckets(
     """(id, table, bucket[, *carry_cols]) — precompute-once index side of
     the ANN path. `carry_cols` pass through untouched (e.g. doc_id and
     the workspace `_bucket` so the persisted index can be maintained
-    with the same doc-keyed, bucket-scoped DML as the chunk table)."""
-    out = None
-    for t in range(n_tables):
-        planes = _planes(dim, n_planes, t)
-        part = embeddings.select(
-            F.col(id_col).alias("id"),
-            F.lit(t).alias("table"),
-            rp_signature(F.col(vec_col), planes).alias("bucket"),
-            *[F.col(c) for c in carry_cols],
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+    with the same doc-keyed, bucket-scoped DML as the chunk table).
+
+    One scan + one explode, NOT an n_tables-way union: the union form
+    re-plans and re-scans the vector table once per hash table, and its
+    n_tables plan branches (each holding n_planes 64-literal dot folds)
+    cost multi-second driver-side codegen — measured 8.2 s → 2-3 s at
+    sf0.01 for 8 tables. Values are identical (same planes, same
+    signatures, one row per (id, table))."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                rp_signature(
+                    F.col(vec_col), _planes(dim, n_planes, t)
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return embeddings.select(
+        F.col(id_col).alias("id"),
+        F.explode(entries).alias("_tb"),
+        *[F.col(c) for c in carry_cols],
+    ).select("id", "_tb.table", "_tb.bucket", *carry_cols)
 
 
 def rp_lsh_candidates(

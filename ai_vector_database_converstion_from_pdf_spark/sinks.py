@@ -23,10 +23,13 @@ become real MERGE INTO/DELETE with no API change.
 Durability scope: plain paths use os/shutil directly (the local fast
 path); paths with a URI scheme (`file://`, `hdfs://`, `s3a://`, ...) go
 through the Hadoop FileSystem API (`Path.getFileSystem`), so a workspace
-can live on HDFS or an object store with no API change. The
-rmtree+rename swap is still not atomic for concurrent readers, and on
-S3-like stores rename is a server-side copy — a multi-writer or
-heavy-DML object-store deployment should use the Delta path above.
+can live on HDFS or an object store with no API change. Two commit
+protocols (see `Workspace`): the default rename-based versioned swap
+(local fast path — but rename of live directories is a server-side copy
+on S3-like stores), and `commit_protocol="manifest"` — immutable
+segment directories + an atomically-PUT per-table pointer file, live
+data never renamed — the object-store-safe deployment shape. Both are
+single-writer; true multi-writer needs the Delta path above.
 """
 
 from __future__ import annotations

@@ -282,8 +282,116 @@ def fifth_session() -> None:
     )
 
 
+def sixth_session() -> None:
+    """Round-4 scale paths over the same 10x corpus:
+    - triangle auto-dispatch THROUGH the operator (the dense 24M-edge
+      replica graph must self-select DOULION and complete — the r3 OOM
+      required knowing to pass sample_p manually),
+    - the range-partitioned exact global rank / ntile at 500k rows,
+    - the winnowing cap decision flow: cap report first, exact only if
+      the pair-volume bound says it is affordable.
+    Usage: python tools/stress10x.py sixth"""
+    from pyspark.sql import functions as F
+
+    from ai_vector_database_converstion_from_pdf_spark.operators.dedup import (
+        simhash_pairs,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.operators.graph import (
+        triangle_counts,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.operators.ranking import (
+        ntile_from_rank,
+        with_global_rank,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.operators.textstats import (
+        winnowing_cap_report,
+        winnowing_matches,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.session import get_spark
+
+    spark = get_spark("stress10x-6")
+    docs0 = spark.read.parquet(f"{SF}/documents.parquet")
+    reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+    docs = (
+        docs0.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"), "text"
+        )
+        .persist()
+    )
+    nd = docs.count()
+    print(f"docs -> {nd}")
+
+    def timed(label, fn):
+        t = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t
+        print(f"STRESS {label}: {dt:.1f}s  ({out})")
+        return out
+
+    # 1) the dup-dense graph through AUTO dispatch (r3: exact spilled
+    # ~50 GB and died; the operator must now survive unattended)
+    sh_pairs = simhash_pairs(docs, max_hamming=3).select("id_a", "id_b").persist()
+    timed("simhash pairs(10x)", lambda: f"{sh_pairs.count()} pairs")
+
+    def _auto_tri():
+        # construction is eager (probe + sampled count + checkpoint), so
+        # it belongs INSIDE the timing
+        out = triangle_counts(sh_pairs, sample_p="auto")
+        assert "triangles_est" in out.columns, "dense graph must auto-sample"
+        return f"{out.count()} nodes, col={out.columns[1]}"
+
+    timed("triangle_counts(24M-edge graph, sample_p='auto')", _auto_tri)
+
+    # 2) exact global rank + ntile over 500k rows, no single-partition
+    # window anywhere (the doc_length_buckets shape at 100x entities)
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    )
+    ranked = with_global_rank(
+        toks, [("n_tokens", "asc"), ("doc_id", "asc")],
+        total_cols={"_total": "count"},
+    ).select(
+        "doc_id", ntile_from_rank(F.col("rnk"), F.col("_total"), 4).alias("b")
+    )
+    timed(
+        "exact ntile(500k rows, two-level rank)",
+        lambda: "{} rows, bucket sizes {}".format(
+            nd,
+            sorted(
+                (r["b"], r["n"])
+                for r in ranked.groupBy("b").agg(F.count("*").alias("n")).collect()
+            ),
+        ),
+    )
+
+    # 3) winnowing cap decision flow on the replica corpus: report, then
+    # exact only if affordable (the documented pipeline recipe)
+    rep = timed(
+        "winnowing_cap_report(500k docs, cap=50)",
+        lambda: winnowing_cap_report(docs, max_doc_freq=50).collect()[0].asDict(),
+    )
+    capped = timed(
+        "winnowing_matches(500k docs, cap=50)",
+        lambda: f"{winnowing_matches(docs, max_doc_freq=50).count()} pairs",
+    )
+    if rep["pairs_dropped_bound"] <= 50_000_000:
+        timed(
+            "winnowing_matches(500k docs, EXACT)",
+            lambda: f"{winnowing_matches(docs, max_doc_freq=None).count()} pairs",
+        )
+    else:
+        print(
+            f"STRESS winnowing EXACT skipped: pair bound "
+            f"{rep['pairs_dropped_bound']:,} over budget — the report is "
+            f"the point: the cap is mandatory here"
+        )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "fifth":
         fifth_session()
+    elif len(sys.argv) > 1 and sys.argv[1] == "sixth":
+        sixth_session()
     else:
         main()
