@@ -116,10 +116,11 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser(
         "build-index",
-        help="persisted DML-maintained ANN index: lsh (RP-LSH) or ivf",
+        help="persisted DML-maintained index: lsh (RP-LSH), ivf, or fts "
+        "(inverted keyword index)",
     )
     common(sp)
-    sp.add_argument("--kind", choices=["lsh", "ivf"], default="lsh")
+    sp.add_argument("--kind", choices=["lsh", "ivf", "fts"], default="lsh")
     sp.add_argument("--planes", type=int, default=4)
     sp.add_argument("--tables", type=int, default=8)
     sp.add_argument("--centroids", type=int, default=16)
@@ -331,6 +332,8 @@ def main(argv: list[str] | None = None) -> int:
             n = ws.build_ann_index(
                 dim=args.dim, n_planes=args.planes, n_tables=args.tables
             )
+        elif args.kind == "fts":
+            n = ws.build_fts()
         else:
             n = ws.build_ivf_index(dim=args.dim, n_centroids=args.centroids)
         _emit({"index": args.kind, "rows": n})

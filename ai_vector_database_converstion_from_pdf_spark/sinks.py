@@ -509,6 +509,7 @@ class Workspace:
         self._ann_append(chunks)
         self._ivf_append(chunks)
         self._rollup_append(chunks)
+        self._fts_append(chunks)
 
     def chunks_for_doc(self, doc_id: str) -> DataFrame:
         """Doc-scoped read. On a bucketed workspace the `_bucket`
@@ -588,11 +589,89 @@ class Workspace:
             )
         return df
 
-    # -- FTS index: derived, not dual-written (vs vector_store.cpp:192-201)
+    # -- FTS index: derived by default, optionally PERSISTED + maintained
+    # (vs vector_store.cpp:192-201 — the reference's FTS5 is a real
+    # at-rest index; dual-write consistency risk is avoided here because
+    # maintenance rides the SAME doc-keyed bucket-scoped DML as chunks)
     def fts_index(self) -> DataFrame:
+        """(token, id) inverted index. With `build_fts()` done, this is
+        a scan of the maintained `fts` table — serving no longer pays a
+        corpus tokenize + distinct per query (the 100 TB difference
+        between having an index and deriving one). Without it, derived
+        on the fly (small corpora, ad-hoc frames)."""
+        if self._fts_enabled() and self._exists("fts"):
+            return self._read_table("fts").select("token", "id")
         return build_fts_index(
             self.chunks(), id_col="id", text_col="text", heading_col="heading_path"
         )
+
+    def _fts_enabled(self) -> bool:
+        return self.get_metadata("fts_enabled") == "1"
+
+    def _fts_rows(self, chunk_rows: DataFrame) -> DataFrame:
+        """Posting rows for a batch of chunk rows: (token, id, doc_id
+        [, _bucket]) — doc_id/_bucket carried so the index maintains
+        with the same doc-keyed, bucket-scoped rewrites as the chunk
+        table. Heading tokens are indexed too (the reference's
+        `[CONTEXT: <heading>]` augmentation)."""
+        from .functions.text import tokens
+
+        body = F.concat_ws(
+            " ", F.coalesce(F.col("heading_path"), F.lit("")), F.col("text")
+        )
+        carry = [F.col("doc_id")] + (
+            [F.col("_bucket")] if "_bucket" in chunk_rows.columns else []
+        )
+        return chunk_rows.select(
+            F.col("id"), *carry, F.explode(tokens(body)).alias("token")
+        ).distinct()
+
+    @_logged
+    def build_fts(self) -> int:
+        """Persist the inverted index as a maintained `fts` table and
+        turn on maintenance for all subsequent DML. Returns posting rows
+        written. Like ann/ivf/rollup, the table partitions by `_bucket`
+        on a bucketed workspace so doc-level DML rewrites one index
+        bucket, not the index."""
+        self.set_metadata("fts_enabled", "1")
+        rows = self._fts_rows(self.chunks(fold_boosts=False))
+        self._overwrite("fts", rows)
+        return self._read_table("fts").count()
+
+    def _fts_append(self, chunk_rows: DataFrame) -> None:
+        """Index maintenance for a pure append: tokenize the batch,
+        append the postings. O(batch), no corpus read."""
+        if not self._fts_enabled() or not self._exists("fts"):
+            return
+        rows = self._fts_rows(chunk_rows)
+        self._append_bucketed("fts", rows, "_bucket" in rows.columns)
+
+    def _fts_replace_docs(
+        self,
+        doc_keys,
+        new_rows: DataFrame | None,
+        affected: list[int] | None,
+    ) -> None:
+        """Index maintenance for doc-level MERGE/DELETE: drop the touched
+        docs' postings (doc-keyed anti-join), insert fresh ones;
+        bucket-scoped swap when partitioned."""
+        if not self._fts_enabled() or not self._exists("fts"):
+            return
+        fresh = self._fts_rows(new_rows) if new_rows is not None else None
+        if affected:
+            cur = self._read_table("fts").filter(
+                F.col("_bucket").isin(affected)  # partition-pruned read
+            )
+            merged = cur.join(doc_keys, "doc_id", "left_anti")
+            if fresh is not None:
+                merged = merged.unionByName(fresh)
+            self._swap_buckets("fts", merged, affected)
+        else:
+            cur = self._read_table("fts")
+            merged = cur.join(doc_keys, "doc_id", "left_anti")
+            if fresh is not None:
+                merged = merged.unionByName(fresh)
+            self._overwrite("fts", merged)
 
     # -- S5 / S4 ----------------------------------------------------------
     def count(self) -> int:
@@ -602,12 +681,13 @@ class Workspace:
     def clear(self) -> None:
         for t in (
             "chunks", "boosts", "ann_lsh", "doc_rollup",
-            "ann_ivf", "ann_ivf_centroids",
+            "ann_ivf", "ann_ivf_centroids", "fts",
         ):
             self._fs.rmtree(self._tbl(t))
         self.delete_metadata("ann_params")
         self.delete_metadata("ivf_params")
         self.delete_metadata("doc_rollup")
+        self.delete_metadata("fts_enabled")
         # a cleared workspace is a FRESH workspace: the dimension, the
         # bucket-layout and the commit-protocol registrations must all
         # go, or the next add_chunks would be locked to the old layout
@@ -732,6 +812,7 @@ class Workspace:
             self._ann_replace_docs(doc_keys, updates, None)
             self._ivf_replace_docs(doc_keys, updates, None)
             self._rollup_replace_docs(doc_keys, updates, None)
+            self._fts_replace_docs(doc_keys, updates, None)
             return
         affected = sorted(stats["buckets"])
         current = self._read_table("chunks").filter(
@@ -744,6 +825,7 @@ class Workspace:
         self._ann_replace_docs(doc_keys, updates_b, affected)
         self._ivf_replace_docs(doc_keys, updates_b, affected)
         self._rollup_replace_docs(doc_keys, updates_b, affected)
+        self._fts_replace_docs(doc_keys, updates_b, affected)
 
     @_logged
     def delete_doc(self, doc_id: str) -> None:
@@ -765,6 +847,7 @@ class Workspace:
             self._ann_replace_docs(doc_keys, None, None)
             self._ivf_replace_docs(doc_keys, None, None)
             self._rollup_replace_docs(doc_keys, None, None)
+            self._fts_replace_docs(doc_keys, None, None)
             return
         affected = self._doc_buckets([doc_id], b)
         remaining = (
@@ -776,6 +859,7 @@ class Workspace:
         self._ann_replace_docs(doc_keys, None, affected)
         self._ivf_replace_docs(doc_keys, None, affected)
         self._rollup_replace_docs(doc_keys, None, affected)
+        self._fts_replace_docs(doc_keys, None, affected)
 
     def _swap_buckets(self, name: str, df: DataFrame, buckets: list[int]) -> None:
         """Per-bucket versioned swap: write only the given `_bucket`
@@ -1285,6 +1369,7 @@ class Workspace:
         for iname, sort_cols in (
             ("ann_lsh", ["table", "bucket"]),
             ("ann_ivf", ["centroid_id"]),
+            ("fts", ["token"]),
         ):
             if not self._exists(iname):
                 continue
