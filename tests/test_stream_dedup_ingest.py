@@ -105,3 +105,52 @@ def test_stream_dedup_empty_corpus_and_redelivery(spark, tmp_path):
     assert ws.count() == 3
     quar = spark.read.parquet(ws._tbl("dup_quarantine"))
     assert quar.count() == 3  # every re-delivered row accounted for
+
+
+def test_stream_upsert_under_manifest_protocol(spark, tmp_path):
+    """The streaming sink's per-batch merge_chunks rides the manifest
+    commit unchanged: postings land as immutable segments, the pointer
+    advances per micro-batch, results equal the rename-protocol run."""
+    import json
+    import os
+
+    ws = Workspace(spark, str(tmp_path / "mws"), commit_protocol="manifest")
+    seed = _chunks_df(spark, n=6)
+    ws.add_chunks(seed, partition_buckets=4)
+
+    batch = (
+        _chunks_df(spark, n=3)
+        .withColumn("id", F.col("id") + 2000)
+        .withColumn("doc_id", F.col("id").cast("string"))
+    )
+    batch = _with_text(
+        batch,
+        {
+            2000: "stream-only fresh content row alpha",
+            2001: "stream-only fresh content row beta",
+            2002: "stream-only fresh content row gamma",
+        },
+    )
+    src = str(tmp_path / "min")
+    batch.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(src).schema)
+        .load(src)
+    )
+    q = stream_dedup_upsert_to_workspace(
+        stream, ws, str(tmp_path / "mckpt"), threshold=0.6
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert ws.count() == 9
+    got = {r["doc_id"] for r in ws.chunks().select("doc_id").collect()}
+    assert {"2000", "2001", "2002"} <= got
+    m = json.load(open(ws._tbl("chunks") + "/_manifest.json"))
+    assert m["v"] >= 2  # seed + at least one micro-batch commit
+    # chunk data lives only in pointer-named segments
+    for d in os.listdir(ws._tbl("chunks")):
+        if d.startswith("_bucket="):
+            segs = os.listdir(f"{ws._tbl('chunks')}/{d}")
+            assert all(s.startswith("seg-") for s in segs), segs
