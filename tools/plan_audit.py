@@ -193,6 +193,15 @@ EXPECT = {
     "text_readability": ["!SortMergeJoin", "!BroadcastHashJoin", "!MapInPandas"],
     # posting-list pair explosion with the hot cap — no all-pairs join
     "winnowing_matches": ["!MapInPandas", "!BroadcastNestedLoopJoin"],
+    # derived-partsupp family: the supplier→nation→region dim chain and
+    # the decorrelated scalar/min sides must broadcast; nothing in the
+    # family may fall back to a cartesian product
+    "tpch_q2_min_cost_supplier": ["BroadcastHashJoin", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    "tpch_q9_product_type_profit": ["BroadcastHashJoin", "PushedFilters", "!CartesianProduct"],
+    # the one-row cutoff joins back by broadcast NLJ (no key), never cartesian
+    "tpch_q11_important_stock": ["BroadcastHashJoin", "!CartesianProduct"],
+    "tpch_q16_parts_supplier_relationship": ["BroadcastHashJoin", "LeftAnti", "!CartesianProduct"],
+    "tpch_q20_potential_part_promotion": ["BroadcastHashJoin", "PushedFilters", "!CartesianProduct"],
 }
 
 
