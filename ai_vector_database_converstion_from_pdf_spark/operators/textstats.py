@@ -218,11 +218,13 @@ def winnowing_fingerprint_set(
 def winnowing_matches(
     docs: DataFrame,
     min_shared: int = 5,
-    max_doc_freq: int | None = 50,
+    max_doc_freq: int | None | str = 50,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = WINNOW_K,
     w: int = WINNOW_W,
+    auto_pair_budget: int = 50_000_000,
+    auto_cap: int = 50,
 ) -> DataFrame:
     """MOSS-style match pairs: (id_a < id_b, n_shared) for document
     pairs sharing >= min_shared winnowing fingerprints — the actual
@@ -244,10 +246,51 @@ def winnowing_matches(
     `max_doc_freq=None` runs EXACT (every posting list expands — only
     safe when `winnowing_cap_report` says the hot tail is small);
     `winnowing_cap_report(docs, max_doc_freq)` quantifies what the cap
-    drops so a pipeline can decide instead of guessing."""
+    drops so a pipeline can decide instead of guessing.
+
+    `max_doc_freq="auto"` runs that decision flow itself (the
+    triangle_counts sample_p="auto" idiom): one posting-frequency
+    aggregate bounds the EXACT pair-expansion volume sum C(df,2); below
+    `auto_pair_budget` the exact mode runs (nothing dropped), above it
+    the `auto_cap` default applies and the choice is logged with the
+    dropped-pair bound — a replica-dense corpus degrades to the capped
+    under-count instead of an unbounded pair explosion."""
     from ..operators.dedup import _sorted_id_pairs
 
     fp = winnowing_fingerprint_set(docs, id_col, text_col, k, w)
+    if max_doc_freq == "auto":
+        # dispatch probe: the cap report's count-only aggregate (no id
+        # lists carried, no pair explosion) bounds the EXACT expansion
+        # volume sum C(df,2); one cheap pass before the real build.
+        dfs = (
+            fp.groupBy("wmin")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"))
+            .filter(F.col("df") > 1)
+        )
+        vol = (F.col("df") * (F.col("df") - 1) / 2).cast("long")
+        row = dfs.agg(
+            F.sum(vol).alias("exact_vol"),
+            F.sum(F.when(F.col("df") <= auto_cap, vol).otherwise(0)).alias(
+                "capped_vol"
+            ),
+        ).first()
+        exact_vol = row["exact_vol"] or 0
+        if exact_vol <= auto_pair_budget:
+            max_doc_freq = None
+        else:
+            max_doc_freq = auto_cap
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "winnowing_matches auto-dispatch: exact pair bound %d exceeds "
+                "budget %d — applying hot-fingerprint cap %d (pair bound %d; "
+                "pairs whose shared fingerprints are all hot are dropped — "
+                "see winnowing_cap_report)",
+                int(exact_vol),
+                int(auto_pair_budget),
+                auto_cap,
+                int(row["capped_vol"] or 0),
+            )
     pl = fp.groupBy("wmin").agg(F.collect_set("id").alias("ids")).filter(
         F.size("ids") > 1
     )

@@ -80,3 +80,47 @@ def test_cap_report_quantifies_drop(spark):
     assert rep.pairs_kept_bound >= 1  # the genuine pair's cold prints
     rep_hi = winnowing_cap_report(docs, max_doc_freq=500).collect()[0]
     assert rep_hi.n_hot == 0 and rep_hi.pairs_dropped_bound == 0
+
+
+def test_auto_dispatch_exact_when_affordable(spark):
+    """Under budget the auto mode IS the exact mode: boilerplate-only
+    pairs survive (nothing dropped)."""
+    from ai_vector_database_converstion_from_pdf_spark.operators.textstats import (
+        winnowing_matches,
+    )
+
+    docs = _corpus(spark)
+    auto = sorted(
+        tuple(r)
+        for r in winnowing_matches(docs, min_shared=3, max_doc_freq="auto").collect()
+    )
+    exact = sorted(
+        tuple(r)
+        for r in winnowing_matches(docs, min_shared=3, max_doc_freq=None).collect()
+    )
+    assert auto == exact
+    assert any(a < 50 and b < 50 for a, b, _ in auto)  # boilerplate family kept
+
+
+def test_auto_dispatch_caps_over_budget(spark):
+    """Over budget the auto mode applies auto_cap: identical output to
+    the capped run — the replica family is dropped, the genuine pair
+    survives through its cold fingerprints."""
+    from ai_vector_database_converstion_from_pdf_spark.operators.textstats import (
+        winnowing_matches,
+    )
+
+    docs = _corpus(spark)
+    auto = sorted(
+        tuple(r)
+        for r in winnowing_matches(
+            docs, min_shared=3, max_doc_freq="auto", auto_pair_budget=10, auto_cap=8
+        ).collect()
+    )
+    capped = sorted(
+        tuple(r)
+        for r in winnowing_matches(docs, min_shared=3, max_doc_freq=8).collect()
+    )
+    assert auto == capped
+    assert all(not (a < 50 and b < 50) for a, b, _ in auto)
+    assert any((a, b) == (100, 101) for a, b, _ in auto)
