@@ -167,3 +167,69 @@ def contaminated_ids(
         .select("train_id")
         .distinct()
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    eval_vecs: DataFrame,
+    threshold: float = 0.30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination: flag corpus vectors whose cosine
+    to ANY eval vector reaches `threshold` — the semantic sibling of
+    `ngram_contamination` for paraphrased/reworded benchmark leakage
+    that shares no 13-gram. Output: (id, n_eval_matches, max_cos), one
+    row per contaminated corpus vector.
+
+    Scale shape mirrors the n-gram path's broadcast asymmetry: the eval
+    suite is always tiny next to training data, so the normalized eval
+    matrix broadcasts whole and the corpus streams through one
+    shuffle-free mapInPandas GEMM scan (per-batch flops = batch x eval —
+    linear in corpus size, BLAS rate). Numerics follow
+    dedup.embedding_near_dup_pairs: float64 normalize (zero-norm rows
+    can never match), round(cos, 6) before the threshold compare so the
+    oracle's dot/(norm*norm) form agrees."""
+    import numpy as np
+    import pandas as pd
+
+    eval_rows = eval_vecs.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).collect()  # eval-suite-sized: the deliberate, documented collect
+    E = np.array([list(r["v"]) for r in eval_rows], dtype=np.float64)
+    if len(E) == 0:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{id_col} long, n_eval_matches long, max_cos double"
+        )
+    en = np.linalg.norm(E, axis=1)
+    nz = en > 0
+    En = np.zeros_like(E)
+    En[nz] = E[nz] / en[nz, None]
+    thr = float(threshold)
+    side = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            an = np.linalg.norm(A, axis=1)
+            anz = an > 0
+            An = np.zeros_like(A)
+            An[anz] = A[anz] / an[anz, None]
+            cos = np.round(An @ En.T, 6)
+            hits = cos >= thr
+            n = hits.sum(axis=1)
+            keep = n > 0
+            if not keep.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy()[keep],
+                    "n_eval_matches": n[keep].astype("int64"),
+                    "max_cos": cos[keep].max(axis=1),
+                }
+            )
+
+    out = side.mapInPandas(score, "id long, n_eval_matches long, max_cos double")
+    return out.withColumnRenamed("id", id_col)

@@ -117,6 +117,7 @@ HEADLINE = [
     "tpch_q11_important_stock",
     "tpch_q16_parts_supplier_relationship",
     "tpch_q20_potential_part_promotion",
+    "decontaminate_semantic",
     # NOT benched: bpe_* (the per-session training cache would turn
     # min-of-N replays into cache reads — see catalog._bpe_trained)
 ]

@@ -124,3 +124,33 @@ def test_repetition_flags(spark):
     assert rows[1]["ttr"] == 0.25
     assert rows[2]["keep"] is True and rows[2]["top2_frac"] <= 0.2
     assert rows[3]["top2_frac"] == 0.0 and rows[3]["keep"] is True
+
+
+def test_semantic_contamination_flags_paraphrase_analog(spark):
+    """A corpus vector that is a scaled+lightly-noised copy of an eval
+    vector is flagged (cosine ~1 survives scaling); an orthogonal vector
+    is not; zero-norm vectors can never match; empty eval => empty out."""
+    from ai_vector_database_converstion_from_pdf_spark.operators.decontaminate import (
+        semantic_contamination,
+    )
+
+    ev = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, [3.0, 0.03, 0.0, 0.0]),   # scaled near-copy of eval 0
+            (11, [0.0, 0.0, 1.0, 0.0]),    # orthogonal to both
+            (12, [0.0, 0.0, 0.0, 0.0]),    # zero norm
+            (13, [0.5, 0.5, 0.0, 0.0]),    # cos ~0.707 to BOTH
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.vec_id: r for r in semantic_contamination(corpus, ev, 0.5).collect()}
+    assert set(rows) == {10, 13}
+    assert rows[10].n_eval_matches == 1 and rows[10].max_cos > 0.99
+    assert rows[13].n_eval_matches == 2 and abs(rows[13].max_cos - 0.707107) < 1e-6
+    empty = semantic_contamination(corpus, ev.filter("vec_id < 0"), 0.5)
+    assert empty.count() == 0
+    assert empty.columns == ["vec_id", "n_eval_matches", "max_cos"]
