@@ -388,10 +388,78 @@ def sixth_session() -> None:
         )
 
 
+def seventh_session() -> None:
+    """Round-4 seventh-session scale paths:
+    - semantic decontamination at 10x: ~19.4k corpus vectors x 643 eval
+      vectors through the broadcast-GEMM scan (eval side = the
+      replicated fixture's % 31 slice — a realistically large
+      benchmark suite relative to the 2k-vector embeddings fixture),
+    - winnowing auto-dispatch THROUGH the operator on the replica
+      corpus: it must detect the 13.6B-pair exact bound and self-apply
+      the cap (the sixth-session flow without the human in the loop).
+    Usage: python tools/stress10x.py seventh"""
+    from pyspark.sql import functions as F
+
+    from ai_vector_database_converstion_from_pdf_spark.operators.decontaminate import (
+        semantic_contamination,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.operators.textstats import (
+        winnowing_matches,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.session import get_spark
+
+    spark = get_spark("stress10x-7")
+
+    def timed(label, fn):
+        t = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t
+        print(f"STRESS {label}: {dt:.1f}s  ({out})")
+        return out
+
+    emb0 = spark.read.parquet(f"{SF}/embeddings.parquet")
+    reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+    emb = (
+        emb0.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"),
+            "embedding",
+        )
+        .persist()
+    )
+    n = emb.count()
+    ev = emb.filter(F.col("vec_id") % 31 == 0).persist()
+    ne = ev.count()
+    corpus = emb.filter(F.col("vec_id") % 31 != 0)
+    print(f"vectors -> {n} ({ne} eval)")
+    timed(
+        f"semantic_contamination({n - ne} corpus x {ne} eval)",
+        lambda: f"{semantic_contamination(corpus, ev, threshold=0.30).count()} flagged",
+    )
+
+    docs0 = spark.read.parquet(f"{SF}/documents.parquet")
+    docs = (
+        docs0.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"), "text"
+        )
+        .persist()
+    )
+    nd = docs.count()
+    print(f"docs -> {nd}")
+    timed(
+        "winnowing_matches(500k docs, max_doc_freq='auto')",
+        lambda: f"{winnowing_matches(docs, max_doc_freq='auto').count()} pairs "
+        "(expect the capped under-count: the auto probe must refuse exact)",
+    )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "fifth":
         fifth_session()
     elif len(sys.argv) > 1 and sys.argv[1] == "sixth":
         sixth_session()
+    elif len(sys.argv) > 1 and sys.argv[1] == "seventh":
+        seventh_session()
     else:
         main()
