@@ -202,18 +202,30 @@ EXPECT = {
     "tpch_q11_important_stock": ["BroadcastHashJoin", "!CartesianProduct"],
     "tpch_q16_parts_supplier_relationship": ["BroadcastHashJoin", "LeftAnti", "!CartesianProduct"],
     "tpch_q20_potential_part_promotion": ["BroadcastHashJoin", "PushedFilters", "!CartesianProduct"],
+    # eval matrix rides in the mapInPandas closure: ONE Python GEMM
+    # stage over the corpus scan, no join, no corpus shuffle
+    "decontaminate_semantic": ["MapInPandas", "!SortMergeJoin", "!BroadcastHashJoin"],
+    # CEP per-user sequence: one groupBy(user) carrying the collect +
+    # codegen'd regexp counts — no join, no corpus window, no UDF
+    "events_sequence_pattern": ["!SortMergeJoin", "!BroadcastHashJoin", "!MapInPandas"],
+    # trapezoidal TWA: the lead window and the final agg share the
+    # user_id key — no join, no UDF
+    "events_time_weighted_avg": ["!SortMergeJoin", "!BroadcastHashJoin", "!MapInPandas"],
 }
 
 
-def main() -> int:
+def audit(spark, names=None, verbose=True):
+    """Build each named entry's physical plan at sf0.01 and check its
+    EXPECT assertions. Returns (failures, report_lines). Shared by the
+    CLI (full map -> PLANS.md) and tests/test_plan_regress.py (fast
+    lazy-construction subset inside the pytest gate)."""
     from ai_vector_database_converstion_from_pdf_spark import catalog
-    from ai_vector_database_converstion_from_pdf_spark.session import get_spark
 
-    spark = get_spark("plan-audit", cpus=8)
     qs = catalog.queries()
     out = ["# PLANS — physical-plan audit (sf0.01)\n"]
     failures = []
-    for name, wants in EXPECT.items():
+    for name in names or EXPECT:
+        wants = EXPECT[name]
         df = qs[name](spark, SF)
         qe = df._jdf.queryExecution()
         plan = qe.executedPlan().toString() + "\n" + qe.toString()
@@ -236,7 +248,16 @@ def main() -> int:
         if missing:
             failures.append(name)
         out.append(f"## {name} — {status}\n\n`{marks}`\n")
-        print(name, status, marks)
+        if verbose:
+            print(name, status, marks)
+    return failures, out
+
+
+def main() -> int:
+    from ai_vector_database_converstion_from_pdf_spark.session import get_spark
+
+    spark = get_spark("plan-audit", cpus=8)
+    failures, out = audit(spark)
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("\n".join(out))
     return 1 if failures else 0
