@@ -454,6 +454,63 @@ def stream_dedup_upsert_to_workspace(
     )
 
 
+def streaming_funnel_counts(events: DataFrame) -> DataFrame:
+    """Flink-CEP-style streaming pattern detection: the strict funnel
+    `view, click+, purchase` counted per user ACROSS micro-batches —
+    the incremental counterpart of the batch `events_sequence_pattern`
+    catalog entry, with identical non-overlapping leftmost-match
+    semantics (tests drive the equivalence against the batch regexp).
+
+    The whole pattern lives in a 3-state automaton, so per-user state
+    is two integers — (dfa_state, n_strict) — regardless of history
+    length: S0 --v--> S1 --c--> S2 --p--> match (reset to S0); a `v`
+    restarts S1 from anywhere (a fresh candidate window), any other
+    code falls back to S0. That constant-size state is what makes the
+    operator stream-safe where the batch entry's collect_list is not.
+
+    Events are ordered by (ts, event_id) WITHIN each micro-batch by
+    the operator itself; the cross-batch contract is per-user in-order
+    arrival (split drops on event time — the standard CEP source
+    contract; compose with a watermarked sort upstream for late data).
+
+    Emits one row per (user, micro-batch): batch_matches plus the
+    running n_strict."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, batch_matches long, n_strict long"
+    state_schema = "dfa long, n_strict long"
+
+    def fn(key, pdf_iter, state: GroupState):
+        dfa, n = state.get if state.exists else (0, 0)
+        start = n
+        frames = [pdf for pdf in pdf_iter]
+        pdf = pd.concat(frames).sort_values(["ts", "event_id"])
+        for et in pdf["event_type"]:
+            code = et[:1]
+            if code == "v":
+                dfa = 1
+            elif code == "c":
+                dfa = 2 if dfa in (1, 2) else 0
+            elif code == "p" and dfa == 2:
+                n += 1
+                dfa = 0
+            else:
+                dfa = 0
+        state.update((dfa, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "batch_matches": [n - start],
+                "n_strict": [n],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_dsir_score(
     docs_stream: DataFrame,
     lam_rows,

@@ -197,3 +197,129 @@ def test_stream_stream_attribution_join_equals_batch(spark, tmp_path):
     # and matches genuinely crossed micro-batch boundaries
     crossing = {(c, p) for c, p in batch if c % 2 != p % 2}
     assert crossing & got
+
+
+def test_streaming_funnel_matches_batch_and_spans_batches(spark, tmp_path):
+    """The streaming DFA must (a) equal the batch regexp count when all
+    of a user's history has arrived, and (b) complete a pattern whose
+    prefix arrived in an earlier micro-batch (state-store carry)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ai_vector_database_converstion_from_pdf_spark.catalog import (
+        events_sequence_pattern,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.sources.tables import (
+        load_events,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.streaming.ingest_stream import (
+        read_event_stream,
+        streaming_funnel_counts,
+    )
+
+    ev = load_events(spark, SF_ORACLE).filter(F.col("user_id") < 30).cache()
+    cut = ev.agg(F.expr("percentile_approx(ts, 0.5)")).collect()[0][0]
+    path = str(tmp_path / "drops")
+    # drop 1 = older half, drop 2 = newer half: per-user in-order arrival
+    ev.filter(F.col("ts") <= F.lit(cut)).coalesce(1).write.parquet(path)
+    tmp2 = str(tmp_path / "drop2")
+    ev.filter(F.col("ts") > F.lit(cut)).coalesce(1).write.parquet(tmp2)
+    for i, f in enumerate(glob.glob(f"{tmp2}/part-*.parquet")):
+        shutil.copy(f, f"{path}/zz-second-{i}.parquet")
+
+    out = streaming_funnel_counts(read_event_stream(spark, path, max_files=1))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("funnels")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("SELECT * FROM funnels").collect()
+    final = {}
+    spanned = 0
+    for r in rows:
+        final[r["user_id"]] = max(final.get(r["user_id"], 0), r["n_strict"])
+    per_user_rows = {}
+    for r in rows:
+        per_user_rows.setdefault(r["user_id"], []).append(r)
+    spanned = sum(
+        1
+        for rs in per_user_rows.values()
+        if len(rs) >= 2 and min(r["batch_matches"] for r in rs) >= 0
+    )
+    assert spanned > 0
+
+    # write the filtered subset as a fixture dir for the batch entry
+    d = tmp_path / "sf"
+    ev.write.parquet(str(d / "events.parquet"))
+    batch = {
+        r["user_id"]: r["n_strict"]
+        for r in events_sequence_pattern(spark, str(d)).collect()
+    }
+    assert final == {u: n for u, n in batch.items()}
+
+
+def test_streaming_funnel_prefix_carries_across_batches(spark, tmp_path):
+    """v,c in drop 1 and p in drop 2 must still count — the automaton
+    state (not just totals) survives the micro-batch boundary."""
+    import datetime
+    import glob
+    import shutil
+
+    from ai_vector_database_converstion_from_pdf_spark.streaming.ingest_stream import (
+        read_event_stream,
+        streaming_funnel_counts,
+    )
+
+    UTC = datetime.timezone.utc
+
+    def _df(rows):
+        return spark.createDataFrame(
+            [
+                (
+                    eid,
+                    datetime.datetime.fromtimestamp(ts, UTC).replace(tzinfo=None),
+                    uid,
+                    et,
+                    0.0,
+                    "{}",
+                )
+                for eid, ts, uid, et in rows
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+
+    path = str(tmp_path / "drops")
+    _df([(1, 100, 7, "view"), (2, 101, 7, "click")]).coalesce(1).write.parquet(
+        path
+    )
+    tmp2 = str(tmp_path / "drop2")
+    _df([(3, 102, 7, "purchase")]).coalesce(1).write.parquet(tmp2)
+    for i, f in enumerate(glob.glob(f"{tmp2}/part-*.parquet")):
+        shutil.copy(f, f"{path}/zz-second-{i}.parquet")
+
+    out = streaming_funnel_counts(read_event_stream(spark, path, max_files=1))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("funnel_span")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = sorted(
+        spark.sql("SELECT * FROM funnel_span").collect(),
+        key=lambda r: r["n_strict"],
+    )
+    assert [r["n_strict"] for r in rows] == [0, 1]
+    assert rows[-1]["batch_matches"] == 1
