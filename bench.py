@@ -118,6 +118,8 @@ HEADLINE = [
     "tpch_q16_parts_supplier_relationship",
     "tpch_q20_potential_part_promotion",
     "decontaminate_semantic",
+    "events_sequence_pattern",
+    "events_time_weighted_avg",
     # NOT benched: bpe_* (the per-session training cache would turn
     # min-of-N replays into cache reads — see catalog._bpe_trained)
 ]
