@@ -38,6 +38,9 @@ FAST_SUBSET = [
     "events_lag_features",
     "events_sequence_pattern",
     "events_time_weighted_avg",
+    "events_attribution",
+    "token_budget_select",
+    "dedup_containment",
     "events_decayed_engagement",
     "events_markov_transitions",
     "orders_priority_islands",

@@ -1,0 +1,180 @@
+"""Hand-computed semantics for the round-4 additions: directed shingle
+containment, first/last-touch attribution, and token-budget selection
+(tests/test_catalog_oracle.py covers their DuckDB parity; these pin the
+math independently on constructed inputs)."""
+
+import datetime
+
+from ai_vector_database_converstion_from_pdf_spark.catalog import (
+    events_attribution,
+    token_budget_select,
+)
+from ai_vector_database_converstion_from_pdf_spark.operators.dedup import (
+    containment_pairs,
+)
+
+UTC = datetime.timezone.utc
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (
+                eid,
+                datetime.datetime.fromtimestamp(ts, UTC).replace(tzinfo=None),
+                uid,
+                et,
+                float(v),
+                "{}",
+            )
+            for eid, ts, uid, et, v in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+class TestContainment:
+    def test_asymmetric_quote_wrap(self, spark):
+        # doc 1 = 6 tokens pasted verbatim inside doc 2's 14 tokens.
+        # 3-gram shingles: S(1) = 4 shingles, all present in S(2) (12
+        # shingles) -> C(1->2) = 1.0 but C(2->1) = 4/12 = 0.33 and
+        # Jaccard = 4/12 = 0.33 — symmetric dedup at 0.8 misses it.
+        inner = "alpha beta gamma delta epsilon zeta"
+        docs = _docs(
+            spark,
+            [
+                (1, inner, "s"),
+                (2, f"one two three four {inner} five six seven eight", "s"),
+            ],
+        )
+        out = {
+            (r["id_contained"], r["id_container"]): r["containment"]
+            for r in containment_pairs(docs, threshold=0.9).collect()
+        }
+        assert out == {(1, 2): 1.0}
+        # both directions surface once the threshold drops below 4/12
+        lo = {
+            (r["id_contained"], r["id_container"]): r["containment"]
+            for r in containment_pairs(docs, threshold=0.3).collect()
+        }
+        assert lo[(1, 2)] == 1.0
+        assert abs(lo[(2, 1)] - round(4 / 12, 6)) < 1e-9
+
+    def test_no_shared_shingles_no_pair(self, spark):
+        docs = _docs(
+            spark,
+            [(1, "a b c d e", "s"), (2, "v w x y z", "s")],
+        )
+        assert containment_pairs(docs, threshold=0.0).count() == 0
+
+    def test_hot_shingle_cap_drops_join_and_denominator(self, spark):
+        # one shingle shared by 3 docs; cap=2 removes it from the join
+        # AND from |S(A)|, so the remaining private shingles make the
+        # docs non-candidates (no surviving shared shingle -> no pair).
+        hot = "common common common common"  # shingles all hot (df=3)
+        docs = _docs(
+            spark,
+            [
+                (1, f"{hot} aa bb cc", "s"),
+                (2, f"{hot} dd ee ff", "s"),
+                (3, f"{hot} gg hh ii", "s"),
+            ],
+        )
+        capped = containment_pairs(docs, threshold=0.0, max_doc_freq=2)
+        assert capped.count() == 0
+        # uncapped: the hot shingles connect all three docs
+        assert containment_pairs(docs, threshold=0.0).count() > 0
+
+
+class TestAttribution:
+    def test_touch_matrix(self, spark, tmp_path):
+        # user 1: view click purchase(5) click purchase(7)
+        #   p1: first=view last=click ; p2: first=view last=click
+        # user 2: purchase(3)  -> (none, none)
+        # user 3: error purchase(2) purchase(4)
+        #   both purchases: first=error last=error (the intervening
+        #   purchase is NOT a touch)
+        rows = [
+            (1, 100, 1, "view", 0),
+            (2, 110, 1, "click", 0),
+            (3, 120, 1, "purchase", 5),
+            (4, 130, 1, "click", 0),
+            (5, 140, 1, "purchase", 7),
+            (6, 100, 2, "purchase", 3),
+            (7, 100, 3, "error", 0),
+            (8, 110, 3, "purchase", 2),
+            (9, 120, 3, "purchase", 4),
+        ]
+        d = tmp_path / "sf"
+        _events(spark, rows).write.parquet(str(d / "events.parquet"))
+        out = {
+            (r["first_touch"], r["last_touch"]): (
+                r["conversions"],
+                r["revenue"],
+            )
+            for r in events_attribution(spark, str(d)).collect()
+        }
+        assert out == {
+            ("view", "click"): (2, 12.0),
+            ("none", "none"): (1, 3.0),
+            ("error", "error"): (2, 6.0),
+        }
+
+    def test_same_ts_tie_broken_by_event_id(self, spark, tmp_path):
+        # click and purchase share ts; event_id order places the click
+        # BEFORE the purchase, so it is the last touch.
+        rows = [
+            (1, 100, 1, "view", 0),
+            (2, 200, 1, "click", 0),
+            (3, 200, 1, "purchase", 1),
+        ]
+        d = tmp_path / "sf"
+        _events(spark, rows).write.parquet(str(d / "events.parquet"))
+        [r] = events_attribution(spark, str(d)).collect()
+        assert (r["first_touch"], r["last_touch"]) == ("view", "click")
+
+
+class TestTokenBudget:
+    def test_greedy_quality_prefix(self, spark, tmp_path):
+        # source s: doc 1 quality 1.0 (5 distinct / 5), 5 tokens
+        #           doc 2 quality 0.5 (2 distinct / 4), 4 tokens
+        #           doc 3 quality 1.0, 390 tokens
+        # order: (1.0, doc 1), (1.0, doc 3), (0.5, doc 2)
+        # cum:    5, 395, 399 -> all within the 400 budget
+        # source t: one 401-token doc -> cum 401 > 400, excluded
+        big = " ".join(f"w{i}" for i in range(390))
+        over = " ".join(f"x{i}" for i in range(401))
+        docs = _docs(
+            spark,
+            [
+                (1, "a b c d e", "s"),
+                (2, "a a b b", "s"),
+                (3, big, "s"),
+                (4, over, "t"),
+            ],
+        )
+        d = tmp_path / "sf"
+        docs.write.parquet(str(d / "documents.parquet"))
+        rows = token_budget_select(spark, str(d)).collect()
+        got = {r["doc_id"]: (r["cum_tokens"], r["quality"]) for r in rows}
+        assert got == {1: (5, 1.0), 3: (395, 1.0), 2: (399, 0.5)}
+
+    def test_budget_cuts_lowest_quality_first(self, spark, tmp_path):
+        # two 250-token docs in one source: only the higher-quality one
+        # fits the 400 budget; doc_id breaks the quality tie elsewhere.
+        hiq = " ".join(f"a{i}" for i in range(250))  # quality 1.0
+        loq = " ".join(["dup"] * 250)  # quality 1/250
+        docs = _docs(spark, [(1, loq, "s"), (2, hiq, "s")])
+        d = tmp_path / "sf"
+        docs.write.parquet(str(d / "documents.parquet"))
+        rows = token_budget_select(spark, str(d)).collect()
+        assert [r["doc_id"] for r in rows] == [2]
+        assert rows[0]["cum_tokens"] == 250

@@ -211,6 +211,15 @@ EXPECT = {
     # trapezoidal TWA: the lead window and the final agg share the
     # user_id key — no join, no UDF
     "events_time_weighted_avg": ["!SortMergeJoin", "!BroadcastHashJoin", "!MapInPandas"],
+    # first/last-touch: both window frames share ONE user_id shuffle;
+    # no self-join against the event history, no UDF
+    "events_attribution": ["!SortMergeJoin", "!BroadcastHashJoin", "!MapInPandas"],
+    # greedy per-source prefix: source-partitioned cum-sum window only —
+    # never a global (unpartitioned) window, no join, no UDF
+    "token_budget_select": ["!SortMergeJoin", "!BroadcastHashJoin", "!MapInPandas"],
+    # posting-list containment: pair explode from the grouped postings,
+    # directed scores map-side — same no-SMJ shape as the Jaccard entry
+    "dedup_containment": ["!SortMergeJoin"],
 }
 
 
