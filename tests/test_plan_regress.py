@@ -41,6 +41,8 @@ FAST_SUBSET = [
     "events_attribution",
     "token_budget_select",
     "dedup_containment",
+    "maxsim_multi_vector",
+    "events_ab_welch",
     "events_decayed_engagement",
     "events_markov_transitions",
     "orders_priority_islands",

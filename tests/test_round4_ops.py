@@ -178,3 +178,106 @@ class TestTokenBudget:
         rows = token_budget_select(spark, str(d)).collect()
         assert [r["doc_id"] for r in rows] == [2]
         assert rows[0]["cum_tokens"] == 250
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+class TestMaxSim:
+    def test_late_interaction_scores(self, spark, tmp_path):
+        import math
+
+        # doc 0 = vecs 0-4 (contains the three query vectors themselves
+        # -> per-query max cos = 1.0 each, maxsim 3.0)
+        # doc 1 = vecs 5-9: best-per-query 1.0 / 0.6 / cos(8deg off 45)
+        r2 = math.sqrt(2) / 2
+        rows = [
+            (0, (1, 0)),
+            (1, (0, 1)),
+            (2, (r2, r2)),
+            (3, (-1, 0)),
+            (4, (0, -1)),
+            (5, (1, 0)),
+            (6, (0.8, 0.6)),
+            (7, (-1, 0)),
+            (8, (0, -1)),
+            (9, (-0.6, -0.8)),
+        ]
+        d = tmp_path / "sf"
+        _emb(spark, rows).write.parquet(str(d / "embeddings.parquet"))
+        from ai_vector_database_converstion_from_pdf_spark.catalog import (
+            maxsim_multi_vector,
+        )
+
+        out = [(r["doc_id"], r["maxsim"]) for r in
+               maxsim_multi_vector(spark, str(d)).collect()]
+        # doc1: q0 max=1.0 (vec5), q1 max=0.6 (vec6), q2 max=(0.8+0.6)*r2
+        exp1 = round(1.0 + 0.6 + round((0.8 + 0.6) * r2, 6), 6)
+        assert out == [(0, 3.0), (1, exp1)]
+
+
+class TestMutualKnn:
+    def test_one_way_hub_edges_excluded(self, spark, tmp_path):
+        import itertools
+        import math
+
+        # vecs 0-3: tight cluster (0..3 deg) — each member's top-3 are
+        # the other members. vec 4: hub at 45 deg — its top-3 are
+        # cluster members, but no cluster member ranks the hub in ITS
+        # top-3 -> all hub edges are one-way. vec 5 at 180 deg: below
+        # the cosine floor entirely.
+        def at(deg):
+            a = math.radians(deg)
+            return (math.cos(a), math.sin(a))
+
+        rows = [(i, at(d)) for i, d in enumerate([0, 1, 2, 3, 45, 180])]
+        d = tmp_path / "sf"
+        _emb(spark, rows).write.parquet(str(d / "embeddings.parquet"))
+        from ai_vector_database_converstion_from_pdf_spark.catalog import (
+            mutual_knn_pairs,
+        )
+
+        got = {(r["id_a"], r["id_b"]) for r in
+               mutual_knn_pairs(spark, str(d)).collect()}
+        assert got == set(itertools.combinations(range(4), 2))
+
+
+class TestWelch:
+    def test_t_and_df_match_hand_computation(self, spark, tmp_path):
+        import math
+
+        # event 'x': control (even users) values [1,2,3]; treat (odd)
+        # [2,4]. event 'y': control has a single row -> excluded.
+        rows = [
+            (1, 100, 2, "x", 1),
+            (2, 110, 2, "x", 2),
+            (3, 120, 4, "x", 3),
+            (4, 100, 1, "x", 2),
+            (5, 110, 3, "x", 4),
+            (6, 100, 2, "y", 9),
+            (7, 100, 1, "y", 1),
+            (8, 110, 3, "y", 2),
+        ]
+        d = tmp_path / "sf"
+        _events(spark, rows).write.parquet(str(d / "events.parquet"))
+        from ai_vector_database_converstion_from_pdf_spark.catalog import (
+            events_ab_welch,
+        )
+
+        out = {r["event_type"]: r for r in
+               events_ab_welch(spark, str(d)).collect()}
+        assert list(out) == ["x"]
+        r = out["x"]
+        n0, m0, v0 = 3, 2.0, 1.0
+        n1, m1, v1 = 2, 3.0, 2.0
+        se2 = v0 / n0 + v1 / n1
+        t = (m1 - m0) / math.sqrt(se2)
+        df = se2**2 / ((v0 / n0) ** 2 / (n0 - 1) + (v1 / n1) ** 2 / (n1 - 1))
+        assert (r["n_control"], r["n_treat"]) == (3, 2)
+        assert r["mean_diff"] == 1.0
+        assert abs(r["t_welch"] - round(t, 6)) < 1e-9
+        assert abs(r["df_welch"] - round(df, 6)) < 1e-9

@@ -220,6 +220,20 @@ EXPECT = {
     # posting-list containment: pair explode from the grouped postings,
     # directed scores map-side — same no-SMJ shape as the Jaccard entry
     "dedup_containment": ["!SortMergeJoin"],
+    # late interaction: tiny query set broadcast into a codegen'd
+    # corpus scan (corpus x |Q| rows), two keyed aggs, TakeOrdered
+    "maxsim_multi_vector": [
+        "BroadcastNestedLoopJoin", "TakeOrderedAndProject",
+        "!SortMergeJoin", "!MapInPandas",
+    ],
+    # mutual-kNN: candidates from the blocked GEMM (MapInPandas scan),
+    # then windows + an equi-join over candidate pairs only — no SMJ
+    # would be wrong here (two N*k sides meet on (src,dst)); assert no
+    # cartesian instead
+    "mutual_knn_pairs": ["!CartesianProduct"],
+    # Welch A/B: one groupBy(event_type) of conditional raw moments —
+    # no join, no window, no UDF
+    "events_ab_welch": ["!SortMergeJoin", "!BroadcastHashJoin", "!MapInPandas"],
 }
 
 

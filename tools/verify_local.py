@@ -51,8 +51,11 @@ def main(names=None):
     oracles = entry_mod.oracle_sql()
     picked = names or sorted(qs)
     failed = []
+    import time as _time
+
     for name in picked:
         fn = qs[name]
+        _t0 = _time.monotonic()
         try:
             sdf = fn(spark, SF_DIR)
             spark_cols = [c.lower() for c in sdf.columns]
@@ -62,7 +65,7 @@ def main(names=None):
             failed.append(name)
             continue
         if name not in oracles:
-            print(f"pass {name}: rows-only ({len(spark_rows)} rows, no oracle)")
+            print(f"pass {name}: rows-only ({len(spark_rows)} rows, no oracle) [{_time.monotonic() - _t0:.1f}s]")
             continue
         try:
             res = con.sql(oracles[name])
@@ -86,7 +89,7 @@ def main(names=None):
                 print(f"FAIL {name}: value mismatch, first diffs: {diffs}")
                 ok = False
         if ok:
-            print(f"PASS {name} ({len(spark_rows)} rows)")
+            print(f"PASS {name} ({len(spark_rows)} rows) [{_time.monotonic() - _t0:.1f}s]")
         else:
             failed.append(name)
     print(f"\n{len(picked) - len(failed)}/{len(picked)} passed")
