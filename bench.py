@@ -120,6 +120,12 @@ HEADLINE = [
     "decontaminate_semantic",
     "events_sequence_pattern",
     "events_time_weighted_avg",
+    "dedup_containment",
+    "events_attribution",
+    "token_budget_select",
+    "maxsim_multi_vector",
+    "mutual_knn_pairs",
+    "events_ab_welch",
     # NOT benched: bpe_* (the per-session training cache would turn
     # min-of-N replays into cache reads — see catalog._bpe_trained)
 ]
