@@ -454,6 +454,103 @@ def seventh_session() -> None:
     )
 
 
+def eighth_session() -> None:
+    """Round-4 eighth-session scale paths:
+    - directed containment at 10x: the replica corpus is the worst case
+      (every base doc has 9 exact copies -> dense containment cliques);
+      the hot-shingle cap (50 > 10 replicas) keeps the planted pairs
+      while still bounding any stop-phrase blowup,
+    - mutual-kNN at 10x: 20k vectors through the blocked GEMM at the
+      cosine floor, then the rank windows + reciprocity join; each
+      vector's replicas occupy its top-k, so the mutual set is the
+      replica structure — proving the window/join stages hold at the
+      inflated candidate volume.
+    Usage: python tools/stress10x.py eighth"""
+    from pyspark.sql import functions as F
+
+    from ai_vector_database_converstion_from_pdf_spark.operators.dedup import (
+        containment_pairs,
+        embedding_near_dup_pairs,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.session import get_spark
+
+    spark = get_spark("stress10x-8")
+
+    def timed(label, fn):
+        t = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t
+        print(f"STRESS {label}: {dt:.1f}s  ({out})")
+        return out
+
+    reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+    docs0 = spark.read.parquet(f"{SF}/documents.parquet")
+    docs = (
+        docs0.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"), "text"
+        )
+        .persist()
+    )
+    nd = docs.count()
+    print(f"docs -> {nd}")
+    timed(
+        f"containment_pairs({nd} docs, tau=0.9, cap=50)",
+        lambda: f"{containment_pairs(docs, threshold=0.9, max_doc_freq=50).count()} directed pairs",
+    )
+
+    emb0 = spark.read.parquet(f"{SF}/embeddings.parquet")
+    emb = (
+        emb0.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"),
+            "embedding",
+        )
+        .persist()
+    )
+    ne = emb.count()
+    print(f"vectors -> {ne}")
+
+    def mutual():
+        from pyspark.sql import Window
+
+        pairs = embedding_near_dup_pairs(emb, threshold=0.25)
+        directed = pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src"),
+                        F.col("id_b").alias("dst"),
+                        F.col("cos").alias("c"),
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"),
+                        F.col("id_a").alias("dst"),
+                        F.col("cos").alias("c"),
+                    ),
+                )
+            ).alias("p")
+        ).select("p.*")
+        w = Window.partitionBy("src").orderBy(
+            F.col("c").desc(), F.col("dst").asc()
+        )
+        ranked = directed.withColumn("rk", F.row_number().over(w)).filter(
+            F.col("rk") <= 3
+        )
+        x, y = ranked.alias("x"), ranked.alias("y")
+        return (
+            x.join(
+                y,
+                (F.col("x.src") == F.col("y.dst"))
+                & (F.col("x.dst") == F.col("y.src")),
+            )
+            .filter(F.col("x.src") < F.col("x.dst"))
+            .count()
+        )
+
+    timed(f"mutual_knn({ne} vectors, k=3, tau=0.25)", lambda: f"{mutual()} mutual pairs")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "fifth":
         fifth_session()
@@ -461,5 +558,7 @@ if __name__ == "__main__":
         sixth_session()
     elif len(sys.argv) > 1 and sys.argv[1] == "seventh":
         seventh_session()
+    elif len(sys.argv) > 1 and sys.argv[1] == "eighth":
+        eighth_session()
     else:
         main()
