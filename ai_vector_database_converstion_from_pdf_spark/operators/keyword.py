@@ -454,3 +454,73 @@ def match_search(
     return keyword_search(
         chunks, q, limit, id_col=id_col, text_col=text_col, fts_index=fts_index
     )
+
+
+def prf_expand_search(
+    chunks: DataFrame,
+    query_text: str,
+    limit: int,
+    fb_docs: int = 10,
+    n_expand: int = 5,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pseudo-relevance feedback (Rocchio-lite query expansion): run the
+    term-match search, take the top `fb_docs` results as assumed-relevant
+    feedback, score every non-query term in them by
+    df_feedback * ln(N / df_corpus) (rounded 6, term-asc tie-break), add
+    the top `n_expand` terms to the query, and re-rank the corpus on the
+    expanded term set. The classic recall lever when the original query
+    is short — the reference has no analog (its recall lever is the
+    semantic branch); this gives the keyword branch one too.
+
+    Plan shape: everything stays declarative — the feedback set and the
+    expanded term table are ≤fb_docs/≤|terms| rows and broadcast into
+    their joins; both ranking stages are orderBy().limit() =
+    TakeOrderedAndProject; the corpus posting table is built once and
+    reused by stage 1 (In-filter), term stats, and stage 2 (broadcast
+    semi-join). No collect(), no global sort, no UDF."""
+    import re
+
+    terms = sorted(set(t for t in re.split(r"[^a-z0-9]+", query_text.lower()) if t))
+    toks = chunks.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    fb = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy("id")
+        .agg(F.count("*").alias("match_cnt"))
+        .orderBy(F.col("match_cnt").desc(), F.col("id").asc())
+        .limit(fb_docs)
+    )
+    n_docs = chunks.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    df_corpus = toks.groupBy("tok").agg(F.count("*").cast("double").alias("dfc"))
+    fb_terms = (
+        toks.join(F.broadcast(fb.select("id")), "id")
+        .filter(~F.col("tok").isin(terms))
+        .groupBy("tok")
+        .agg(F.count("*").cast("double").alias("dfb"))
+    )
+    expanded = (
+        fb_terms.join(df_corpus, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok",
+            F.round(F.col("dfb") * F.log(F.col("n") / F.col("dfc")), 6).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.col("score").desc(), F.col("tok").asc())
+        .limit(n_expand)
+    )
+    spark = chunks.sparkSession
+    orig = spark.createDataFrame([(t,) for t in terms], "tok string")
+    all_terms = expanded.select("tok").unionByName(orig).distinct()
+    return (
+        toks.join(F.broadcast(all_terms), "tok")
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("match_cnt"))
+        .orderBy(F.col("match_cnt").desc(), F.col("id").asc())
+        .limit(limit)
+    )

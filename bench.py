@@ -126,6 +126,7 @@ HEADLINE = [
     "maxsim_multi_vector",
     "mutual_knn_pairs",
     "events_ab_welch",
+    "q3_prf_expansion",
     # NOT benched: bpe_* (the per-session training cache would turn
     # min-of-N replays into cache reads — see catalog._bpe_trained)
 ]

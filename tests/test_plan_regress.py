@@ -43,6 +43,7 @@ FAST_SUBSET = [
     "dedup_containment",
     "maxsim_multi_vector",
     "events_ab_welch",
+    "q3_prf_expansion",
     "events_decayed_engagement",
     "events_markov_transitions",
     "orders_priority_islands",

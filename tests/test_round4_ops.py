@@ -281,3 +281,51 @@ class TestWelch:
         assert r["mean_diff"] == 1.0
         assert abs(r["t_welch"] - round(t, 6)) < 1e-9
         assert abs(r["df_welch"] - round(df, 6)) < 1e-9
+
+
+class TestPrfExpansion:
+    def test_expansion_pulls_in_termless_doc(self, spark):
+        from ai_vector_database_converstion_from_pdf_spark.operators.keyword import (
+            prf_expand_search,
+        )
+
+        # query "alpha beta": docs 1-3 are feedback; their only
+        # non-query term is gamma -> expansion = {gamma}; doc 4 shares
+        # NO original term but matches the expanded query; doc 5 never
+        # matches.
+        docs = _docs(
+            spark,
+            [
+                (1, "alpha beta gamma", "s"),
+                (2, "alpha beta gamma", "s"),
+                (3, "alpha beta gamma", "s"),
+                (4, "gamma zeta", "s"),
+                (5, "delta epsilon", "s"),
+            ],
+        )
+        out = [
+            (r["id"], r["match_cnt"])
+            for r in prf_expand_search(
+                docs, "alpha beta", 20, id_col="doc_id", text_col="text"
+            ).collect()
+        ]
+        assert out == [(1, 3), (2, 3), (3, 3), (4, 1)]
+
+    def test_no_feedback_overlap_keeps_original_ranking(self, spark):
+        from ai_vector_database_converstion_from_pdf_spark.operators.keyword import (
+            prf_expand_search,
+        )
+
+        # feedback docs contain ONLY query terms -> no expansion
+        # candidates; stage 2 == stage 1 ranking on the original terms.
+        docs = _docs(
+            spark,
+            [(1, "alpha beta", "s"), (2, "alpha", "s"), (3, "zeta", "s")],
+        )
+        out = [
+            (r["id"], r["match_cnt"])
+            for r in prf_expand_search(
+                docs, "alpha beta", 20, id_col="doc_id", text_col="text"
+            ).collect()
+        ]
+        assert out == [(1, 2), (2, 1)]

@@ -234,6 +234,9 @@ EXPECT = {
     # Welch A/B: one groupBy(event_type) of conditional raw moments —
     # no join, no window, no UDF
     "events_ab_welch": ["!SortMergeJoin", "!BroadcastHashJoin", "!MapInPandas"],
+    # PRF expansion: both ranking stages TakeOrdered; feedback set and
+    # term tables broadcast — the corpus posting table never SMJs
+    "q3_prf_expansion": ["TakeOrderedAndProject", "!SortMergeJoin", "!MapInPandas"],
 }
 
 
