@@ -127,6 +127,7 @@ HEADLINE = [
     "mutual_knn_pairs",
     "events_ab_welch",
     "q3_prf_expansion",
+    "leakage_safe_split",
     # NOT benched: bpe_* (the per-session training cache would turn
     # min-of-N replays into cache reads — see catalog._bpe_trained)
 ]

@@ -329,3 +329,42 @@ class TestPrfExpansion:
             ).collect()
         ]
         assert out == [(1, 2), (2, 1)]
+
+
+class TestLeakageSafeSplit:
+    def test_near_dups_share_split_where_plain_split_leaks(self, spark, tmp_path):
+        from ai_vector_database_converstion_from_pdf_spark.catalog import (
+            leakage_safe_split,
+            train_val_test_split,
+        )
+
+        # ids 0..199 paired (2k, 2k+1) as near-identical docs (one token
+        # appended -> jaccard > 0.8 on 3-gram shingles at this length).
+        # Each pair gets its OWN token universe: a corpus-shared base
+        # would make every base shingle hotter than the df cap (50) and
+        # strip the pairs' entire overlap (test_hot_shingle_cap above).
+        rows = []
+        for k in range(100):
+            base = " ".join(f"p{k}t{i}" for i in range(40))
+            rows.append((2 * k, f"{base} pair{k}", "s"))
+            rows.append((2 * k + 1, f"{base} pair{k} extra", "s"))
+        docs = _docs(spark, rows)
+        d = tmp_path / "sf"
+        docs.write.parquet(str(d / "documents.parquet"))
+
+        safe = {
+            r["doc_id"]: (r["canonical_id"], r["split"])
+            for r in leakage_safe_split(spark, str(d)).collect()
+        }
+        plain = {
+            r["doc_id"]: r["split"]
+            for r in train_val_test_split(spark, str(d)).collect()
+        }
+        # every pair: same split under the cluster-aware split
+        for k in range(100):
+            assert safe[2 * k][1] == safe[2 * k + 1][1]
+        # and the doc_id-hash split DOES leak on this fixture (some pair
+        # straddles splits) — the bug this entry exists to fix
+        assert any(plain[2 * k] != plain[2 * k + 1] for k in range(100))
+        # canonical is the min id of each pair cluster
+        assert all(safe[2 * k][0] == safe[2 * k + 1][0] for k in range(100))
