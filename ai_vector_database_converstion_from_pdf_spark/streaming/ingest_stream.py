@@ -536,3 +536,46 @@ def streaming_dsir_score(
         "*", F.col("_dsir.n_tokens").alias("n_tokens"),
         F.col("_dsir.weight").alias("weight"),
     ).drop("_dsir")
+
+
+def streaming_attribution(events: DataFrame) -> DataFrame:
+    """Streaming first/last-touch attribution: the incremental
+    counterpart of the batch `events_attribution` catalog entry. Emits
+    one row per conversion (user_id, first_touch, last_touch, value);
+    a downstream streaming agg turns that into the touch matrix.
+
+    Per-user state is TWO short strings — (first non-purchase touch
+    ever, most recent non-purchase touch) — regardless of history
+    length; the batch entry's unbounded rows-preceding window frames
+    cannot stream, this constant-size state can (the
+    streaming_funnel_counts design). Same cross-batch contract: events
+    arrive per-user in event-time order across drops (micro-batch
+    interiors are sorted by (ts, event_id) here)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, first_touch string, last_touch string, value double"
+    )
+    state_schema = "first_touch string, last_touch string"
+
+    def fn(key, pdf_iter, state: GroupState):
+        ft, lt = state.get if state.exists else (None, None)
+        frames = [pdf for pdf in pdf_iter]
+        pdf = pd.concat(frames).sort_values(["ts", "event_id"])
+        out = []
+        for et, v in zip(pdf["event_type"], pdf["value"]):
+            if et == "purchase":
+                out.append((key[0], ft or "none", lt or "none", float(v)))
+            else:
+                if ft is None:
+                    ft = et
+                lt = et
+        state.update((ft, lt))
+        yield pd.DataFrame(
+            out, columns=["user_id", "first_touch", "last_touch", "value"]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -323,3 +323,64 @@ def test_streaming_funnel_prefix_carries_across_batches(spark, tmp_path):
     )
     assert [r["n_strict"] for r in rows] == [0, 1]
     assert rows[-1]["batch_matches"] == 1
+
+
+def test_streaming_attribution_matches_batch(spark, tmp_path):
+    """The per-conversion streaming rows, aggregated, must equal the
+    batch events_attribution touch matrix — including conversions whose
+    touches arrived in an earlier micro-batch (string state carry)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ai_vector_database_converstion_from_pdf_spark.catalog import (
+        events_attribution,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.sources.tables import (
+        load_events,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.streaming.ingest_stream import (
+        read_event_stream,
+        streaming_attribution,
+    )
+
+    ev = load_events(spark, SF_ORACLE).filter(F.col("user_id") < 30).cache()
+    cut = ev.agg(F.expr("percentile_approx(ts, 0.5)")).collect()[0][0]
+    path = str(tmp_path / "drops")
+    ev.filter(F.col("ts") <= F.lit(cut)).coalesce(1).write.parquet(path)
+    tmp2 = str(tmp_path / "drop2")
+    ev.filter(F.col("ts") > F.lit(cut)).coalesce(1).write.parquet(tmp2)
+    for i, f in enumerate(glob.glob(f"{tmp2}/part-*.parquet")):
+        shutil.copy(f, f"{path}/zz-second-{i}.parquet")
+
+    out = streaming_attribution(read_event_stream(spark, path, max_files=1))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attrib")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["first_touch"], r["last_touch"]): (r["conversions"], r["revenue"])
+        for r in spark.sql(
+            """SELECT first_touch, last_touch, count(*) AS conversions,
+                      round(sum(cast(value AS decimal(18,6))), 6) AS revenue
+               FROM attrib GROUP BY 1, 2"""
+        ).collect()
+    }
+    got = {k: (c, float(s)) for k, (c, s) in got.items()}
+
+    d = tmp_path / "sf"
+    ev.write.parquet(str(d / "events.parquet"))
+    batch = {
+        (r["first_touch"], r["last_touch"]): (r["conversions"], r["revenue"])
+        for r in events_attribution(spark, str(d)).collect()
+    }
+    assert got == batch
+    assert len(batch) > 3  # non-vacuous matrix
