@@ -128,6 +128,7 @@ HEADLINE = [
     "events_ab_welch",
     "q3_prf_expansion",
     "leakage_safe_split",
+    "source_embedding_drift",
     # NOT benched: bpe_* (the per-session training cache would turn
     # min-of-N replays into cache reads — see catalog._bpe_trained)
 ]

@@ -44,6 +44,7 @@ FAST_SUBSET = [
     "maxsim_multi_vector",
     "events_ab_welch",
     "q3_prf_expansion",
+    "source_embedding_drift",
     "events_decayed_engagement",
     "events_markov_transitions",
     "orders_priority_islands",

@@ -368,3 +368,52 @@ class TestLeakageSafeSplit:
         assert any(plain[2 * k] != plain[2 * k + 1] for k in range(100))
         # canonical is the min id of each pair cluster
         assert all(safe[2 * k][0] == safe[2 * k + 1][0] for k in range(100))
+
+
+class TestSourceEmbeddingDrift:
+    def test_two_orthogonal_sources(self, spark, tmp_path):
+        import math
+
+        from ai_vector_database_converstion_from_pdf_spark.catalog import (
+            source_embedding_drift,
+        )
+
+        # source a: all docs on axis e0; source b: all on e1. Corpus
+        # mean = (.5, .5, 0...) -> each source sits at cos 1/sqrt(2),
+        # L2 = sqrt(.5^2 + .5^2) from the corpus centroid.
+        def axis(i):
+            v = [0.0] * 64
+            v[i] = 1.0
+            return v
+
+        docs = _docs(
+            spark,
+            [(0, "x", "a"), (1, "y", "a"), (2, "z", "b"), (3, "w", "b")],
+        )
+        emb = _emb(
+            spark, [(0, axis(0)), (1, axis(0)), (2, axis(1)), (3, axis(1))]
+        )
+        d = tmp_path / "sf"
+        docs.write.parquet(str(d / "documents.parquet"))
+        emb.write.parquet(str(d / "embeddings.parquet"))
+        out = {
+            r["source"]: (r["n_docs"], r["cos_to_corpus"], r["l2_to_corpus"])
+            for r in source_embedding_drift(spark, str(d)).collect()
+        }
+        r2 = round(1 / math.sqrt(2), 6)
+        assert out == {"a": (2, r2, r2), "b": (2, r2, r2)}
+
+    def test_docs_without_embeddings_excluded(self, spark, tmp_path):
+        from ai_vector_database_converstion_from_pdf_spark.catalog import (
+            source_embedding_drift,
+        )
+
+        docs = _docs(spark, [(0, "x", "a"), (99, "y", "a")])
+        emb = _emb(spark, [(0, [1.0] * 64)])
+        d = tmp_path / "sf"
+        docs.write.parquet(str(d / "documents.parquet"))
+        emb.write.parquet(str(d / "embeddings.parquet"))
+        [r] = source_embedding_drift(spark, str(d)).collect()
+        # only doc 0 has a vector; its source centroid IS the corpus
+        assert (r["source"], r["n_docs"], r["cos_to_corpus"]) == ("a", 1, 1.0)
+        assert r["l2_to_corpus"] == 0.0

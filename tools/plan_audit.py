@@ -237,6 +237,9 @@ EXPECT = {
     # PRF expansion: both ranking stages TakeOrdered; feedback set and
     # term tables broadcast — the corpus posting table never SMJs
     "q3_prf_expansion": ["TakeOrderedAndProject", "!SortMergeJoin", "!MapInPandas"],
+    # centroid drift: fixed-width keyed agg + broadcast 1-row corpus
+    # partials — no window, no UDF, no explode
+    "source_embedding_drift": ["!SortMergeJoin", "!MapInPandas", "!Window", "!Generate"],
 }
 
 
