@@ -417,3 +417,48 @@ class TestSourceEmbeddingDrift:
         # only doc 0 has a vector; its source centroid IS the corpus
         assert (r["source"], r["n_docs"], r["cos_to_corpus"]) == ("a", 1, 1.0)
         assert r["l2_to_corpus"] == 0.0
+
+
+class TestContainmentAutoDispatch:
+    def test_auto_equals_exact_under_budget(self, spark):
+        docs = _docs(
+            spark,
+            [
+                (1, "alpha beta gamma delta epsilon", "s"),
+                (2, "alpha beta gamma delta epsilon zeta", "s"),
+                (3, "one two three four five", "s"),
+            ],
+        )
+        exact = sorted(
+            map(tuple, containment_pairs(docs, threshold=0.5).collect())
+        )
+        auto = sorted(
+            map(
+                tuple,
+                containment_pairs(
+                    docs, threshold=0.5, max_doc_freq="auto"
+                ).collect(),
+            )
+        )
+        assert auto == exact and exact  # identical and non-vacuous
+
+    def test_auto_applies_cap_over_budget(self, spark):
+        # 12 identical docs -> every shingle df=12, exact bound
+        # 3 shingles * C(12,2) = 198 > budget 100 -> cap 10 < 12 drops
+        # everything (the logged degraded mode)
+        docs = _docs(
+            spark, [(i, "a b c d e", "s") for i in range(12)]
+        )
+        capped = containment_pairs(
+            docs,
+            threshold=0.0,
+            max_doc_freq="auto",
+            auto_pair_budget=100,
+            auto_cap=10,
+        )
+        assert capped.count() == 0
+        # and the same corpus under a raised budget is exact (all pairs)
+        exact = containment_pairs(
+            docs, threshold=0.0, max_doc_freq="auto", auto_pair_budget=10_000
+        )
+        assert exact.count() == 12 * 11  # directed pairs
