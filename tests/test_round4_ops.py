@@ -462,3 +462,29 @@ class TestContainmentAutoDispatch:
             docs, threshold=0.0, max_doc_freq="auto", auto_pair_budget=10_000
         )
         assert exact.count() == 12 * 11  # directed pairs
+
+
+class TestWelchZeroVariance:
+    def test_constant_value_group_excluded(self, spark, tmp_path):
+        # both variants constant (variance 0 on both sides): the t
+        # statistic is undefined -> the group must be excluded, not
+        # emitted as inf/NaN/null (engines disagree on x/0.0)
+        rows = [
+            (1, 100, 2, "x", 5),
+            (2, 110, 2, "x", 5),
+            (3, 100, 1, "x", 5),
+            (4, 110, 1, "x", 5),
+            # a healthy group to keep the result non-vacuous
+            (5, 100, 2, "y", 1),
+            (6, 110, 4, "y", 3),
+            (7, 100, 1, "y", 2),
+            (8, 110, 3, "y", 6),
+        ]
+        d = tmp_path / "sf"
+        _events(spark, rows).write.parquet(str(d / "events.parquet"))
+        from ai_vector_database_converstion_from_pdf_spark.catalog import (
+            events_ab_welch,
+        )
+
+        out = [r["event_type"] for r in events_ab_welch(spark, str(d)).collect()]
+        assert out == ["y"]
