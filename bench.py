@@ -129,6 +129,7 @@ HEADLINE = [
     "q3_prf_expansion",
     "leakage_safe_split",
     "source_embedding_drift",
+    "events_assoc_lift",
     # NOT benched: bpe_* (the per-session training cache would turn
     # min-of-N replays into cache reads — see catalog._bpe_trained)
 ]

@@ -45,6 +45,7 @@ FAST_SUBSET = [
     "events_ab_welch",
     "q3_prf_expansion",
     "source_embedding_drift",
+    "events_assoc_lift",
     "events_decayed_engagement",
     "events_markov_transitions",
     "orders_priority_islands",

@@ -488,3 +488,36 @@ class TestWelchZeroVariance:
 
         out = [r["event_type"] for r in events_ab_welch(spark, str(d)).collect()]
         assert out == ["y"]
+
+
+class TestAssocLift:
+    def test_hand_computed_lift(self, spark, tmp_path):
+        # users 1,2: {a, b}; user 3: {a}; user 4: {c}
+        # N=4; n_a=3, n_b=2, n_c=1; n_both(a,b)=2
+        # support(a,b)=0.5; conf(a->b)=2/3; conf(b->a)=1.0
+        # lift = 2*4/(3*2) = 4/3 both directions
+        rows = [
+            (1, 100, 1, "a", 0), (2, 110, 1, "b", 0),
+            (3, 100, 2, "a", 0), (4, 110, 2, "b", 0),
+            (5, 100, 3, "a", 0),
+            (6, 100, 4, "c", 0),
+        ]
+        d = tmp_path / "sf"
+        _events(spark, rows).write.parquet(str(d / "events.parquet"))
+        from ai_vector_database_converstion_from_pdf_spark.catalog import (
+            events_assoc_lift,
+        )
+
+        out = {
+            (r["type_a"], r["type_b"]): (
+                r["n_both"], r["support"], r["confidence"], r["lift"]
+            )
+            for r in events_assoc_lift(spark, str(d)).collect()
+        }
+        lift = round(4 / 3, 6)
+        assert out == {
+            ("a", "b"): (2, 0.5, round(2 / 3, 6), lift),
+            ("b", "a"): (2, 0.5, 1.0, lift),
+        }
+        # c co-occurs with nothing -> no rows for c
+        assert not any("c" in k for k in out)

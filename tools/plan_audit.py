@@ -240,6 +240,9 @@ EXPECT = {
     # centroid drift: fixed-width keyed agg + broadcast 1-row corpus
     # partials — no window, no UDF, no explode
     "source_embedding_drift": ["!SortMergeJoin", "!MapInPandas", "!Window", "!Generate"],
+    # association lift: user-keyed self-join (type-vocabulary fan) +
+    # broadcast marginals — no SMJ, no window, no UDF
+    "events_assoc_lift": ["!SortMergeJoin", "!MapInPandas", "!Window"],
 }
 
 
