@@ -473,3 +473,44 @@ def kcore_peel(
             F.lit(None).cast("long").alias("deg_final"),
         )
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source level-bounded BFS over an undirected pair graph:
+    (id, hops) = minimum hop count from the seed set for every node
+    within `max_hops`, seeds at 0. The shortest-path primitive next to
+    connected_components/pagerank/triangles in this module.
+
+    Scale shape: each level is one frontier equi-join against the edge
+    table plus an anti-join against the found set; levels are BOUNDED
+    (no convergence probe), so the whole expansion is a lazy
+    `max_hops`-deep join chain — no driver iteration state, no
+    collect. Per-level cost is O(frontier x avg-degree); on a
+    checkpointed/materialized edge table each level scans the same
+    pinned pairs. BFS discovers each node first at its true minimum
+    level, so the anti-join (not a min-aggregate) is sufficient.
+
+    `edges`: (id_a, id_b) undirected pairs; `seeds`: (id)."""
+    both = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    dist = seeds.select("id", F.lit(0).cast("long").alias("hops"))
+    frontier = dist.select("id")
+    for k in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(both, frontier.id == both.src)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(dist.select("id"), "id", "left_anti")
+        )
+        dist = dist.unionByName(
+            nxt.select("id", F.lit(k).cast("long").alias("hops"))
+        )
+        frontier = nxt
+    return dist

@@ -130,6 +130,7 @@ HEADLINE = [
     "leakage_safe_split",
     "source_embedding_drift",
     "events_assoc_lift",
+    "graph_bfs_hops",
     # NOT benched: bpe_* (the per-session training cache would turn
     # min-of-N replays into cache reads — see catalog._bpe_trained)
 ]

@@ -521,3 +521,34 @@ class TestAssocLift:
         }
         # c co-occurs with nothing -> no rows for c
         assert not any("c" in k for k in out)
+
+
+class TestBfsHops:
+    def test_path_graph_levels_and_cap(self, spark):
+        from ai_vector_database_converstion_from_pdf_spark.operators.graph import (
+            bfs_hops,
+        )
+
+        # path 1-2-3-4-5-6-7 plus isolated 9; seeds {1, 9}
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7)],
+            "id_a long, id_b long",
+        )
+        seeds = spark.createDataFrame([(1,), (9,)], "id long")
+        out = {r["id"]: r["hops"] for r in bfs_hops(edges, seeds, 4).collect()}
+        # node 6 is 5 hops away -> outside the cap; isolated seed stays 0
+        assert out == {1: 0, 9: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+    def test_min_hops_on_diamond(self, spark):
+        from ai_vector_database_converstion_from_pdf_spark.operators.graph import (
+            bfs_hops,
+        )
+
+        # 1-2, 1-3, 2-4, 3-4, 4-5: two equal paths to 4 (2 hops), one
+        # discovery — and 5 at 3 hops through either
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)], "id_a long, id_b long"
+        )
+        seeds = spark.createDataFrame([(1,)], "id long")
+        out = {r["id"]: r["hops"] for r in bfs_hops(edges, seeds, 4).collect()}
+        assert out == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
