@@ -662,3 +662,53 @@ def hard_negatives(
         .filter(F.col("neg_rank") <= k_out)
         .select("q_id", F.col(id_col).alias("neg_id"), "score", "neg_rank")
     )
+
+
+def mutual_knn_pairs_from(pairs: DataFrame, k: int = 3) -> DataFrame:
+    """Reciprocal-kNN filter over an undirected scored pair frame
+    (id_a, id_b, cos): keep (a, b) only when each is in the OTHER's
+    top-k by (cos desc, id asc). Output (id_a < id_b, cos, rank_ab,
+    rank_ba).
+
+    `pairs` is any near-dup candidate result — the blocked-GEMM scan
+    (exact at a cosine floor) or the RP-LSH bucketed path
+    (sub-quadratic, the 100 TB route); the reciprocity logic is
+    candidate-source-agnostic, exactly like dedup.resolve_duplicates.
+    Both directions rank in ONE src-partitioned window over candidate
+    pairs only, then mutuality is an equi-join of two ≤N·k sides."""
+    directed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src"),
+                    F.col("id_b").alias("dst"),
+                    F.col("cos").alias("c"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src"),
+                    F.col("id_a").alias("dst"),
+                    F.col("cos").alias("c"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    w = Window.partitionBy("src").orderBy(F.col("c").desc(), F.col("dst").asc())
+    ranked = directed.withColumn(
+        "rk", F.row_number().over(w).cast("long")
+    ).filter(F.col("rk") <= k)
+    x, y = ranked.alias("x"), ranked.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.src") == F.col("y.dst"))
+            & (F.col("x.dst") == F.col("y.src")),
+        )
+        .filter(F.col("x.src") < F.col("x.dst"))
+        .select(
+            F.col("x.src").alias("id_a"),
+            F.col("x.dst").alias("id_b"),
+            F.col("x.c").alias("cos"),
+            F.col("x.rk").alias("rank_ab"),
+            F.col("y.rk").alias("rank_ba"),
+        )
+    )

@@ -512,41 +512,12 @@ def eighth_session() -> None:
     print(f"vectors -> {ne}")
 
     def mutual():
-        from pyspark.sql import Window
+        from ai_vector_database_converstion_from_pdf_spark.operators.similarity import (
+            mutual_knn_pairs_from,
+        )
 
         pairs = embedding_near_dup_pairs(emb, threshold=0.25)
-        directed = pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("id_a").alias("src"),
-                        F.col("id_b").alias("dst"),
-                        F.col("cos").alias("c"),
-                    ),
-                    F.struct(
-                        F.col("id_b").alias("src"),
-                        F.col("id_a").alias("dst"),
-                        F.col("cos").alias("c"),
-                    ),
-                )
-            ).alias("p")
-        ).select("p.*")
-        w = Window.partitionBy("src").orderBy(
-            F.col("c").desc(), F.col("dst").asc()
-        )
-        ranked = directed.withColumn("rk", F.row_number().over(w)).filter(
-            F.col("rk") <= 3
-        )
-        x, y = ranked.alias("x"), ranked.alias("y")
-        return (
-            x.join(
-                y,
-                (F.col("x.src") == F.col("y.dst"))
-                & (F.col("x.dst") == F.col("y.src")),
-            )
-            .filter(F.col("x.src") < F.col("x.dst"))
-            .count()
-        )
+        return mutual_knn_pairs_from(pairs, k=3).count()
 
     timed(f"mutual_knn({ne} vectors, k=3, tau=0.25)", lambda: f"{mutual()} mutual pairs")
 
