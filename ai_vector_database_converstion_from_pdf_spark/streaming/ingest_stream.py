@@ -579,3 +579,55 @@ def streaming_attribution(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_token_quota(
+    docs: DataFrame, budget: int = 400
+) -> DataFrame:
+    """Streaming per-source token-quota admission: docs are admitted in
+    ARRIVAL order while their source's cumulative token count stays
+    within `budget`; once a source's quota is exhausted every later doc
+    from it is rejected (emitted with admitted=false so the caller can
+    quarantine rather than silently drop). The ingest-control
+    counterpart of the batch `token_budget_select` entry — batch
+    selection can re-rank by quality, a stream cannot, so the contract
+    here is explicitly arrival-order (the difference is documented, not
+    hidden).
+
+    Per-source state: ONE long (tokens admitted so far), regardless of
+    history. Micro-batch interiors are ordered by doc_id for
+    deterministic replay."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "doc_id long, source string, tok_cnt long, cum_tokens long, "
+        "admitted boolean"
+    )
+    state_schema = "used long"
+
+    def fn(key, pdf_iter, state: GroupState):
+        (used,) = state.get if state.exists else (0,)
+        frames = [pdf for pdf in pdf_iter]
+        pdf = pd.concat(frames).sort_values("doc_id")
+        out = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            toks = len(
+                [t for t in re.split(r"[^a-z0-9]+", str(text).lower()) if t]
+            )
+            if toks and used + toks <= budget:
+                used += toks
+                out.append((int(doc_id), key[0], toks, used, True))
+            else:
+                out.append((int(doc_id), key[0], toks, used, False))
+        state.update((used,))
+        yield pd.DataFrame(
+            out,
+            columns=["doc_id", "source", "tok_cnt", "cum_tokens", "admitted"],
+        )
+
+    return docs.groupBy("source").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -384,3 +384,65 @@ def test_streaming_attribution_matches_batch(spark, tmp_path):
     }
     assert got == batch
     assert len(batch) > 3  # non-vacuous matrix
+
+
+def test_streaming_token_quota_across_batches(spark, tmp_path):
+    """Quota state must persist across micro-batches: drop 1 consumes
+    part of a source's budget, drop 2 crosses it mid-batch — later docs
+    from that source are rejected with admitted=false."""
+    import glob
+    import shutil
+
+    from ai_vector_database_converstion_from_pdf_spark.streaming.ingest_stream import (
+        streaming_token_quota,
+    )
+
+    def doc(i, n_tok, src):
+        return (i, " ".join(f"t{i}x{j}" for j in range(n_tok)), "en", src, 0)
+
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    # source s budget 10: drop1 = 4+4 tokens admitted; drop2 = 3 tokens
+    # (rejected: would hit 11), then 2 tokens (admitted: 10 exactly).
+    # source t: one 11-token doc -> never admitted.
+    drop1 = spark.createDataFrame([doc(1, 4, "s"), doc(2, 4, "s")], schema)
+    drop2 = spark.createDataFrame(
+        [doc(3, 3, "s"), doc(4, 2, "s"), doc(5, 11, "t")], schema
+    )
+    path = str(tmp_path / "drops")
+    drop1.coalesce(1).write.parquet(path)
+    tmp2 = str(tmp_path / "drop2")
+    drop2.coalesce(1).write.parquet(tmp2)
+    for i, f in enumerate(glob.glob(f"{tmp2}/part-*.parquet")):
+        shutil.copy(f, f"{path}/zz-second-{i}.parquet")
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(path).schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(path)
+    )
+    q = (
+        streaming_token_quota(stream, budget=10)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("quota")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {
+        r["doc_id"]: (r["admitted"], r["cum_tokens"])
+        for r in spark.sql("SELECT * FROM quota").collect()
+    }
+    assert rows == {
+        1: (True, 4),
+        2: (True, 8),
+        3: (False, 8),   # 8 + 3 > 10 -> rejected, cum unchanged
+        4: (True, 10),   # exactly fills the quota
+        5: (False, 0),   # over budget on its own
+    }
