@@ -1761,6 +1761,16 @@ class Workspace:
         )
         self.chunks().select(*cols).write.mode("overwrite").json(out_path)
 
+    def export_orc(self, out_path: str, with_embeddings: bool = True) -> None:
+        """ORC export — the columnar interchange for Hive/Trino/Presto
+        consumers (ORC support is built into Spark, no external
+        package). Same column contract as export_jsonl; embeddings
+        carry as ORC list<float> columns."""
+        cols = ["id", "doc_id", "source_file", "text"] + (
+            ["embedding"] if with_embeddings else []
+        )
+        self.chunks().select(*cols).write.mode("overwrite").orc(out_path)
+
 
 def list_workspaces(root: str) -> list[str]:
     """Workspace enumeration (`mainwindow.cpp:936-952` globs *.sqlite;

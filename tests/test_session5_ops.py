@@ -982,3 +982,25 @@ class TestExportJsonl:
         assert rows[1].text == 'alpha "quoted" beta'
         assert rows[2].text == "newline\ncarrier gamma"
         assert len(rows[1].embedding) == 16
+
+
+class TestExportOrc:
+    def test_orc_roundtrip(self, spark, tmp_path):
+        from ai_vector_database_converstion_from_pdf_spark.engine import PvdbEngine
+
+        eng = PvdbEngine(
+            spark, str(tmp_path / "ws_orc"), dim=16,
+            asof="2024-06-01 00:00:00",
+        )
+        docs = spark.createDataFrame(
+            [(1, 'alpha "quoted" beta'), (2, "newline\ncarrier gamma")],
+            "doc_id long, text string",
+        )
+        eng.index_documents(docs)
+        out = str(tmp_path / "export.orc")
+        eng.workspace.export_orc(out)
+        back = spark.read.orc(out)
+        rows = {r.id: r for r in back.collect()}
+        assert set(rows) == {1, 2}
+        assert rows[2].text == "newline\ncarrier gamma"
+        assert len(rows[1].embedding) == 16
