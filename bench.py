@@ -131,6 +131,7 @@ HEADLINE = [
     "source_embedding_drift",
     "events_assoc_lift",
     "graph_bfs_hops",
+    "events_time_to_convert",
     # NOT benched: bpe_* (the per-session training cache would turn
     # min-of-N replays into cache reads — see catalog._bpe_trained)
 ]

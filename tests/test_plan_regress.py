@@ -46,6 +46,7 @@ FAST_SUBSET = [
     "q3_prf_expansion",
     "source_embedding_drift",
     "events_assoc_lift",
+    "events_time_to_convert",
     "events_decayed_engagement",
     "events_markov_transitions",
     "orders_priority_islands",

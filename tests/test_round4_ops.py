@@ -552,3 +552,30 @@ class TestBfsHops:
         seeds = spark.createDataFrame([(1,)], "id long")
         out = {r["id"]: r["hops"] for r in bfs_hops(edges, seeds, 4).collect()}
         assert out == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+
+
+class TestTimeToConvert:
+    def test_hand_computed_cohort(self, spark, tmp_path):
+        # week epoch of 1970-01-01-era stamps: all in one cohort.
+        # user 1: view@100, purchase@3700 -> 1.0h
+        # user 2: view@100, purchase@100  -> 0.0h (same instant counts)
+        # user 3: view@100, no purchase -> viewer only
+        # user 4: purchase@50 BEFORE any view, view@100 -> not converted
+        # p50 of [0.0, 1.0] = 0.5; p90 = 0.9; rate = 2/4
+        rows = [
+            (1, 100, 1, "view", 0), (2, 3700, 1, "purchase", 1),
+            (3, 100, 2, "view", 0), (4, 100, 2, "purchase", 1),
+            (5, 100, 3, "view", 0),
+            (6, 50, 4, "purchase", 1), (7, 100, 4, "view", 0),
+        ]
+        d = tmp_path / "sf"
+        _events(spark, rows).write.parquet(str(d / "events.parquet"))
+        from ai_vector_database_converstion_from_pdf_spark.catalog import (
+            events_time_to_convert,
+        )
+
+        [r] = events_time_to_convert(spark, str(d)).collect()
+        assert r["n_converted"] == 2
+        assert r["conversion_rate"] == 0.5
+        assert r["p50_hours"] == 0.5
+        assert r["p90_hours"] == 0.9

@@ -243,6 +243,9 @@ EXPECT = {
     # association lift: user-keyed self-join (type-vocabulary fan) +
     # broadcast marginals — no SMJ, no window, no UDF
     "events_assoc_lift": ["!SortMergeJoin", "!MapInPandas", "!Window"],
+    # funnel latency: user-keyed mins + join, cohort rollup broadcast —
+    # no window, no UDF
+    "events_time_to_convert": ["!SortMergeJoin", "!MapInPandas", "!Window"],
 }
 
 
