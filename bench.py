@@ -132,6 +132,7 @@ HEADLINE = [
     "events_assoc_lift",
     "graph_bfs_hops",
     "events_time_to_convert",
+    "langid_confusion",
     # NOT benched: bpe_* (the per-session training cache would turn
     # min-of-N replays into cache reads — see catalog._bpe_trained)
 ]

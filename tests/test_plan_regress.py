@@ -47,6 +47,7 @@ FAST_SUBSET = [
     "source_embedding_drift",
     "events_assoc_lift",
     "events_time_to_convert",
+    "langid_confusion",
     "events_decayed_engagement",
     "events_markov_transitions",
     "orders_priority_islands",

@@ -579,3 +579,32 @@ class TestTimeToConvert:
         assert r["conversion_rate"] == 0.5
         assert r["p50_hours"] == 0.5
         assert r["p90_hours"] == 0.9
+
+
+class TestLangidConfusion:
+    def test_matrix_and_shares(self, spark, tmp_path):
+        from ai_vector_database_converstion_from_pdf_spark.catalog import (
+            langid_confusion,
+        )
+
+        # two labeled-en docs: one with english markers (-> en), one
+        # with no markers (-> und); one labeled-es doc with spanish
+        # markers (-> es). (_docs hardcodes lang='en', so build raw.)
+        rows = [(1, "the quick fox and the dog", "en", "s", 1),
+                (2, "zzz qqq www", "en", "s", 1),
+                (3, "el perro y la casa que", "es", "s", 1)]
+        docs = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        d = tmp_path / "sf"
+        docs.write.parquet(str(d / "documents.parquet"))
+        out = {
+            (r["lang"], r["lang_pred"]): (r["n"], r["frac_of_lang"])
+            for r in langid_confusion(spark, str(d)).collect()
+        }
+        assert out == {
+            ("en", "en"): (1, 0.5),
+            ("en", "und"): (1, 0.5),
+            ("es", "es"): (1, 1.0),
+        }

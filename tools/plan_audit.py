@@ -246,6 +246,9 @@ EXPECT = {
     # funnel latency: user-keyed mins + join, cohort rollup broadcast —
     # no window, no UDF
     "events_time_to_convert": ["!SortMergeJoin", "!MapInPandas", "!Window"],
+    # lang-ID eval: map-side classification + tiny rollup; the share
+    # window runs over the (lang x pred) result, not the corpus
+    "langid_confusion": ["!SortMergeJoin", "!MapInPandas", "!BroadcastHashJoin"],
 }
 
 
