@@ -522,6 +522,95 @@ def eighth_session() -> None:
     timed(f"mutual_knn({ne} vectors, k=3, tau=0.25)", lambda: f"{mutual()} mutual pairs")
 
 
+def ninth_session() -> None:
+    """Round-4 ninth-session scale paths:
+    - bounded BFS over the 10x dup-dense simhash graph (the 24M-edge
+      monster that kills exact triangle counting): 4 frontier levels
+      must stay join-shaped — no frontier blowup beyond the reachable
+      set, no driver state,
+    - leakage-safe split at 10x: CC over the LSH pair graph + map-side
+      split for 500k docs (the dedup_resolution path with the split
+      expression on top).
+    Usage: python tools/stress10x.py ninth"""
+    from pyspark.sql import functions as F
+
+    from ai_vector_database_converstion_from_pdf_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        resolve_duplicates,
+        simhash_pairs,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.operators.graph import (
+        bfs_hops,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.session import get_spark
+
+    spark = get_spark("stress10x-9")
+
+    def timed(label, fn):
+        t = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t
+        print(f"STRESS {label}: {dt:.1f}s  ({out})")
+        return out
+
+    reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+    docs0 = spark.read.parquet(f"{SF}/documents.parquet")
+    docs = (
+        docs0.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"), "text"
+        )
+        .persist()
+    )
+    nd = docs.count()
+    print(f"docs -> {nd}")
+
+    sh_pairs = (
+        simhash_pairs(docs, max_hamming=3).select("id_a", "id_b").persist()
+    )
+    ne = sh_pairs.count()
+    print(f"simhash edges -> {ne}")
+    seeds = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("id")
+    )
+    timed(
+        f"bfs_hops(4 levels over {ne} edges)",
+        lambda: f"{bfs_hops(sh_pairs, seeds, max_hops=4).count()} reached",
+    )
+
+    def split():
+        pairs = minhash_lsh_pairs(docs, threshold=0.8)
+        canon = resolve_duplicates(docs, pairs).select(
+            F.col("id").alias("doc_id"), "canonical_id"
+        )
+        h = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("split-v1:"),
+                            F.col("canonical_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        )
+        out = canon.select(
+            "doc_id",
+            F.when(h < 90, "train").when(h < 95, "val").otherwise("test").alias(
+                "split"
+            ),
+        )
+        return {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+
+    timed(f"leakage_safe_split({nd} docs, LSH clusters)", split)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "fifth":
         fifth_session()
@@ -531,5 +620,7 @@ if __name__ == "__main__":
         seventh_session()
     elif len(sys.argv) > 1 and sys.argv[1] == "eighth":
         eighth_session()
+    elif len(sys.argv) > 1 and sys.argv[1] == "ninth":
+        ninth_session()
     else:
         main()
