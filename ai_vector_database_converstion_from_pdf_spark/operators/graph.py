@@ -514,3 +514,78 @@ def bfs_hops(
         )
         frontier = nxt
     return dist
+
+
+def link_prediction(
+    edges: DataFrame,
+    top_k: int = 50,
+) -> DataFrame:
+    """Common-neighbor link prediction over an undirected pair graph:
+    for every NON-adjacent pair sharing >= 1 neighbor, the
+    common-neighbor count and the neighborhood Jaccard
+    cn / (deg_a + deg_b - cn) (Liben-Nowell & Kleinberg CIKM'03), top
+    `top_k` by (jaccard, cn, ids). In a dedup/curation pipeline this is
+    the "missed near-duplicate" prober: pairs the banded candidate
+    generation never compared but whose neighborhoods say it should
+    have.
+
+    Scale shape: wedges are generated at their CENTER via one
+    self-equi-join of the directed edge list — Σdeg² work, the same
+    volume the triangle family's auto-dispatch probes; on hub-heavy
+    graphs gate this behind the `sum(deg*deg)` estimate from the degree
+    frame (graph.triangle_counts' "auto" idiom) or degree-cap the
+    centers. Candidate pairs are grouped map-side-combinable; the
+    adjacency filter is a left-anti equi-join on the canonical (a<b)
+    pair key; degrees attach via two vocabulary-of-nodes-sized joins.
+    Jaccard is integer-ratio exact pre-round; ranking is
+    TakeOrderedAndProject.
+
+    `edges`: (id_a, id_b) canonical pairs, id_a < id_b."""
+    both = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    deg = both.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    a, b = both.alias("a"), both.alias("b")
+    cn = (
+        a.join(
+            b,
+            (F.col("a.src") == F.col("b.src"))
+            & (F.col("a.dst") < F.col("b.dst")),
+        )
+        .groupBy(
+            F.col("a.dst").alias("id_a"), F.col("b.dst").alias("id_b")
+        )
+        .agg(F.count("*").cast("long").alias("cn"))
+    )
+    ne = cn.join(edges, ["id_a", "id_b"], "left_anti")
+    da = deg.select(F.col("id").alias("id_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("id").alias("id_b"), F.col("deg").alias("deg_b"))
+    return (
+        ne.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "cn",
+            "deg_a",
+            "deg_b",
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("cn")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(
+            F.col("jaccard").desc(),
+            F.col("cn").desc(),
+            F.col("id_a").asc(),
+            F.col("id_b").asc(),
+        )
+        .limit(top_k)
+    )

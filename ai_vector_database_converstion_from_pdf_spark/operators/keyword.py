@@ -456,6 +456,97 @@ def match_search(
     )
 
 
+def deletion_variants(word: str, max_deletes: int = 1) -> list[str]:
+    """SymSpell deletion neighborhood of a word (driver-side, for the
+    tiny query set): the word itself plus every string reachable by up
+    to `max_deletes` single-character deletions, deduped, sorted."""
+    out = {word}
+    frontier = {word}
+    for _ in range(max_deletes):
+        frontier = {
+            w[:i] + w[i + 1 :] for w in frontier for i in range(len(w))
+        }
+        out |= frontier
+    return sorted(out)
+
+
+def fuzzy_search(
+    chunks: DataFrame,
+    query_terms: list[str],
+    limit: int,
+    max_edit: int = 2,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Typo-tolerant term search via SymSpell deletion-neighborhood
+    blocking (Garbe's symmetric delete algorithm): candidate vocabulary
+    terms are found by joining the 1-deletion variants of every corpus
+    term against the 1-deletion variants of each query term, then
+    VERIFIED with true Levenshtein distance <= `max_edit`. Docs score
+    the integer sum over query terms of the best matched term's weight
+    1_000_000 // (1 + lev) — exact-match terms dominate, each extra
+    edit halves/thirds the contribution; integer arithmetic keeps both
+    engines exact. FTS5 has no fuzzy matching; this is the extension a
+    query box actually wants when users typo a term.
+
+    Scale shape: the expensive side is linear, not quadratic — each
+    vocabulary term emits len(term)+1 variants map-side (vocab is
+    Heaps-law small vs the corpus), the query variant table is a
+    broadcast literal, and Levenshtein runs only on the candidate pairs
+    the deletion join survives (SymSpell's point: no vocab x query
+    cross product, no full edit-distance scan). Posting lookup is a
+    broadcast semi-join; final ranking is TakeOrderedAndProject."""
+    toks = chunks.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term") != "")
+    vocab = toks.select("term").distinct()
+    # corpus-side deletion neighborhood: term itself + each 1-deletion,
+    # built map-side with posexplode over the term's character positions
+    term = F.col("term")
+    vv = vocab.select(
+        "term",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array(term),
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(term)),
+                        lambda i: F.concat(
+                            term.substr(F.lit(1), i - 1),
+                            term.substr(i + 1, F.length(term)),
+                        ),
+                    ),
+                )
+            )
+        ).alias("variant"),
+    )
+    spark = chunks.sparkSession
+    qv = spark.createDataFrame(
+        [(q, v) for q in query_terms for v in deletion_variants(q)],
+        "qterm string, variant string",
+    )
+    cand = vv.join(F.broadcast(qv), "variant").select("qterm", "term").distinct()
+    ver = cand.withColumn("lev", F.levenshtein("term", "qterm")).filter(
+        F.col("lev") <= max_edit
+    )
+    weights = ver.groupBy("qterm", "term").agg(F.min("lev").alias("lev"))
+    dq = (
+        toks.join(F.broadcast(weights), "term")
+        .groupBy("id", "qterm")
+        .agg(F.max(F.expr("1000000 div (1 + lev)")).alias("w"))
+    )
+    return (
+        dq.groupBy("id")
+        .agg(
+            F.sum("w").cast("long").alias("score_micro"),
+            F.count("*").cast("long").alias("n_terms"),
+        )
+        .orderBy(F.col("score_micro").desc(), F.col("id").asc())
+        .limit(limit)
+    )
+
+
 def prf_expand_search(
     chunks: DataFrame,
     query_text: str,

@@ -712,3 +712,66 @@ def mutual_knn_pairs_from(pairs: DataFrame, k: int = 3) -> DataFrame:
             F.col("y.rk").alias("rank_ba"),
         )
     )
+
+
+def matryoshka_recall(
+    emb: DataFrame,
+    n_queries: int = 20,
+    dims: tuple[int, ...] = (8, 16, 32, 64),
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka (MRL, Kusupati et al. NeurIPS'22) truncation sweep:
+    for each prefix dimensionality, brute-force cosine top-k per query
+    over the TRUNCATED vectors, then recall@k against the full-width
+    top-k. The evaluation a pipeline runs before shipping prefix-
+    truncated embeddings to cut index cost — the largest dim in `dims`
+    must be the full width and serves as its own ground truth (its
+    recall row is 1.0 by construction, a built-in sanity check).
+
+    Queries are the first `n_queries` corpus vectors (self-match kept:
+    it ranks first at every prefix in both engines, so it cancels out).
+
+    Scale shape: the query set (n_queries x |dims| slices) broadcasts
+    into one codegen'd corpus scan — corpus rows are read ONCE for all
+    dims x queries; ranking is a window partitioned by (dim, qid), i.e.
+    bounded per-partition work, never a global sort; the recall join
+    runs on two <= n_queries*k*|dims| frames."""
+    q = (
+        emb.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .withColumn("dim", F.explode(F.lit([int(d) for d in dims])))
+    )
+    scored = emb.select(F.col(id_col).alias("vec_id"), vec_col).crossJoin(
+        F.broadcast(q)
+    ).select(
+        "dim",
+        "qid",
+        "vec_id",
+        cosine_rounded(
+            F.slice(F.col(vec_col), F.lit(1), F.col("dim")),
+            F.slice(F.col("qv"), F.lit(1), F.col("dim")),
+        ).alias("score"),
+    )
+    w = Window.partitionBy("dim", "qid").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    topk = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    full = topk.filter(F.col("dim") == max(dims)).select("qid", "vec_id")
+    return (
+        topk.join(F.broadcast(full), ["qid", "vec_id"])
+        .groupBy("dim")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+        .select(
+            "dim",
+            "n_overlap",
+            F.round(
+                F.col("n_overlap").cast("double") / F.lit(float(n_queries * k)),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("dim")
+    )

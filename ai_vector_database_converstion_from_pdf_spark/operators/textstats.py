@@ -611,6 +611,68 @@ def bigram_surprisal(docs: DataFrame, add_k: int = 1) -> DataFrame:
     )
 
 
+def kn_bigram_surprisal(docs: DataFrame, discount: float = 0.75) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM score — the smoothing actually
+    used by KenLM-style quality filters (CCNet), one rung above the
+    add-k entry (`bigram_surprisal`): per doc, mean -ln P_KN(w | prev)
+    with absolute discounting and a CONTINUATION-count unigram backoff
+
+        P_KN(w|prev) = (c(prev,w) - D)/c(prev,·)
+                       + (D·N1+(prev,·)/c(prev,·)) · (N1+(·,w)/B)
+
+    where N1+(prev,·) = distinct continuations of prev, N1+(·,w) =
+    distinct left-contexts of w, B = distinct bigram types. Discount
+    D=0.75 (Chen & Goodman's fixed-D variant) is exactly representable
+    in binary, and every other input is an integer count, so the
+    probability expression evaluates bit-identically in any IEEE engine
+    that mirrors the operation order (the DuckDB oracle does).
+
+    Shape: one bigram explode (map-side sliding window), three
+    vocab-sized count tables (bigram, left-context, right-continuation
+    — all AQE-broadcastable by Heaps' law) joined back, B via a
+    broadcast 1-row aggregate. Docs with <2 tokens drop out."""
+    from .freqitems import token_ngrams
+
+    bg = token_ngrams(docs, n=2).select(
+        F.col("id").alias("doc_id"),
+        "gram",
+        F.split(F.col("gram"), " ")[0].alias("prev"),
+        F.split(F.col("gram"), " ")[1].alias("cur"),
+    )
+    cb = bg.groupBy("gram").agg(F.count("*").alias("cb"))
+    ctx = bg.groupBy("prev").agg(
+        F.count("*").alias("cc"),
+        F.count_distinct("gram").alias("n1p"),
+    )
+    cont = (
+        bg.select("prev", "cur")
+        .distinct()
+        .groupBy("cur")
+        .agg(F.count("*").alias("nc"))
+    )
+    btypes = bg.select("gram").distinct().agg(F.count("*").alias("b"))
+    d = F.lit(discount)
+    # operation order mirrored verbatim by the SQL oracle
+    p = (
+        (F.col("cb").cast("double") - d) / F.col("cc").cast("double")
+    ) + (
+        (d * F.col("n1p").cast("double") / F.col("cc").cast("double"))
+        * (F.col("nc").cast("double") / F.col("b").cast("double"))
+    )
+    return (
+        bg.join(cb, "gram")
+        .join(ctx, "prev")
+        .join(cont, "cur")
+        .crossJoin(F.broadcast(btypes))
+        .select("doc_id", (-F.log(p)).alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("s"), 6).alias("mean_kn_surprisal"),
+        )
+    )
+
+
 def normalize_text(col: Column) -> Column:
     """Curation-standard text normalization, pure expressions: control
     chars → space, curly quotes → straight, en/em dashes → '-',

@@ -133,6 +133,10 @@ HEADLINE = [
     "graph_bfs_hops",
     "events_time_to_convert",
     "langid_confusion",
+    "kn_surprisal_score",
+    "q3_fuzzy_search",
+    "embedding_matryoshka_recall",
+    "graph_link_prediction",
     # NOT benched: bpe_* (the per-session training cache would turn
     # min-of-N replays into cache reads — see catalog._bpe_trained)
 ]

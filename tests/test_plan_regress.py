@@ -58,6 +58,9 @@ FAST_SUBSET = [
     "winnowing_matches",
     "bigram_surprisal_score",
     "tfidf_doc_similarity",
+    "kn_surprisal_score",
+    "q3_fuzzy_search",
+    "embedding_matryoshka_recall",
 ]
 
 

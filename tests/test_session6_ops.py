@@ -1,0 +1,203 @@
+"""Hand-computed semantics for the fifth-session additions: Kneser-Ney
+bigram surprisal, SymSpell fuzzy term search, matryoshka truncation
+recall, and common-neighbor link prediction (tests/test_catalog_oracle.py
+covers their DuckDB parity; these pin the math independently on
+constructed inputs)."""
+
+import math
+
+import pytest
+
+from ai_vector_database_converstion_from_pdf_spark.operators.graph import (
+    link_prediction,
+)
+from ai_vector_database_converstion_from_pdf_spark.operators.keyword import (
+    deletion_variants,
+    fuzzy_search,
+)
+from ai_vector_database_converstion_from_pdf_spark.operators.similarity import (
+    matryoshka_recall,
+)
+from ai_vector_database_converstion_from_pdf_spark.operators.textstats import (
+    kn_bigram_surprisal,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+class TestKnSurprisal:
+    def test_hand_computed_kn(self, spark):
+        # corpus: doc0 = "a b a b", doc1 = "a c".
+        # bigrams: (a b) x2, (b a) x1, (a c) x1  -> 4 tokens of bigram
+        # events, 3 distinct types (B=3).
+        # contexts: a: cc=3, n1p=2 (ab, ac); b: cc=1, n1p=1 (ba).
+        # continuations: b: nc=1 (a_); a: nc=1 (b_); c: nc=1 (a_).
+        docs = _docs(spark, [(0, "a b a b"), (1, "a c")])
+        out = {r["doc_id"]: r for r in kn_bigram_surprisal(docs).collect()}
+        D, B = 0.75, 3.0
+
+        def p(cb, cc, n1p, nc):
+            return ((cb - D) / cc) + ((D * n1p / cc) * (nc / B))
+
+        p_ab = p(2, 3, 2, 1)  # P(b|a)
+        p_ba = p(1, 1, 1, 1)  # P(a|b)
+        p_ac = p(1, 3, 2, 1)  # P(c|a)
+        exp0 = -(math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 3.0
+        exp1 = -math.log(p_ac)
+        assert out[0]["n_bigrams"] == 3
+        assert out[1]["n_bigrams"] == 1
+        assert out[0]["mean_kn_surprisal"] == pytest.approx(exp0, abs=1e-6)
+        assert out[1]["mean_kn_surprisal"] == pytest.approx(exp1, abs=1e-6)
+
+    def test_probabilities_sum_below_one(self, spark):
+        # KN leaves mass on the discount: for a fixed context, the
+        # assigned probabilities of SEEN continuations sum to < 1
+        # (add-1 with full vocab would too, but KN must not exceed it).
+        docs = _docs(spark, [(0, "x y x z x y")])
+        out = kn_bigram_surprisal(docs).collect()[0]
+        assert out["n_bigrams"] == 5
+        assert out["mean_kn_surprisal"] > 0.0
+
+    def test_short_docs_drop(self, spark):
+        docs = _docs(spark, [(0, "solo"), (1, "a b")])
+        got = {r["doc_id"] for r in kn_bigram_surprisal(docs).collect()}
+        assert got == {1}
+
+
+class TestFuzzySearch:
+    def test_deletion_variants(self):
+        assert deletion_variants("ab") == ["a", "ab", "b"]
+        assert "mrge" in deletion_variants("merge")  # 1 deletion away
+
+    def test_typo_finds_term(self, spark):
+        docs = _docs(
+            spark,
+            [(0, "merge the tables"), (1, "join the queue"), (2, "nothing here")],
+        )
+        out = {
+            r["id"]: (r["score_micro"], r["n_terms"])
+            for r in fuzzy_search(
+                docs, ["mrge", "jion"], 10, id_col="doc_id", text_col="text"
+            ).collect()
+        }
+        # doc0 matches "merge" via lev 1 -> 500000; "the" is lev 2 from
+        # neither qterm's neighborhood (no shared deletion variant).
+        assert out[0] == (500000, 1)
+        # doc1 matches "join" via transposition (lev 2, shared variant
+        # "jon"/"jin") -> 333333.
+        assert out[1] == (333333, 1)
+        assert 2 not in out
+
+    def test_exact_match_dominates(self, spark):
+        docs = _docs(spark, [(0, "merge now"), (1, "marge now")])
+        out = [
+            (r["id"], r["score_micro"])
+            for r in fuzzy_search(
+                docs, ["merge"], 10, id_col="doc_id", text_col="text"
+            ).collect()
+        ]
+        # exact (lev 0) = 1_000_000 ranks above substitution (lev 1)
+        assert out == [(0, 1000000), (1, 500000)]
+
+    def test_beyond_max_edit_excluded(self, spark):
+        docs = _docs(spark, [(0, "zebra crossing")])
+        out = fuzzy_search(
+            docs, ["query"], 10, id_col="doc_id", text_col="text"
+        ).collect()
+        assert out == []
+
+
+class TestMatryoshkaRecall:
+    def test_prefix_geometry(self, spark):
+        # 4-dim vectors, full width 4, truncation 2. In the 2-dim
+        # prefix, v2 looks identical to v0's direction; full width
+        # separates them.
+        emb = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0, 0.0, 0.0], "a"),
+                (1, [1.0, 0.0, 0.1, 0.0], "a"),
+                (2, [1.0, 0.0, 0.0, 1.0], "a"),
+                (3, [0.0, 1.0, 0.0, 0.0], "a"),
+            ],
+            "vec_id long, embedding array<float>, label string",
+        )
+        out = {
+            r["dim"]: r
+            for r in matryoshka_recall(
+                emb, n_queries=2, dims=(2, 4), k=2
+            ).collect()
+        }
+        # full width is its own ground truth
+        assert out[4]["recall"] == 1.0
+        assert out[4]["n_overlap"] == 4
+        # prefix-2 recall is <= 1 and deterministic on this geometry:
+        # q0 full top-2 = {0, 1}; prefix-2 scores 0,1,2 all tie at 1.0
+        # -> tie-break by vec_id keeps {0, 1}: hit.
+        # q1 full top-2 = {1, 0}; prefix-2 keeps {0, 1}: hit.
+        assert out[2]["recall"] == 1.0
+
+    def test_truncation_loses_neighbor(self, spark):
+        # q0's full-width nearest neighbor differs from its prefix-2
+        # nearest: vec 1 matches in dims 3-4 only.
+        emb = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0, 1.0, 1.0], "a"),
+                (1, [0.0, 0.1, 1.0, 1.0], "a"),
+                (2, [1.0, 0.0, -1.0, -1.0], "a"),
+            ],
+            "vec_id long, embedding array<float>, label string",
+        )
+        out = {
+            r["dim"]: r["n_overlap"]
+            for r in matryoshka_recall(
+                emb, n_queries=1, dims=(2, 4), k=2
+            ).collect()
+        }
+        # full top-2 for q0: {0, 1} (cos(0,1)=2/sqrt(3*2.01)=0.81 >
+        # cos(0,2)=-1/3). prefix-2 top-2: {0, 2} (cos=1.0) over 1
+        # (cos=0). overlap = {0} -> 1 of 2.
+        assert out[4] == 2
+        assert out[2] == 1
+
+
+class TestLinkPrediction:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(
+            [(a, b) for a, b in pairs], "id_a long, id_b long"
+        )
+
+    def test_path_graph_predicts_endpoints(self, spark):
+        # path 1-2-3: only non-adjacent pair sharing a neighbor is (1,3)
+        # via center 2. deg(1)=deg(3)=1, cn=1 -> jaccard 1/(1+1-1)=1.
+        out = link_prediction(self._edges(spark, [(1, 2), (2, 3)])).collect()
+        assert [(r["id_a"], r["id_b"], r["cn"], r["jaccard"]) for r in out] == [
+            (1, 3, 1, 1.0)
+        ]
+
+    def test_adjacent_pairs_excluded(self, spark):
+        # triangle 1-2-3: every pair is an edge -> nothing to predict.
+        out = link_prediction(
+            self._edges(spark, [(1, 2), (1, 3), (2, 3)])
+        ).collect()
+        assert out == []
+
+    def test_jaccard_ranks_shared_neighborhood(self, spark):
+        # K1,3 star: leaves (2,3), (2,4), (3,4) each share hub 1.
+        # deg(leaf)=1 -> jaccard 1.0 each; plus a pendant 5-2 edge makes
+        # deg(2)=2, so pairs with 2 score 1/(2+1-1)=0.5, pair (3,4)
+        # stays 1.0 and ranks first.
+        out = link_prediction(
+            self._edges(spark, [(1, 2), (1, 3), (1, 4), (2, 5)])
+        ).collect()
+        top = out[0]
+        assert (top["id_a"], top["id_b"], top["jaccard"]) == (3, 4, 1.0)
+        scores = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+        assert scores[(2, 3)] == 0.5
+        assert scores[(2, 4)] == 0.5
+        # (1,5) share neighbor 2: deg(1)=3, deg(5)=1 -> 1/3
+        assert scores[(1, 5)] == pytest.approx(0.333333, abs=1e-6)

@@ -249,6 +249,32 @@ EXPECT = {
     # lang-ID eval: map-side classification + tiny rollup; the share
     # window runs over the (lang x pred) result, not the corpus
     "langid_confusion": ["!SortMergeJoin", "!MapInPandas", "!BroadcastHashJoin"],
+    # KN LM: one bigram explode + three vocab-sized count joins (AQE
+    # broadcasts them at runtime) — no window, no UDF
+    "kn_surprisal_score": ["!MapInPandas", "!Window"],
+    # SymSpell: variant explode is map-side (Generate), query variants
+    # + verified weights broadcast, final rank is TakeOrdered — never a
+    # vocab x query cross product
+    "q3_fuzzy_search": [
+        "TakeOrderedAndProject",
+        "BroadcastHashJoin",
+        "!CartesianProduct",
+        "!MapInPandas",
+    ],
+    # matryoshka sweep: the (query x dim) side broadcasts into ONE
+    # corpus scan; ranking windows partition by (dim, qid)
+    "embedding_matryoshka_recall": [
+        "BroadcastNestedLoopJoin",
+        "!SortMergeJoin",
+        "!MapInPandas",
+    ],
+    # link prediction downstream of the checkpointed pair scan: wedge
+    # self-join + anti-join + degree joins, top-k without global sort
+    "graph_link_prediction": [
+        "TakeOrderedAndProject",
+        "!MapInPandas",
+        "!CartesianProduct",
+    ],
 }
 
 
