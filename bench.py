@@ -137,6 +137,8 @@ HEADLINE = [
     "q3_fuzzy_search",
     "embedding_matryoshka_recall",
     "graph_link_prediction",
+    "events_holt_forecast",
+    "events_top_paths",
     # NOT benched: bpe_* (the per-session training cache would turn
     # min-of-N replays into cache reads — see catalog._bpe_trained)
 ]

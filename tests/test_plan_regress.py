@@ -61,6 +61,8 @@ FAST_SUBSET = [
     "kn_surprisal_score",
     "q3_fuzzy_search",
     "embedding_matryoshka_recall",
+    "events_holt_forecast",
+    "events_top_paths",
 ]
 
 

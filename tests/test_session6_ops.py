@@ -201,3 +201,89 @@ class TestLinkPrediction:
         assert scores[(2, 4)] == 0.5
         # (1,5) share neighbor 2: deg(1)=3, deg(5)=1 -> 1/3
         assert scores[(1, 5)] == pytest.approx(0.333333, abs=1e-6)
+
+
+class TestHoltForecast:
+    def _daily(self, spark, rows):
+        return spark.createDataFrame(rows, "event_type string, x long, y long")
+
+    def test_hand_computed_recursion(self, spark):
+        from ai_vector_database_converstion_from_pdf_spark.operators.forecast import (
+            holt_linear,
+        )
+
+        # series 10, 20, 30 with a=B=0.5:
+        # l1=10, b1=0
+        # l2=.5*20+.5*10=15        b2=.5*(15-10)=2.5
+        # l3=.5*30+.5*17.5=23.75   b3=.5*(23.75-15)+.5*2.5=5.625
+        out = holt_linear(
+            self._daily(spark, [("a", 1, 10), ("a", 2, 20), ("a", 3, 30)]),
+            horizon=7,
+        ).collect()[0]
+        assert out["n_days"] == 3
+        assert out["level"] == 23.75
+        assert out["trend"] == 5.625
+        assert out["forecast"] == 23.75 + 7 * 5.625
+
+    def test_single_day_series(self, spark):
+        from ai_vector_database_converstion_from_pdf_spark.operators.forecast import (
+            holt_linear,
+        )
+
+        out = holt_linear(self._daily(spark, [("b", 5, 42)])).collect()[0]
+        assert (out["level"], out["trend"], out["forecast"]) == (42.0, 0.0, 42.0)
+
+    def test_order_insensitive_input(self, spark):
+        from ai_vector_database_converstion_from_pdf_spark.operators.forecast import (
+            holt_linear,
+        )
+
+        fwd = holt_linear(
+            self._daily(spark, [("a", 1, 10), ("a", 2, 20), ("a", 3, 30)])
+        ).collect()
+        rev = holt_linear(
+            self._daily(spark, [("a", 3, 30), ("a", 1, 10), ("a", 2, 20)])
+        ).collect()
+        assert fwd == rev
+
+
+class TestTopPaths:
+    def test_first5_path_and_ranking(self, spark):
+        import datetime
+
+        from ai_vector_database_converstion_from_pdf_spark.catalog import (
+            events_top_paths,
+        )
+
+        # build a parquet fixture dir so the catalog entry can read it
+        rows = []
+        eid = 0
+        t0 = datetime.datetime(2024, 1, 1)
+        # users 1,2 share view>click; user 3 has 7 events (only first 5
+        # count); user 4 ties on ts -> event_id breaks the tie
+        for uid, seq in [
+            (1, ["view", "click"]),
+            (2, ["view", "click"]),
+            (3, ["a", "b", "c", "d", "e", "f", "g"]),
+        ]:
+            for i, et in enumerate(seq):
+                rows.append((eid, t0 + datetime.timedelta(minutes=i), uid, et, 1.0, "{}"))
+                eid += 1
+        rows.append((100, t0, 4, "z_second", 1.0, "{}"))
+        rows.append((99, t0, 4, "a_first", 1.0, "{}"))
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            ev.write.parquet(f"{d}/events.parquet")
+            out = {
+                r["path"]: r["n_users"]
+                for r in events_top_paths(spark, d).collect()
+            }
+        assert out["view>click"] == 2
+        assert out["a>b>c>d>e"] == 1  # capped at first 5
+        assert out["a_first>z_second"] == 1  # event_id tie-break

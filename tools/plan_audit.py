@@ -275,6 +275,17 @@ EXPECT = {
         "!MapInPandas",
         "!CartesianProduct",
     ],
+    # Holt smoothing: per-series applyInPandas (FlatMapGroupsInPandas,
+    # the deliberate pandas stage) over a (type, day) pre-aggregate —
+    # no join, no window
+    "events_holt_forecast": ["!SortMergeJoin", "!Window", "!CartesianProduct"],
+    # top paths: ONE user-keyed window (rank-filtered to <=5 rows/user
+    # before any agg), path-keyed count, TakeOrdered
+    "events_top_paths": [
+        "TakeOrderedAndProject",
+        "!SortMergeJoin",
+        "!MapInPandas",
+    ],
 }
 
 

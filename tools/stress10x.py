@@ -611,6 +611,118 @@ def ninth_session() -> None:
     timed(f"leakage_safe_split({nd} docs, LSH clusters)", split)
 
 
+
+def tenth_session() -> None:
+    """Round-4 tenth-session scale paths (fifth-session additions):
+    - KN bigram surprisal over 500k docs (~29M bigram events, three
+      vocab-sized count joins -- the LM-filter scan shape),
+    - SymSpell fuzzy search over the 500k-doc posting list (variant
+      generation is vocab-sized, postings join is corpus-sized),
+    - matryoshka recall sweep at 20k vectors x 20 queries x 4 dims
+      (one corpus scan for all slices),
+    - link prediction: the sum(deg^2) wedge probe REFUSES the 24M-edge
+      dup-dense graph (same decision flow as triangles/winnowing);
+      after dropping hub nodes (deg > 64 -- hubs score ~0 jaccard and
+      add no signal) the exact pass runs.
+    Usage: python tools/stress10x.py tenth"""
+    from pyspark.sql import functions as F
+
+    from ai_vector_database_converstion_from_pdf_spark.operators.graph import (
+        link_prediction,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.operators.keyword import (
+        fuzzy_search,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.operators.similarity import (
+        matryoshka_recall,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.operators.dedup import (
+        simhash_pairs,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.operators.textstats import (
+        kn_bigram_surprisal,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.session import get_spark
+
+    spark = get_spark("stress10x-10")
+
+    def timed(label, fn):
+        t = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t
+        print(f"STRESS {label}: {dt:.1f}s  ({out})")
+        return out
+
+    reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+    docs0 = spark.read.parquet(f"{SF}/documents.parquet")
+    docs = (
+        docs0.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"), "text"
+        )
+        .persist()
+    )
+    nd = docs.count()
+    print(f"docs -> {nd}")
+
+    timed(
+        f"kn_bigram_surprisal({nd} docs)",
+        lambda: f"{kn_bigram_surprisal(docs).count()} scored",
+    )
+    timed(
+        f"fuzzy_search({nd} docs, 3 typo terms)",
+        lambda: f"top20 ready, {fuzzy_search(docs, ['mrge', 'tabel', 'jion'], 20, id_col='doc_id', text_col='text').count()} rows",
+    )
+
+    emb0 = spark.read.parquet(f"{SF}/embeddings.parquet")
+    emb = (
+        emb0.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"),
+            "embedding",
+        )
+        .persist()
+    )
+    nv = emb.count()
+    timed(
+        f"matryoshka_recall({nv} vectors, 20 queries, dims 8/16/32/64)",
+        lambda: {
+            r["dim"]: r["recall"]
+            for r in matryoshka_recall(emb, n_queries=20).collect()
+        },
+    )
+
+    sh_pairs = (
+        simhash_pairs(docs, max_hamming=3).select("id_a", "id_b").persist()
+    )
+    ne = sh_pairs.count()
+    print(f"simhash edges -> {ne}")
+    und = sh_pairs.select(F.col("id_a").alias("src")).unionAll(
+        sh_pairs.select(F.col("id_b").alias("src"))
+    )
+    deg = und.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    wedge_bound = deg.agg(
+        F.sum(F.col("deg") * F.col("deg")).alias("w")
+    ).collect()[0]["w"]
+    budget = 5e8
+    print(
+        f"STRESS link_pred wedge probe: sum(deg^2)={wedge_bound:.3g} "
+        f"{'> budget %g -> exact REFUSED' % budget if wedge_bound > budget else '-> exact ok'}"
+    )
+    if wedge_bound > budget:
+        keep = deg.filter(F.col("deg") <= 64).select(F.col("src").alias("id"))
+        capped = (
+            sh_pairs.join(keep.withColumnRenamed("id", "id_a"), "id_a")
+            .join(keep.withColumnRenamed("id", "id_b"), "id_b")
+            .select("id_a", "id_b")
+            .persist()
+        )
+        nc = capped.count()
+        timed(
+            f"link_prediction(hub-capped deg<=64: {nc} edges of {ne})",
+            lambda: f"top {link_prediction(capped, top_k=50).count()} pairs",
+        )
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "fifth":
         fifth_session()
@@ -622,5 +734,7 @@ if __name__ == "__main__":
         eighth_session()
     elif len(sys.argv) > 1 and sys.argv[1] == "ninth":
         ninth_session()
+    elif len(sys.argv) > 1 and sys.argv[1] == "tenth":
+        tenth_session()
     else:
         main()
