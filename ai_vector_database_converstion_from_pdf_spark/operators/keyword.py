@@ -426,6 +426,12 @@ def match_search(
       NEAR(a b, n)         -> near_search    (n intervening tokens, 10
                                               when omitted, FTS5 default)
       a AND b OR c NOT d   -> boolean_search (uppercase keywords)
+      tok~                 -> fuzzy_search   (Lucene-style: marked terms
+                                              match within 2 edits via
+                                              SymSpell, unmarked stay
+                                              exact — an extension
+                                              beyond FTS5, which has no
+                                              fuzzy operator)
       tok*                 -> prefix_search  (any term ends with *)
       plain terms          -> keyword_search (OR-of-terms)
 
@@ -446,6 +452,13 @@ def match_search(
     if any(t in ("AND", "OR", "NOT") for t in toks):
         return boolean_search(
             chunks, q, limit, id_col=id_col, text_col=text_col, fts_index=fts_index
+        )
+    if any(t.endswith("~") and t.rstrip("~") for t in toks):
+        fuzzy = [t.rstrip("~") for t in toks if t.endswith("~") and t.rstrip("~")]
+        exact = tuple(t for t in toks if not t.endswith("~"))
+        return fuzzy_search(
+            chunks, fuzzy, limit, id_col=id_col, text_col=text_col,
+            exact_terms=exact,
         )
     if any(t.endswith("*") and t.rstrip("*") for t in toks):
         return prefix_search(
@@ -477,6 +490,7 @@ def fuzzy_search(
     max_edit: int = 2,
     id_col: str = "id",
     text_col: str = "text",
+    exact_terms: tuple[str, ...] = (),
 ) -> DataFrame:
     """Typo-tolerant term search via SymSpell deletion-neighborhood
     blocking (Garbe's symmetric delete algorithm): candidate vocabulary
@@ -531,6 +545,14 @@ def fuzzy_search(
         F.col("lev") <= max_edit
     )
     weights = ver.groupBy("qterm", "term").agg(F.min("lev").alias("lev"))
+    if exact_terms:
+        # unmarked terms match only themselves (lev 0, full weight) —
+        # the Lucene contract where fuzziness is per-`~`-marked term
+        ex = spark.createDataFrame(
+            [(t, t, 0) for t in exact_terms],
+            "qterm string, term string, lev int",
+        )
+        weights = weights.unionByName(ex)
     dq = (
         toks.join(F.broadcast(weights), "term")
         .groupBy("id", "qterm")
@@ -542,6 +564,7 @@ def fuzzy_search(
             F.sum("w").cast("long").alias("score_micro"),
             F.count("*").cast("long").alias("n_terms"),
         )
+        .withColumn("kw_score", F.lit(0.5))  # FTS-branch flat-score contract
         .orderBy(F.col("score_micro").desc(), F.col("id").asc())
         .limit(limit)
     )

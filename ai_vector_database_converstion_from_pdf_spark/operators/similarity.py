@@ -775,3 +775,49 @@ def matryoshka_recall(
         )
         .orderBy("dim")
     )
+
+
+def matryoshka_funnel_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    prefix_dim: int = 16,
+    shortlist: int = 100,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka funnel retrieval (MRL's adaptive two-stage search):
+    shortlist by cosine over the first `prefix_dim` dims (4x fewer
+    multiplies per row at 16 of 64), then rescore ONLY the shortlist at
+    full width — the training-free sibling of int8/Hamming two-stage
+    rescore (`quantize.int8_topk_rescore`): no codebook, no index
+    build, deterministic, so it stays value-oracled.
+
+    Scale shape: both stages are TakeOrderedAndProject over codegen'd
+    scans — zero exchanges; the stage-2 input is `shortlist` rows. At
+    100 TB the prefix slice is the column you'd actually materialize
+    (store the first 16 dims as a separate parquet column and scan 1/4
+    of the bytes; the full vector column is fetched only for the
+    shortlist)."""
+    qfull = query_vector_lit(query_vec)
+    qpre = query_vector_lit(list(query_vec)[:prefix_dim])
+    s1 = (
+        emb.select(
+            F.col(id_col),
+            F.col(vec_col),
+            cosine_rounded(
+                F.slice(F.col(vec_col), 1, prefix_dim), qpre
+            ).alias("prefix_score"),
+        )
+        .orderBy(F.col("prefix_score").desc(), F.col(id_col).asc())
+        .limit(shortlist)
+    )
+    return (
+        s1.select(
+            F.col(id_col),
+            "prefix_score",
+            cosine_rounded(F.col(vec_col), qfull).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

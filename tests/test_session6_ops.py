@@ -287,3 +287,90 @@ class TestTopPaths:
         assert out["view>click"] == 2
         assert out["a>b>c>d>e"] == 1  # capped at first 5
         assert out["a_first>z_second"] == 1  # event_id tie-break
+
+
+class TestMatchFuzzyDispatch:
+    def test_tilde_routes_to_fuzzy(self, spark):
+        from ai_vector_database_converstion_from_pdf_spark.operators.keyword import (
+            match_search,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "merge the tables"), (1, "marge the tables"), (2, "other text")],
+            "id long, text string",
+        )
+        out = {r["id"]: r["score_micro"] for r in match_search(df, "merge~", 10).collect()}
+        assert out[0] == 1000000 and out[1] == 500000 and 2 not in out
+
+    def test_unmarked_terms_stay_exact(self, spark):
+        from ai_vector_database_converstion_from_pdf_spark.operators.keyword import (
+            match_search,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "merge tables"), (1, "marge tables"), (2, "merge")],
+            "id long, text string",
+        )
+        # "merge~" is fuzzy (matches marge at lev 1); "tables" exact-only
+        out = {
+            r["id"]: (r["score_micro"], r["n_terms"])
+            for r in match_search(df, "merge~ tables", 10).collect()
+        }
+        assert out[0] == (2000000, 2)   # exact merge + exact tables
+        assert out[1] == (1500000, 2)   # fuzzy marge + exact tables
+        assert out[2] == (1000000, 1)   # exact merge only
+        # kw_score contract for the CLI front door
+        row = match_search(df, "merge~", 10).collect()[0]
+        assert row["kw_score"] == 0.5
+
+
+class TestMatryoshkaFunnel:
+    def test_funnel_matches_bruteforce_when_prefix_good(self, spark):
+        from ai_vector_database_converstion_from_pdf_spark.operators.semantic import (
+            semantic_topk,
+        )
+        from ai_vector_database_converstion_from_pdf_spark.operators.similarity import (
+            matryoshka_funnel_topk,
+        )
+
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        vecs = rng.standard_normal((50, 8)).astype("float32")
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]], "a") for i in range(50)],
+            "vec_id long, embedding array<float>, label string",
+        )
+        q = [float(x) for x in vecs[0]]
+        # shortlist = corpus size -> funnel is EXACTLY brute force
+        got = [
+            (r["vec_id"], r["score"])
+            for r in matryoshka_funnel_topk(
+                emb, q, prefix_dim=4, shortlist=50, k=5
+            ).collect()
+        ]
+        want = [
+            (r["vec_id"], r["score"])
+            for r in semantic_topk(emb, q, k=5).collect()
+        ]
+        assert got == want
+
+    def test_small_shortlist_can_miss(self, spark):
+        from ai_vector_database_converstion_from_pdf_spark.operators.similarity import (
+            matryoshka_funnel_topk,
+        )
+
+        # vec 1 is the true full-width nearest of q but its prefix-2 is
+        # orthogonal to q's -> a shortlist of 1 keeps only vec 2
+        emb = spark.createDataFrame(
+            [
+                (1, [0.0, 1.0, 1.0, 1.0], "a"),
+                (2, [1.0, 0.0, 0.1, 0.1], "a"),
+            ],
+            "vec_id long, embedding array<float>, label string",
+        )
+        q = [1.0, 0.0, 1.0, 1.0]
+        out = matryoshka_funnel_topk(
+            emb, q, prefix_dim=2, shortlist=1, k=1
+        ).collect()
+        assert [r["vec_id"] for r in out] == [2]
