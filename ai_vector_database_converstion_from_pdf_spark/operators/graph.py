@@ -224,7 +224,11 @@ def triangle_counts(
     with_degrees=True adds every node's degree to the output (full
     outer against the triangle counts, zero-filled) — callers computing
     clustering coefficients reuse the degree aggregate this function
-    already builds instead of re-deriving it from the pair frame.
+    already builds instead of re-deriving it from the pair frame. In
+    SAMPLED mode (explicit sample_p<1 or auto-dispatch) the emitted
+    `deg` is always the FULL-graph degree, computed before edge
+    filtering: the unbiased 1/p^3 triangle estimate must pair with true
+    degrees or 2*tri/(deg*(deg-1)) inflates by ~1/p^2.
 
     Shape: degree agg (node-sized) broadcast-joinable onto edges, one
     self-join keyed on the wedge apex, one join against canonical
@@ -238,7 +242,20 @@ def triangle_counts(
         .distinct()
         .persist()
     )
-    deg = None
+    deg = None  # orientation degrees (working = possibly sampled edge set)
+    emit_deg = None  # FULL-graph degrees for with_degrees output — never sampled
+    if sample_p is not None and sample_p != "auto" and with_degrees:
+        # explicit sampling: pin full-graph degrees BEFORE filtering, so
+        # downstream clustering coefficients pair the unbiased 1/p^3
+        # triangle estimate with true degrees (sampled degrees ~ p*deg
+        # would inflate 2*tri/(deg*(deg-1)) by ~1/p^2)
+        emit_deg = (
+            canon.select(F.col("u").alias("id"))
+            .union(canon.select(F.col("v")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .localCheckpoint(eager=True)
+        )
     if sample_p == "auto":
         # one node-sized degree aggregate + scalar sum over the persisted
         # canonical edges — the dispatch probe costs one cheap pass
@@ -254,6 +271,12 @@ def triangle_counts(
         )
         if sdeg2 > auto_wedge_budget:
             sample_p = max(0.01, min(1.0, (auto_wedge_budget / sdeg2) ** 0.5))
+            if with_degrees:
+                # reuse the probe's FULL-graph degree table as the emitted
+                # degrees — pairing sampled degrees (~ p*deg) with the
+                # 1/p^3-scaled triangle estimate would inflate clustering
+                # coefficients by ~1/p^2 (ADVICE r4)
+                emit_deg = full_deg.localCheckpoint(eager=True)
             import logging
 
             logging.getLogger(__name__).warning(
@@ -333,6 +356,7 @@ def triangle_counts(
         if with_degrees:
             cnt_col = "triangles" if sample_p is None else "triangles_est"
             zero = F.lit(0).cast("long") if sample_p is None else F.lit(0.0)
+            deg = emit_deg if emit_deg is not None else deg
             out = deg.join(out, "id", "left").select(
                 "id",
                 F.coalesce(F.col(cnt_col), zero).alias(cnt_col),
