@@ -110,3 +110,14 @@ def ollama_probe(base: str = "http://127.0.0.1:11434") -> list[tuple[str, str, s
     with urllib.request.urlopen(f"{base}/api/tags", timeout=2) as r:
         tags = json.load(r)
     return [(m["name"], "ollama", f"{base}/api/generate") for m in tags.get("models", [])]
+
+
+def gemini_probe(
+    base: str = "https://generativelanguage.googleapis.com", api_key: str = ""
+) -> list[tuple[str, str, str]]:
+    """Live Gemini model discovery (M3 / `list_models.py:6-18`): GET
+    /v1beta/models and keep models that can embed or generate. HTTP-gated;
+    delegates to functions.providers.gemini_probe for the wire shape."""
+    from .functions.providers import gemini_probe as _probe
+
+    return _probe(base, api_key=api_key)

@@ -117,6 +117,48 @@ def stub_synthesizer(query: str, contexts: list[SourceContext], clusters: list[l
     return json.dumps({"answer": answer})
 
 
+SYNTHESIS_PROMPT = (
+    "You are a high-trust research synthesis engine. Based ONLY on the "
+    "following FACT UNITS, provide a grounded answer.\n"
+    "Each fact unit contains multiple supporting sources. Use Source [ID] "
+    "for citations.\n"
+    "If fact units conflict (e.g. different dates or opposing claims), "
+    "YOU MUST mention the conflict.\n"
+    "Return your answer ONLY as valid JSON.\n\n"
+    "Format:\n"
+    "{{\n"
+    '  "answer": [\n'
+    '    {{"statement": "<claim text here>", "sources": [<source_id1>, '
+    "<source_id2>]}}\n"
+    "  ]\n"
+    "}}\n\n"
+    "Context:\n{context}\n\nQuery: {query}"
+)  # verbatim prompt parity with gemini_api.cpp:436-447
+
+
+def synthesis_prompt(query: str, contexts: list["SourceContext"],
+                     clusters: list[list[int]]) -> str:
+    """The exact model input the reference sends (Y2)."""
+    return SYNTHESIS_PROMPT.format(
+        context=fact_unit_block(contexts, clusters), query=query
+    )
+
+
+def http_synthesizer(provider):
+    """Adapt an HttpChatProvider into the `llm(query, contexts, clusters)`
+    seam so Y2 runs against a live endpoint (`gemini_api.cpp:420-476`):
+    builds the reference prompt, calls generateContent/chat at
+    temperature 0, returns the raw report for parse_claims."""
+
+    def llm(query: str, contexts: list[SourceContext],
+            clusters: list[list[int]]) -> str:
+        return provider.synthesize_report(
+            synthesis_prompt(query, contexts, clusters)
+        )
+
+    return llm
+
+
 @dataclass
 class ClaimNode:
     statement: str

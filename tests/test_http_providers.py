@@ -23,6 +23,17 @@ from ai_vector_database_converstion_from_pdf_spark.functions.providers import (
 DIM = 16
 
 
+def _chat_reply(prompt: str) -> str:
+    """Deterministic mock LLM: summaries echo the first words of the
+    content; synthesis prompts get valid claim JSON citing Source [1]."""
+    if "research synthesis engine" in prompt:
+        return json.dumps(
+            {"answer": [{"statement": "mock grounded claim", "sources": [1]}]}
+        )
+    content = prompt.split("Content:", 1)[-1].strip()
+    return "SUMMARY: " + " ".join(content.split()[:5])
+
+
 class _Mock(BaseHTTPRequestHandler):
     post_counts = {"embed": 0, "rerank": 0}
     fail_next = False
@@ -40,6 +51,22 @@ class _Mock(BaseHTTPRequestHandler):
             self._send({"models": [{"name": "nomic-embed-text"}, {"name": "llama3"}]})
         elif self.path == "/v1/models":
             self._send({"data": [{"id": "bge-reranker"}, {"id": "qwen-chat"}]})
+        elif self.path.startswith("/v1beta/models"):
+            # Gemini discovery (list_models.py:6-18 wire shape)
+            self._send(
+                {
+                    "models": [
+                        {
+                            "name": "models/gemini-embedding-001",
+                            "supportedGenerationMethods": ["embedContent"],
+                        },
+                        {
+                            "name": "models/gemini-2.0-flash",
+                            "supportedGenerationMethods": ["generateContent"],
+                        },
+                    ]
+                }
+            )
         else:
             self._send({"error": "not found"}, 404)
 
@@ -59,34 +86,73 @@ class _Mock(BaseHTTPRequestHandler):
                 {"data": [{"embedding": hash_embed(t, DIM)} for t in payload["input"]]}
             )
         elif self.path.startswith("/v1beta/models/") and ":generateContent" in self.path:
-            # Gemini generateContent OCR (gemini_api.cpp:275-314 wire
-            # shape): decode the base64 PDF and extract its text with the
-            # dependency-free minipdf parser, so the e2e test proves real
-            # text flows back through the provider
-            import base64
-
-            from ai_vector_database_converstion_from_pdf_spark.sources import minipdf
-
-            _Mock.post_counts["ocr"] = _Mock.post_counts.get("ocr", 0) + 1
             parts = payload["contents"][0]["parts"]
-            pdf_b64 = next(p for p in parts if "inline_data" in p)
-            assert pdf_b64["inline_data"]["mime_type"] == "application/pdf"
-            chars = minipdf.extract_chars(
-                base64.b64decode(pdf_b64["inline_data"]["data"]), "doc"
+            inline = [p for p in parts if "inline_data" in p]
+            if inline:
+                # Gemini generateContent OCR (gemini_api.cpp:275-314 wire
+                # shape): decode the base64 PDF and extract its text with
+                # the dependency-free minipdf parser, so the e2e test
+                # proves real text flows back through the provider
+                import base64
+
+                from ai_vector_database_converstion_from_pdf_spark.sources import (
+                    minipdf,
+                )
+
+                _Mock.post_counts["ocr"] = _Mock.post_counts.get("ocr", 0) + 1
+                assert inline[0]["inline_data"]["mime_type"] == "application/pdf"
+                chars = minipdf.extract_chars(
+                    base64.b64decode(inline[0]["inline_data"]["data"]), "doc"
+                )
+                text = "".join(c["ch"] for c in chars)
+            else:
+                # text-only generateContent: summary / synthesis dialect
+                # (gemini_api.cpp:316-377, 420-476)
+                _Mock.post_counts["chat"] = _Mock.post_counts.get("chat", 0) + 1
+                text = _chat_reply(parts[0]["text"])
+            self._send(
+                {"candidates": [{"content": {"parts": [{"text": text}]}}]}
+            )
+        elif self.path == "/api/generate":
+            # Ollama generate dialect (gemini_api.cpp:341-344,457-462)
+            _Mock.post_counts["chat"] = _Mock.post_counts.get("chat", 0) + 1
+            assert payload["stream"] is False
+            self._send({"response": _chat_reply(payload["prompt"])})
+        elif self.path == "/v1/chat/completions":
+            # LM Studio / OpenAI chat dialect (gemini_api.cpp:346-349,464-470)
+            _Mock.post_counts["chat"] = _Mock.post_counts.get("chat", 0) + 1
+            user = next(
+                m for m in payload["messages"] if m["role"] == "user"
             )
             self._send(
                 {
-                    "candidates": [
+                    "choices": [
                         {
-                            "content": {
-                                "parts": [
-                                    {"text": "".join(c["ch"] for c in chars)}
-                                ]
+                            "message": {
+                                "role": "assistant",
+                                "content": _chat_reply(user["content"]),
                             }
                         }
                     ]
                 }
             )
+        elif ":batchEmbedContents" in self.path:
+            # Gemini embedContent dialect (gemini_api.cpp:256-263 request,
+            # 604-612 response): assert the task_type + parts shape the
+            # reference sends, reply {"embeddings": [{"values": [...]}]}
+            _Mock.post_counts["embed"] += 1
+            assert self.path.startswith("/v1beta/models/gemini-embedding-001")
+            reqs = payload["requests"]
+            assert all(r["task_type"] == "RETRIEVAL_DOCUMENT" for r in reqs)
+            texts = [r["content"]["parts"][0]["text"] for r in reqs]
+            self._send(
+                {"embeddings": [{"values": hash_embed(t, DIM)} for t in texts]}
+            )
+        elif ":embedContent" in self.path:
+            # single-request variant, reply shape {"embedding": {"values"}}
+            _Mock.post_counts["embed"] += 1
+            text = payload["content"]["parts"][0]["text"]
+            self._send({"embedding": {"values": hash_embed(text, DIM)}})
         elif self.path == "/v1/rerank":
             _Mock.post_counts["rerank"] += 1
             results = [
@@ -127,6 +193,69 @@ def test_embed_batch_matches_stub(server, style):
     texts = ["alpha beta", "gamma delta", ""]
     vecs = prov.embed_batch(texts)
     assert vecs == [hash_embed(t, DIM) for t in texts]
+
+
+def test_gemini_embed_batch_matches_stub(server):
+    """The reference's default dialect (gemini_api.cpp:256-263): one
+    batchEmbedContents POST per batch, api key in the query string,
+    task_type=RETRIEVAL_DOCUMENT asserted server-side."""
+    _Mock.post_counts["embed"] = 0
+    prov = HttpEmbedProvider(
+        server, "gemini-embedding-001", style="gemini", api_key="k"
+    )
+    texts = ["alpha beta", "gamma delta", ""]
+    assert prov.embed_batch(texts) == [hash_embed(t, DIM) for t in texts]
+    assert _Mock.post_counts["embed"] == 1  # batched, not per-text
+
+
+def test_gemini_single_embedding_response_shape(server, monkeypatch):
+    """onEmbeddingsReply also accepts a single {"embedding": {"values"}}
+    object (gemini_api.cpp:604); the parser must handle both shapes."""
+    from ai_vector_database_converstion_from_pdf_spark.functions import providers
+
+    prov = HttpEmbedProvider(server, "gemini-embedding-001", style="gemini")
+    monkeypatch.setattr(
+        providers,
+        "_post_json",
+        lambda url, payload, timeout: {
+            "embedding": {"values": hash_embed("solo", DIM)}
+        },
+    )
+    assert prov.embed_batch(["solo"]) == [hash_embed("solo", DIM)]
+    # a malformed reply fails loudly, not with a silent empty vector
+    monkeypatch.setattr(
+        providers, "_post_json", lambda url, payload, timeout: {"oops": 1}
+    )
+    with pytest.raises(RuntimeError, match="missing values"):
+        prov.embed_batch(["solo"])
+
+
+def test_gemini_probe_and_registry(server):
+    """M1/M3 Gemini arm: discovery filters by supportedGenerationMethods
+    and the registry can select the gemini embed engine."""
+    from ai_vector_database_converstion_from_pdf_spark.functions.providers import (
+        gemini_probe,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.models import (
+        ModelRegistry,
+        make_model,
+    )
+
+    found = gemini_probe(server, api_key="k")
+    assert [n for n, _e, _u in found] == [
+        "gemini-embedding-001",
+        "gemini-2.0-flash",
+    ]
+    assert all(e == "gemini" for _n, e, _u in found)
+    embed_only = gemini_probe(server, method="embedContent")
+    assert [n for n, _e, _u in embed_only] == ["gemini-embedding-001"]
+    caps = {n: make_model(n, e, u).capabilities for n, e, u in found}
+    assert caps["gemini-embedding-001"] == ("embedding",)
+    assert "chat" in caps["gemini-2.0-flash"]
+
+    reg = ModelRegistry().discover([lambda: found])
+    reg.select("gemini-embedding-001", "gemini-2.0-flash", "gemini-2.0-flash")
+    assert reg.embed_engine == "gemini-embedding-001"
 
 
 def test_embed_udf_batches_per_arrow_batch(server, spark):
@@ -229,3 +358,97 @@ def test_engine_indexes_through_http_provider(server, spark, tmp_path):
     )
     res = eng.search("document body 3", k=2)
     assert res and res[0]["id"] == 3
+
+
+def test_engine_indexes_through_gemini_provider(server, spark, tmp_path):
+    """Index+search end-to-end through the Gemini embedContent dialect —
+    the reference's default embedding stack (gemini_api.cpp:256-263).
+    Same results as the stub because the mock embeds with hash_embed."""
+    from ai_vector_database_converstion_from_pdf_spark.engine import PvdbEngine
+
+    prov = HttpEmbedProvider(
+        server, "gemini-embedding-001", style="gemini", api_key="secret"
+    )
+    eng = PvdbEngine(
+        spark,
+        str(tmp_path / "gemini_ws"),
+        dim=DIM,
+        embedder=lambda t: prov.embed_batch([t])[0],
+        embed_udf=make_http_embed_udf(prov),
+        asof="2024-06-01 00:00:00",
+    )
+    eng.index_documents(
+        spark.createDataFrame(
+            [(i, f"document body {i} about joins") for i in range(6)],
+            "doc_id long, text string",
+        )
+    )
+    res = eng.search("document body 4", k=2)
+    assert res and res[0]["id"] == 4
+
+
+@pytest.mark.parametrize("style", ["gemini", "ollama", "openai"])
+def test_chat_provider_summary_all_dialects(server, style):
+    """I15 production connector: the reference's summary prompt through
+    all three reason-engine dialects (gemini_api.cpp:316-377)."""
+    from ai_vector_database_converstion_from_pdf_spark.functions.providers import (
+        HttpChatProvider,
+    )
+
+    prov = HttpChatProvider(server, "any-model", style=style, api_key="k")
+    out = prov.summarize("relational joins combine rows across tables")
+    assert out.startswith("SUMMARY: relational joins combine rows")
+
+
+def test_chat_synthesis_live_endpoint(server):
+    """Y2 against a live endpoint: reference prompt built from fact
+    units → HTTP generate at temperature 0 → parse_claims validates the
+    citations (gemini_api.cpp:420-476 + 496-565)."""
+    from ai_vector_database_converstion_from_pdf_spark.functions.providers import (
+        HttpChatProvider,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.operators.synthesis import (
+        SourceContext,
+        http_synthesizer,
+        synthesis_prompt,
+        synthesize,
+    )
+
+    ctxs = [
+        SourceContext(1, "doc_a", 0.9, "joins combine tables", 0.8, [1.0, 0.0]),
+        SourceContext(2, "doc_b", 0.7, "joins merge rows", 0.6, [1.0, 0.01]),
+    ]
+    # prompt parity: fact units + citation instruction + JSON contract
+    prompt = synthesis_prompt("what are joins", ctxs, [[0, 1]])
+    assert "[FACT UNIT 1]" in prompt and "Source [1]" in prompt
+    assert '"answer"' in prompt and "Query: what are joins" in prompt
+
+    for style in ("gemini", "ollama", "openai"):
+        prov = HttpChatProvider(server, "reason-model", style=style)
+        claims = synthesize("what are joins", ctxs, llm=http_synthesizer(prov))
+        assert len(claims) == 1
+        assert claims[0].statement == "mock grounded claim"
+        assert claims[0].source_indices == [1]
+        assert claims[0].confidence == pytest.approx(0.8)
+
+
+def test_http_summary_udf_batches(server, spark):
+    """I15 summaries executor-side through the chat provider UDF."""
+    from ai_vector_database_converstion_from_pdf_spark.functions.providers import (
+        HttpChatProvider,
+        make_http_summary_udf,
+    )
+
+    prov = HttpChatProvider(server, "any-model", style="ollama")
+    df = spark.createDataFrame(
+        [(i, f"section text number {i} body") for i in range(8)],
+        "id long, section string",
+    ).coalesce(2)
+    import pyspark.sql.functions as F
+
+    out = df.withColumn(
+        "summary", make_http_summary_udf(prov)(F.col("section"))
+    ).collect()
+    assert len(out) == 8
+    row = next(r for r in out if r["id"] == 3)
+    assert row["summary"] == "SUMMARY: section text number 3 body"
