@@ -265,8 +265,10 @@ class PvdbEngine:
             rows = [r.asDict() for r in fused.collect()]
 
         stability = fusion.query_stability(logs, query)
+        mmr_decay = 1.0  # v15 log slot: λ of the MMR pass, 1.0 = no decay
         if use_mmr and len(rows) > 1:
             lam = mmr_mod.mmr_lambda(query, it)
+            mmr_decay = lam
             entropy = mmr_mod.doc_entropy(rows, doc_key="id")
             avg_entropy = self.mmr_state.update_entropy(entropy)
             rows, _pen = mmr_mod.mmr_select(
@@ -312,6 +314,7 @@ class PvdbEngine:
             # rank_delta vs the pure-semantic top (vector_store.cpp:565)
             rank_delta=max(0, top_sem - 1),
             stability=stability,
+            mmr_decay=mmr_decay,
             created_at=self.asof,
         )
         self.cache.put(query, rows, qvec, variant=variant)

@@ -55,7 +55,11 @@ LOG_SCHEMA = (
     "query string, semantic_rank long, keyword_rank long, final_rank long, "
     "latency_embedding long, latency_search long, latency_fusion long, "
     "latency_rerank long, top_score double, mmr_penalty double, "
-    "is_exploration int, rank_delta int, stability double, created_at timestamp"
+    "is_exploration int, rank_delta int, stability double, "
+    # v15 column (`vector_store.cpp:144-148`, DEFAULT 1.0): carries the
+    # adaptive-MMR relevance weight λ of the serving pass — 1.0 when MMR
+    # was off (pure relevance, no diversity decay)
+    "mmr_decay double, created_at timestamp"
 )
 
 
@@ -1614,18 +1618,27 @@ class Workspace:
             kw.get("latency_search", 0), kw.get("latency_fusion", 0),
             kw.get("latency_rerank", 0), kw.get("top_score", 0.0),
             kw.get("mmr_penalty", 0.0), kw.get("is_exploration", 0),
-            kw.get("rank_delta", 0), kw.get("stability", 0.0), kw.get("created_at"),
+            kw.get("rank_delta", 0), kw.get("stability", 0.0),
+            kw.get("mmr_decay", 1.0), kw.get("created_at"),
         )
         self.spark.createDataFrame([row], LOG_SCHEMA).write.mode("append").parquet(
             self._tbl("retrieval_logs")
         )
 
     def retrieval_logs(self) -> DataFrame | None:
-        return (
-            self.spark.read.parquet(self._tbl("retrieval_logs"))
-            if self._exists("retrieval_logs")
-            else None
+        if not self._exists("retrieval_logs"):
+            return None
+        # v15 migration analog (`vector_store.cpp:144-148` ALTER ... DEFAULT
+        # 1.0): logs appended by a pre-v15 engine lack mmr_decay, so merge
+        # schemas across files and default the column where absent.
+        df = self.spark.read.option("mergeSchema", "true").parquet(
+            self._tbl("retrieval_logs")
         )
+        if "mmr_decay" not in df.columns:
+            df = df.withColumn("mmr_decay", F.lit(1.0))
+        else:
+            df = df.fillna({"mmr_decay": 1.0})
+        return df
 
     # -- S9: metadata KV --------------------------------------------------
     def set_metadata(self, key: str, value: str) -> None:

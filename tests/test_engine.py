@@ -52,9 +52,42 @@ def test_full_lifecycle(spark, tmp_path):
     )
     assert abs(boosted["boost_factor"] - 1.1) < 1e-9
 
-    # retrieval log captured the searches
+    # retrieval log captured the searches — full v15 schema
+    # (`vector_store.cpp:144-148`): 15 columns including mmr_decay
     logs = eng.workspace.retrieval_logs()
     assert logs.filter(~F.col("query").startswith("USER_CLICK:")).count() >= 3
+    assert len(logs.columns) == 15 and "mmr_decay" in logs.columns
+    # the MMR search logged its λ (< 1), plain searches the 1.0 default
+    decays = {
+        r["query"]: r["mmr_decay"]
+        for r in logs.select("query", "mmr_decay").collect()
+    }
+    assert decays["merge fast table join"] == 1.0
+    assert 0.0 < decays["merge fast table join value"] < 1.0
+
+
+def test_retrieval_log_v15_migration(spark, tmp_path):
+    """Pre-v15 log files (no mmr_decay) merge with the default 1.0, the
+    reference's ALTER ... DEFAULT 1.0 semantics (vector_store.cpp:144-148)."""
+    from ai_vector_database_converstion_from_pdf_spark.sinks import Workspace
+
+    ws = Workspace(spark, str(tmp_path / "mig_ws"))
+    # simulate a pre-v15 engine: write a 14-column row directly
+    old = spark.createDataFrame(
+        [("legacy q", 1, 0, 1, 0, 0, 0, 0, 0.9, 0.0, 0, 0, 0.5, None)],
+        "query string, semantic_rank long, keyword_rank long, final_rank long, "
+        "latency_embedding long, latency_search long, latency_fusion long, "
+        "latency_rerank long, top_score double, mmr_penalty double, "
+        "is_exploration int, rank_delta int, stability double, "
+        "created_at timestamp",
+    )
+    old.write.mode("append").parquet(str(tmp_path / "mig_ws" / "retrieval_logs"))
+    # and a v15 engine appends on top
+    ws.log_retrieval(query="new q", mmr_decay=0.42,
+                     created_at="2024-06-02T00:00:00")
+    logs = ws.retrieval_logs()
+    decays = {r["query"]: r["mmr_decay"] for r in logs.collect()}
+    assert decays == {"legacy q": 1.0, "new q": 0.42}
 
 
 def test_search_uses_maintained_ann_index(spark, tmp_path):
