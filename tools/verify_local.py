@@ -5,10 +5,17 @@ sf0.01, compares row count, column names, and an order-insensitive value
 comparison (rows sorted, floats to 9 significant digits).
 
 Usage: python tools/verify_local.py [name ...]
+       python tools/verify_local.py --emit CORRECTNESS_FULL_r7.json [name ...]
+
+--emit writes the results in the driver's CORRECTNESS row shape
+({name: {rows_match, schema_match, hash_match, spark_rows, oracle_rows,
+err}}), so every round can commit a full-catalog correctness artifact
+instead of the driver's 50-row sample (VERDICT r6 next-round #2).
 """
 
 from __future__ import annotations
 
+import json
 import math
 import sys
 
@@ -36,7 +43,7 @@ def canon_rows(rows):
     return sorted("|".join(canon(v) for v in row) for row in rows)
 
 
-def main(names=None):
+def main(names=None, emit_path: str | None = None):
     import duckdb
 
     import __spark_entry__ as entry_mod
@@ -51,39 +58,54 @@ def main(names=None):
     oracles = entry_mod.oracle_sql()
     picked = names or sorted(qs)
     failed = []
+    results: dict[str, dict] = {}
     import time as _time
 
     for name in picked:
         fn = qs[name]
         _t0 = _time.monotonic()
+        rec = {
+            "rows_match": False, "schema_match": False, "hash_match": False,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        results[name] = rec
         try:
             sdf = fn(spark, SF_DIR)
             spark_cols = [c.lower() for c in sdf.columns]
             spark_rows = [tuple(r) for r in sdf.collect()]
+            rec["spark_rows"] = len(spark_rows)
         except Exception as e:
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            rec["err"] = f"spark error {type(e).__name__}: {e}"[:300]
             failed.append(name)
             continue
         if name not in oracles:
             print(f"pass {name}: rows-only ({len(spark_rows)} rows, no oracle) [{_time.monotonic() - _t0:.1f}s]")
+            rec.update(rows_match=True, schema_match=True, hash_match=True,
+                       err="rows-only (no oracle)")
             continue
         try:
             res = con.sql(oracles[name])
             duck_cols = [c.lower() for c in res.columns]
             duck_rows = res.fetchall()
+            rec["oracle_rows"] = len(duck_rows)
         except Exception as e:
             print(f"FAIL {name}: duckdb error {e}")
+            rec["err"] = f"duckdb error: {e}"[:300]
             failed.append(name)
             continue
         ok = True
-        if spark_cols != duck_cols:
+        rec["schema_match"] = spark_cols == duck_cols
+        rec["rows_match"] = len(spark_rows) == len(duck_rows)
+        if not rec["schema_match"]:
             print(f"FAIL {name}: columns {spark_cols} != {duck_cols}")
             ok = False
-        elif len(spark_rows) != len(duck_rows):
+        elif not rec["rows_match"]:
             print(f"FAIL {name}: rowcount {len(spark_rows)} != {len(duck_rows)}")
             ok = False
         else:
             a, b = canon_rows(spark_rows), canon_rows(duck_rows)
+            rec["hash_match"] = a == b
             if a != b:
                 diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
                 print(f"FAIL {name}: value mismatch, first diffs: {diffs}")
@@ -93,8 +115,18 @@ def main(names=None):
         else:
             failed.append(name)
     print(f"\n{len(picked) - len(failed)}/{len(picked)} passed")
+    if emit_path:
+        with open(emit_path, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {len(results)} rows to {emit_path}")
     return 1 if failed else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1:] or None))
+    argv = sys.argv[1:]
+    emit = None
+    if "--emit" in argv:
+        i = argv.index("--emit")
+        emit = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sys.exit(main(argv or None, emit_path=emit))
