@@ -494,9 +494,11 @@ def fuzzy_search(
 ) -> DataFrame:
     """Typo-tolerant term search via SymSpell deletion-neighborhood
     blocking (Garbe's symmetric delete algorithm): candidate vocabulary
-    terms are found by joining the 1-deletion variants of every corpus
-    term against the 1-deletion variants of each query term, then
-    VERIFIED with true Levenshtein distance <= `max_edit`. Docs score
+    terms are found by joining the depth-`max_edit` (≤2) deletion
+    variants of every corpus term against the same-depth variants of
+    each query term — matching depth on both sides is what makes the
+    symmetric-delete cover complete at that distance — then candidates
+    are VERIFIED with true Levenshtein distance <= `max_edit`. Docs score
     the integer sum over query terms of the best matched term's weight
     1_000_000 // (1 + lev) — exact-match terms dominate, each extra
     edit halves/thirds the contribution; integer arithmetic keeps both
@@ -515,29 +517,45 @@ def fuzzy_search(
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term"),
     ).filter(F.col("term") != "")
     vocab = toks.select("term").distinct()
-    # corpus-side deletion neighborhood: term itself + each 1-deletion,
-    # built map-side with posexplode over the term's character positions
+    # corpus-side deletion neighborhood to depth min(max_edit, 2), built
+    # map-side: SymSpell's completeness guarantee needs deletion depth =
+    # max edit distance on BOTH sides (depth 1 misses e.g. "jo"~"join").
+    # A length-L term emits 1 + L + L*(L-1)/2 variants at depth 2 —
+    # bounded per term, and vocab is Heaps-law small vs the corpus.
+    depth = min(max_edit, 2)
+
+    def _dels(col):  # all single-character deletions of a string column
+        return F.transform(
+            F.sequence(F.lit(1), F.length(col)),
+            lambda i: F.concat(
+                col.substr(F.lit(1), i - 1), col.substr(i + 1, F.length(col))
+            ),
+        )
+
     term = F.col("term")
+    var_arr = F.concat(F.array(term), _dels(term))
+    if depth >= 2:
+        var_arr = F.concat(
+            var_arr,
+            F.flatten(
+                F.transform(
+                    F.filter(_dels(term), lambda v: F.length(v) > 0),
+                    _dels,
+                )
+            ),
+        )
     vv = vocab.select(
         "term",
-        F.explode(
-            F.array_distinct(
-                F.concat(
-                    F.array(term),
-                    F.transform(
-                        F.sequence(F.lit(1), F.length(term)),
-                        lambda i: F.concat(
-                            term.substr(F.lit(1), i - 1),
-                            term.substr(i + 1, F.length(term)),
-                        ),
-                    ),
-                )
-            )
-        ).alias("variant"),
-    )
+        F.explode(F.array_distinct(var_arr)).alias("variant"),
+    ).filter(F.col("variant") != "")
     spark = chunks.sparkSession
     qv = spark.createDataFrame(
-        [(q, v) for q in query_terms for v in deletion_variants(q)],
+        [
+            (q, v)
+            for q in query_terms
+            for v in deletion_variants(q, max_deletes=depth)
+            if v
+        ],
         "qterm string, variant string",
     )
     cand = vv.join(F.broadcast(qv), "variant").select("qterm", "term").distinct()

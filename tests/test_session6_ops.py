@@ -111,6 +111,20 @@ class TestFuzzySearch:
         ).collect()
         assert out == []
 
+    def test_distance2_pure_insertions_found(self, spark):
+        """ADVICE r6: depth-1 blocking missed lev-2 pairs needing two
+        deletions on ONE side — "jo" reaches "join" only via the corpus
+        term losing both 'i' and 'n'. Depth-2 symmetric delete covers it."""
+        docs = _docs(spark, [(0, "join the tables"), (1, "nothing relevant")])
+        out = {
+            r["id"]: r["score_micro"]
+            for r in fuzzy_search(
+                docs, ["jo"], 10, id_col="doc_id", text_col="text"
+            ).collect()
+        }
+        assert out[0] == 333333  # join @ lev 2
+        assert 1 not in out
+
 
 class TestMatryoshkaRecall:
     def test_prefix_geometry(self, spark):
