@@ -140,10 +140,16 @@ class PvdbEngine:
         """Governor depth hint from the maintained doc rollup: the folded
         total chunk count — a rollup-sized aggregate (one row per doc of
         partials), NOT a corpus scan, and DML-maintained so never stale.
-        Cached per corpus version (mutation paths reset it alongside the
-        query cache); None on rollup-less workspaces keeps the governor
+        Keyed on the workspace mutation stamp (a file-count listing, no
+        Spark job), so DML from ANY writer — this engine, a streaming
+        upsert, a second engine on the same path — invalidates the hint
+        (ADVICE r6); None on rollup-less workspaces keeps the governor
         exactly as before."""
-        if self._corpus_hint is None:
+        try:
+            stamp = self.workspace.mutation_stamp()
+        except Exception:
+            stamp = -1
+        if self._corpus_hint is None or self._corpus_hint.get("stamp") != stamp:
             n = None
             try:
                 if self.workspace._rollup_enabled() and self.workspace._exists(
@@ -155,7 +161,7 @@ class PvdbEngine:
                     n = int(row["n"]) if row["n"] is not None else None
             except Exception:
                 n = None
-            self._corpus_hint = {"n_chunks": n}
+            self._corpus_hint = {"n_chunks": n, "stamp": stamp}
         return self._corpus_hint.get("n_chunks")
 
     # -- search (SURVEY §3.2) --------------------------------------------

@@ -1541,6 +1541,18 @@ class Workspace:
             [(version, now, op)], "version long, ts timestamp, op string"
         ).coalesce(1).write.mode("append").parquet(self._tbl("_history"))
 
+    def mutation_stamp(self) -> int:
+        """Cheap monotone corpus-version token: the number of `_history`
+        files on disk (each logged mutation appends exactly one,
+        coalesce(1)). A filesystem listing, no Spark job — callers key
+        derived caches on it so DML from ANY writer (streaming upsert,
+        CLI, a second engine over the same path) invalidates them."""
+        return sum(
+            1
+            for f in self._fs.listdir(self._tbl("_history"))
+            if f.endswith(".parquet")
+        )
+
     def history(self) -> DataFrame:
         """Mutation log, newest first (DESCRIBE HISTORY analog).
         Survives clear(): a cleared workspace keeps its audit trail."""

@@ -219,3 +219,27 @@ def test_rollup_feeds_governor_and_evaluate(spark, tmp_path):
     ea = a.evaluate(n_queries=3, k=2)
     eb = b.evaluate(n_queries=3, k=2)
     assert ea == eb
+
+
+def test_rollup_hint_sees_external_dml(spark, tmp_path):
+    """ADVICE r6: the governor depth hint is keyed on the workspace
+    mutation stamp, so DML through a DIFFERENT engine (or any direct
+    Workspace writer) over the same path invalidates it — no stale
+    depth hint for multi-writer workspaces."""
+    from ai_vector_database_converstion_from_pdf_spark.engine import PvdbEngine
+
+    path = str(tmp_path / "shared_ws")
+    a = PvdbEngine(spark, path, dim=DIM)
+    docs = spark.createDataFrame(
+        [(i, f"alpha doc {i} body") for i in range(6)],
+        "doc_id long, text string",
+    )
+    a.index_documents(docs, source_file="t.pdf")
+    a.workspace.enable_doc_rollup()
+    assert a._rollup_chunk_total() == 6
+
+    # a SECOND engine mutates the same workspace; engine a never hears
+    # about it through its own mutator paths
+    b = PvdbEngine(spark, path, dim=DIM)
+    b.delete_document("2")
+    assert a._rollup_chunk_total() == 5
