@@ -594,6 +594,12 @@ def streaming_token_quota(
     here is explicitly arrival-order (the difference is documented, not
     hidden).
 
+    Zero-token docs are ADMITTED: they cost nothing against the quota,
+    and rejecting them would conflate "empty" with "over budget". (The
+    batch operator drops them from its output instead — it selects a
+    corpus, while this emits one verdict per arriving doc; callers who
+    want the batch behavior filter tok_cnt > 0 downstream.)
+
     Per-source state: ONE long (tokens admitted so far), regardless of
     history. Micro-batch interiors are ordered by doc_id for
     deterministic replay."""
@@ -617,7 +623,7 @@ def streaming_token_quota(
             toks = len(
                 [t for t in re.split(r"[^a-z0-9]+", str(text).lower()) if t]
             )
-            if toks and used + toks <= budget:
+            if used + toks <= budget:
                 used += toks
                 out.append((int(doc_id), key[0], toks, used, True))
             else:

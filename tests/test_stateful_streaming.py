@@ -405,10 +405,12 @@ def test_streaming_token_quota_across_batches(spark, tmp_path):
     )
     # source s budget 10: drop1 = 4+4 tokens admitted; drop2 = 3 tokens
     # (rejected: would hit 11), then 2 tokens (admitted: 10 exactly).
-    # source t: one 11-token doc -> never admitted.
+    # source t: one 11-token doc -> never admitted; a zero-token doc is
+    # admitted at no quota cost (ADVICE r6: empty != over-budget).
     drop1 = spark.createDataFrame([doc(1, 4, "s"), doc(2, 4, "s")], schema)
     drop2 = spark.createDataFrame(
-        [doc(3, 3, "s"), doc(4, 2, "s"), doc(5, 11, "t")], schema
+        [doc(3, 3, "s"), doc(4, 2, "s"), doc(5, 11, "t"), doc(6, 0, "t")],
+        schema,
     )
     path = str(tmp_path / "drops")
     drop1.coalesce(1).write.parquet(path)
@@ -445,4 +447,5 @@ def test_streaming_token_quota_across_batches(spark, tmp_path):
         3: (False, 8),   # 8 + 3 > 10 -> rejected, cum unchanged
         4: (True, 10),   # exactly fills the quota
         5: (False, 0),   # over budget on its own
+        6: (True, 0),    # zero tokens: admitted, costs nothing
     }
