@@ -150,6 +150,7 @@ HEADLINE = [
     "graph_bfs_hops",
     "events_time_to_convert",
     "langid_confusion",
+    "langid_trigram_confusion",
     "kn_surprisal_score",
     "q3_fuzzy_search",
     "embedding_matryoshka_recall",
