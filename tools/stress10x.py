@@ -723,6 +723,235 @@ def tenth_session() -> None:
             lambda: f"top {link_prediction(capped, top_k=50).count()} pairs",
         )
 
+def hundredx() -> None:
+    """100x tier (VERDICT r6 next-round #6): 500k docs / 200k vectors /
+    10M events — one more order of magnitude than every prior stress
+    row, to prove the probe-then-dispatch discipline and the linear
+    scale paths hold at the next order. Every op prints JVM heap used
+    after the run (flat-memory evidence) and the 1-min loadavg.
+
+    The replica corpus is deliberately adversarial for pair-generation:
+    every doc has 99 EXACT copies, so every LSH/simhash bucket is a
+    100-clique and candidate volume grows ~10,000x, not 100x. The 100 TB
+    answer is staged dedup — probe the bucket volume, refuse the direct
+    pair expansion, exact-collapse first (hash groupBy, linear), THEN
+    run near-dup search on canonicals. This session executes that
+    decision flow end to end, plus the linear-path ops at full 100x.
+    Usage: python tools/stress10x.py hundredx"""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ai_vector_database_converstion_from_pdf_spark.operators.dedup import (
+        exact_dedup,
+        lsh_band_keys,
+        minhash_lsh_pairs,
+        minhash_signatures,
+        resolve_duplicates,
+        semdedup_prune,
+        word_shingles,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.operators.decontaminate import (
+        bloom_contamination,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.operators.keyword import (
+        fuzzy_search,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.operators.langid import (
+        lang_id_trigram,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.operators.ranking import (
+        ntile_from_rank,
+        with_global_rank,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.session import get_spark
+
+    spark = get_spark("stress100x")
+    jvm_rt = spark._jvm.java.lang.Runtime.getRuntime()
+
+    def heap_mb() -> int:
+        return int((jvm_rt.totalMemory() - jvm_rt.freeMemory()) / (1 << 20))
+
+    def timed(label, fn):
+        t = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t
+        print(
+            f"STRESS100 {label}: {dt:.1f}s  ({out})  "
+            f"[heap {heap_mb()} MB, load {os.getloadavg()[0]:.1f}]"
+        )
+        return out
+
+    R = 100
+    reps = spark.range(R).select(F.col("id").alias("rep"))
+    docs0 = spark.read.parquet(f"{SF}/documents.parquet")
+    docs = (
+        docs0.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+            "text",
+        )
+        .persist()
+    )
+    nd = docs.count()
+    print(f"docs -> {nd} (heap {heap_mb()} MB)")
+
+    # 1) exact dedup at 500k: the linear hash-groupBy stage that makes
+    # everything downstream affordable. Planted structure: 100 copies
+    # per group.
+    groups = exact_dedup(docs).persist()
+    timed(
+        f"exact_dedup({nd} docs)",
+        lambda: "{} groups, max group {}".format(
+            groups.count(),
+            groups.agg(F.max("dup_cnt")).collect()[0][0],
+        ),
+    )
+
+    # 2) LSH bucket-volume probe on the RAW 500k corpus: count-only
+    # aggregate over band buckets, sum C(size,2) — the pair expansion a
+    # direct run would pay. On 100-clique buckets this lands in the
+    # billions -> direct minhash REFUSED, staged path dispatched.
+    sh = word_shingles(docs).persist()
+    bands = lsh_band_keys(minhash_signatures(sh))
+    bound_row = timed(
+        "lsh bucket-volume probe(500k docs)",
+        lambda: bands.groupBy("band", "band_key")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.sum(F.expr("n * (n - 1) / 2")).cast("long").alias("pair_bound"),
+            F.max("n").alias("max_bucket"),
+        )
+        .collect()[0]
+        .asDict(),
+    )
+    budget = 100_000_000
+    if bound_row["pair_bound"] > budget:
+        print(
+            f"STRESS100 direct minhash REFUSED: candidate bound "
+            f"{bound_row['pair_bound']:,} > budget {budget:,} "
+            f"(max bucket {bound_row['max_bucket']}) -> staged dedup"
+        )
+        keepers = groups.select(F.col("keeper_id").alias("doc_id")).join(
+            docs, "doc_id"
+        ).persist()
+        nk = keepers.count()
+        timed(
+            f"staged minhash_lsh({nk} canonicals after exact collapse)",
+            lambda: "{} near-dup pairs".format(
+                minhash_lsh_pairs(keepers, threshold=0.8).count()
+            ),
+        )
+        timed(
+            f"staged resolve_duplicates({nk} canonicals)",
+            lambda: "{} kept".format(
+                resolve_duplicates(
+                    keepers, minhash_lsh_pairs(keepers, threshold=0.8)
+                )
+                .filter(~F.col("is_dup"))
+                .count()
+            ),
+        )
+    else:
+        timed(
+            "minhash_lsh(500k docs, direct)",
+            lambda: f"{minhash_lsh_pairs(docs, threshold=0.8).count()} pairs",
+        )
+    sh.unpersist()
+
+    # 3) embeddings at 200k: brute all-pairs GEMM is ~N^2*dim = 2.6e12
+    # FLOPs -- probe the bound, refuse, dispatch the published scale
+    # path (SemDeDup cluster-scoped pair search, cost sum c_i^2).
+    emb0 = spark.read.parquet(f"{SF}/embeddings.parquet")
+    emb = (
+        emb0.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"),
+            "embedding",
+        )
+        .persist()
+    )
+    nv = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    flops = nv * nv * dim
+    print(
+        f"vectors -> {nv}; brute GEMM bound {flops:.2e} FLOPs "
+        f"{'-> REFUSED, cluster-scoped path' if flops > 1e11 else '-> ok'}"
+    )
+    timed(
+        f"semdedup({nv} vecs, K=256, cluster-scoped pairs)",
+        lambda: "{} dup-group rows".format(
+            semdedup_prune(emb, n_clusters=256, tau=0.45).count()
+        ),
+    )
+
+    # 4) exact global rank + ntile over 10M event rows (two-level rank,
+    # never a single-partition window)
+    ev0 = spark.read.parquet(f"{SF}/events.parquet")
+    ev = (
+        ev0.crossJoin(reps)
+        .select(
+            (F.col("event_id") + F.col("rep") * 100_000_000).alias("event_id"),
+            "value",
+        )
+        .persist()
+    )
+    nev = ev.count()
+    ranked = with_global_rank(
+        ev, [("value", "asc"), ("event_id", "asc")],
+        total_cols={"_total": "count"},
+    ).select(
+        "event_id", ntile_from_rank(F.col("rnk"), F.col("_total"), 10).alias("b")
+    )
+    timed(
+        f"exact ntile({nev} events, two-level rank)",
+        lambda: "10 buckets, sizes min/max {}".format(
+            ranked.groupBy("b")
+            .agg(F.count("*").alias("n"))
+            .agg(F.min("n"), F.max("n"))
+            .collect()[0][:]
+        ),
+    )
+
+    # 5) bloom decontamination at 450k train / 50k eval, 2^24 bits
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    evd = docs.filter(F.col("doc_id") % 10 == 0)
+    timed(
+        "bloom_decontaminate(450k train vs 50k eval, 2^24 bits)",
+        lambda: "{} contaminated pairs".format(
+            bloom_contamination(
+                train, evd, n=5, min_hits=2, m_bits=1 << 24, n_hashes=2
+            ).count()
+        ),
+    )
+
+    # 6) depth-2 SymSpell fuzzy search over the 500k-doc posting list
+    # (variant generation is vocab-sized; Heaps' law keeps it flat under
+    # replication)
+    timed(
+        f"fuzzy_search({nd} docs, depth-2 variants)",
+        lambda: "top20 ready, {} rows".format(
+            fuzzy_search(
+                docs, ["mrge", "tabel", "jion"], 20,
+                id_col="doc_id", text_col="text",
+            ).count()
+        ),
+    )
+
+    # 7) trigram language ID at 500k docs: map-side grams, id-partitioned
+    # top-K window, broadcast profiles
+    timed(
+        f"lang_id_trigram({nd} docs)",
+        lambda: "{} docs classified, {} langs".format(
+            nd,
+            lang_id_trigram(docs)
+            .select("lang_pred")
+            .distinct()
+            .count(),
+        ),
+    )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "fifth":
         fifth_session()
@@ -736,5 +965,7 @@ if __name__ == "__main__":
         ninth_session()
     elif len(sys.argv) > 1 and sys.argv[1] == "tenth":
         tenth_session()
+    elif len(sys.argv) > 1 and sys.argv[1] == "hundredx":
+        hundredx()
     else:
         main()
