@@ -87,6 +87,30 @@ def test_short_and_empty_text_is_und(spark):
     assert out[3] != "und"
 
 
+def test_mapside_equals_shuffle_plan(spark):
+    """The default shuffle-free mapInPandas path must produce EXACTLY
+    the rows of the pure-DataFrame plan (which mirrors the SQL oracle):
+    same predictions, same distances, same und/NULL handling — on the
+    held-out fixture AND the synthetic documents table."""
+    import os
+
+    frames = [_fixture_df(spark).select("doc_id", "text")]
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    frames.append(
+        spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    )
+    for df in frames:
+        a = {
+            r["id"]: (r["lang_pred"], r["distance"])
+            for r in lang_id_trigram(df, method="mapside").collect()
+        }
+        b = {
+            r["id"]: (r["lang_pred"], r["distance"])
+            for r in lang_id_trigram(df, method="shuffle").collect()
+        }
+        assert a == b
+
+
 def test_distance_ties_break_by_language_code(spark):
     # a doc whose trigrams hit no profile gets the same max penalty for
     # every language -> deterministic 'de' (first code alphabetically)

@@ -48,6 +48,7 @@ FAST_SUBSET = [
     "events_assoc_lift",
     "events_time_to_convert",
     "langid_confusion",
+    "langid_trigram_confusion",
     "events_decayed_engagement",
     "events_markov_transitions",
     "orders_priority_islands",

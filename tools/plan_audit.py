@@ -249,10 +249,10 @@ EXPECT = {
     # lang-ID eval: map-side classification + tiny rollup; the share
     # window runs over the (lang x pred) result, not the corpus
     "langid_confusion": ["!SortMergeJoin", "!MapInPandas", "!BroadcastHashJoin"],
-    # trigram lang-ID: gram explode is map-side (Generate), profiles +
-    # langs broadcast, top-K window partitioned by doc id — no UDF, no
-    # corpus sort-merge join
-    "langid_trigram_confusion": ["BroadcastHashJoin", "!SortMergeJoin", "!MapInPandas"],
+    # trigram lang-ID: ONE shuffle-free mapInPandas classification pass
+    # (profiles ride the closure), then the tiny (lang x pred) rollup —
+    # zero corpus-sized shuffles
+    "langid_trigram_confusion": ["MapInPandas", "!SortMergeJoin"],
     # KN LM: one bigram explode + three vocab-sized count joins (AQE
     # broadcasts them at runtime) — no window, no UDF
     "kn_surprisal_score": ["!MapInPandas", "!Window"],
