@@ -327,9 +327,13 @@ class PvdbEngine:
         return rows
 
     # -- deep dive (SURVEY §3.3) -----------------------------------------
-    def deep_dive(self, query: str, k: int = 5, offset: int = 2):
+    def deep_dive(self, query: str, k: int = 5, offset: int = 2, llm=None):
         """Top-k search → neighbor-window contexts (Q15/Q16) → fact
-        clustering → synthesis → validated claims (Y1-Y3)."""
+        clustering → synthesis → validated claims (Y1-Y3). `llm`
+        overrides the deterministic stub synthesizer — pass
+        `synthesis.http_synthesizer(HttpChatProvider(...))` to run the
+        reference's live generateContent/chat synthesis
+        (`gemini_api.cpp:420-476`)."""
         top = self.search(query, k)
         if not top:
             return []
@@ -369,6 +373,8 @@ class PvdbEngine:
                     embedding=self.embed_text((r.get("text") or "")),
                 )
             )
+        if llm is not None:
+            return synthesize(query, contexts, llm=llm)
         return synthesize(query, contexts)
 
     # -- session-state persistence (`mainwindow.cpp:499-503`) -------------

@@ -432,6 +432,33 @@ def test_chat_synthesis_live_endpoint(server):
         assert claims[0].confidence == pytest.approx(0.8)
 
 
+def test_deep_dive_through_live_llm(server, spark, tmp_path):
+    """The whole §3.3 journey against a live endpoint: index → search →
+    context windows → fact clustering → HTTP synthesis → validated
+    claims. The engine-level seam for the reference's production stack."""
+    from ai_vector_database_converstion_from_pdf_spark.engine import PvdbEngine
+    from ai_vector_database_converstion_from_pdf_spark.functions.providers import (
+        HttpChatProvider,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.operators.synthesis import (
+        http_synthesizer,
+    )
+
+    eng = PvdbEngine(
+        spark, str(tmp_path / "dd_ws"), dim=DIM, asof="2024-06-01 00:00:00"
+    )
+    eng.index_documents(
+        spark.createDataFrame(
+            [(i, f"fact {i} about join ordering and costs") for i in range(6)],
+            "doc_id long, text string",
+        )
+    )
+    prov = HttpChatProvider(server, "reason-model", style="gemini")
+    claims = eng.deep_dive("join ordering", k=3, llm=http_synthesizer(prov))
+    assert claims and claims[0].statement == "mock grounded claim"
+    assert claims[0].source_indices == [1]
+
+
 def test_http_summary_udf_batches(server, spark):
     """I15 summaries executor-side through the chat provider UDF."""
     from ai_vector_database_converstion_from_pdf_spark.functions.providers import (
