@@ -664,6 +664,79 @@ def hard_negatives(
     )
 
 
+def training_triplets(
+    embeddings: DataFrame,
+    dup_pairs: DataFrame,
+    query_ids: list[int],
+    k_candidates: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(anchor, positive, hard-negative) triplet mining — the table a
+    contrastive fine-tune (InfoNCE/triplet loss) consumes directly:
+    positive = the anchor's nearest neighbor by cosine; hard negative =
+    the highest-scored neighbor that is NOT a near-duplicate of the
+    anchor and not the positive; margin = pos_score − neg_score ≥ 0
+    (the quantity the loss pushes apart).
+
+    Output: (q_id, pos_id, neg_id, pos_score, neg_score, margin), one
+    row per anchor. Shape: same broadcast-query corpus scan as
+    `hard_negatives` (which supplies the candidate/negative machinery);
+    the triplet assembly is two window picks over ≤k_candidates rows
+    per anchor."""
+    qs = embeddings.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    cand = (
+        embeddings.crossJoin(F.broadcast(qs))
+        .filter(F.col(id_col) != F.col("q_id"))
+        .withColumn("score", cosine_rounded(F.col(vec_col), F.col("q_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    knn = (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k_candidates)
+        .select("q_id", F.col(id_col).alias("cid"), "score", "rnk")
+        .persist()
+    )
+    pos = knn.filter(F.col("rnk") == 1).select(
+        "q_id", F.col("cid").alias("pos_id"), F.col("score").alias("pos_score")
+    )
+    sym = (
+        dup_pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            dup_pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .filter(F.col("src").isin(list(query_ids)))
+    )
+    neg = knn.join(
+        F.broadcast(sym),
+        (knn["q_id"] == sym["src"]) & (knn["cid"] == sym["dst"]),
+        "left_anti",
+    )
+    neg = neg.join(F.broadcast(pos), "q_id").filter(
+        F.col("cid") != F.col("pos_id")
+    )
+    w2 = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("cid").asc()
+    )
+    return (
+        neg.withColumn("r", F.row_number().over(w2))
+        .filter(F.col("r") == 1)
+        .select(
+            "q_id",
+            "pos_id",
+            F.col("cid").alias("neg_id"),
+            "pos_score",
+            F.col("score").alias("neg_score"),
+            F.round(F.col("pos_score") - F.col("score"), 6).alias("margin"),
+        )
+        .orderBy("q_id")
+    )
+
+
 def mutual_knn_pairs_from(pairs: DataFrame, k: int = 3) -> DataFrame:
     """Reciprocal-kNN filter over an undirected scored pair frame
     (id_a, id_b, cos): keep (a, b) only when each is in the OTHER's

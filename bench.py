@@ -157,6 +157,9 @@ HEADLINE = [
     "graph_link_prediction",
     "events_holt_forecast",
     "events_top_paths",
+    "corpus_source_report",
+    "q3_suggest_terms",
+    "training_triplets",
     # NOT benched: bpe_* (the per-session training cache would turn
     # min-of-N replays into cache reads — see catalog._bpe_trained)
 ]

@@ -253,6 +253,12 @@ EXPECT = {
     # (profiles ride the closure), then the tiny (lang x pred) rollup —
     # zero corpus-sized shuffles
     "langid_trigram_confusion": ["MapInPandas", "!SortMergeJoin"],
+    # one source-keyed agg with map-side combine; everything else map-side
+    "corpus_source_report": ["!SortMergeJoin", "!MapInPandas", "!Window"],
+    # prefix filter BEFORE the agg; TakeOrdered over the tiny completions
+    "q3_suggest_terms": ["TakeOrderedAndProject", "!SortMergeJoin"],
+    # queries broadcast into one corpus scan; per-anchor windows over <=20 rows
+    "training_triplets": ["!SortMergeJoin", "!CartesianProduct"],
     # KN LM: one bigram explode + three vocab-sized count joins (AQE
     # broadcasts them at runtime) — no window, no UDF
     "kn_surprisal_score": ["!MapInPandas", "!Window"],
