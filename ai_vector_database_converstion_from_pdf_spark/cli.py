@@ -39,7 +39,21 @@ def _spark():
 def _engine(spark, args):
     from .engine import PvdbEngine
 
-    return PvdbEngine(spark, args.workspace, dim=args.dim, asof=args.asof)
+    kw = {}
+    if getattr(args, "embed_endpoint", None):
+        # real HTTP embedding stack (the reference's cloud/local modes):
+        # ollama | openai (LM Studio) | gemini (batchEmbedContents)
+        from .functions.providers import HttpEmbedProvider, make_http_embed_udf
+
+        prov = HttpEmbedProvider(
+            args.embed_endpoint,
+            args.embed_model,
+            style=args.embed_style,
+            api_key=getattr(args, "api_key", "") or "",
+        )
+        kw["embedder"] = lambda t: prov.embed_batch([t])[0]
+        kw["embed_udf"] = make_http_embed_udf(prov)
+    return PvdbEngine(spark, args.workspace, dim=args.dim, asof=args.asof, **kw)
 
 
 def _emit(obj) -> None:
@@ -54,6 +68,14 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("-w", "--workspace", required=True)
         sp.add_argument("--dim", type=int, default=64)
         sp.add_argument("--asof", default=None)
+        # real HTTP embedding provider (default: deterministic hash stub)
+        sp.add_argument("--embed-endpoint", help="e.g. http://127.0.0.1:11434")
+        sp.add_argument("--embed-model", default="nomic-embed-text")
+        sp.add_argument(
+            "--embed-style", choices=["ollama", "openai", "gemini"],
+            default="ollama",
+        )
+        sp.add_argument("--api-key", default="", help="gemini ?key= value")
 
     sp = sub.add_parser("index-pdf", help="I1-I10: PDFs -> chunks -> index")
     common(sp)
@@ -81,6 +103,23 @@ def main(argv: list[str] | None = None) -> int:
     common(sp)
     sp.add_argument("-q", "--query", required=True)
     sp.add_argument("-k", type=int, default=5)
+    # live synthesis LLM (default: deterministic stub synthesizer)
+    sp.add_argument("--chat-endpoint", help="generateContent/chat endpoint")
+    sp.add_argument("--chat-model", default="gemini-1.5-flash")
+    sp.add_argument(
+        "--chat-style", choices=["gemini", "ollama", "openai"],
+        default="gemini",
+    )
+
+    sp = sub.add_parser(
+        "discover",
+        help="M1/M3 model discovery: probe Ollama/LM Studio/Gemini "
+        "endpoints, emit (name, engine, capabilities) per model",
+    )
+    sp.add_argument("--ollama", help="Ollama base URL")
+    sp.add_argument("--lmstudio", help="LM Studio base URL")
+    sp.add_argument("--gemini", help="Gemini base URL")
+    sp.add_argument("--api-key", default="")
 
     sp = sub.add_parser("click", help="S7: click feedback (+0.1 boost)")
     common(sp)
@@ -188,6 +227,40 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--ann", action="store_true", help="route through the ANN index")
 
     args = p.parse_args(argv)
+    if args.cmd == "discover":
+        # no Spark session needed: pure HTTP probes + name inference
+        from .functions.providers import (
+            gemini_probe,
+            lmstudio_probe,
+            ollama_probe,
+        )
+        from .models import make_model
+
+        found = []
+        for probe in (
+            (lambda: ollama_probe(args.ollama)) if args.ollama else None,
+            (lambda: lmstudio_probe(args.lmstudio)) if args.lmstudio else None,
+            (lambda: gemini_probe(args.gemini, api_key=args.api_key))
+            if args.gemini
+            else None,
+        ):
+            if probe is None:
+                continue
+            try:
+                found.extend(probe())
+            except Exception as e:  # unreachable endpoint: skip, like the reference
+                print(f"probe failed: {e}", file=sys.stderr)
+        for n, e, u in found:
+            m = make_model(n, e, u)
+            _emit(
+                {
+                    "name": m.name,
+                    "engine": m.engine,
+                    "capabilities": list(m.capabilities),
+                }
+            )
+        return 0
+
     spark = _spark()
 
     if args.cmd == "index-pdf":
@@ -246,7 +319,20 @@ def main(argv: list[str] | None = None) -> int:
             _emit(r)
     elif args.cmd == "deep-dive":
         eng = _engine(spark, args)
-        claims = eng.deep_dive(args.query, k=args.k)
+        llm = None
+        if args.chat_endpoint:
+            from .functions.providers import HttpChatProvider
+            from .operators.synthesis import http_synthesizer
+
+            llm = http_synthesizer(
+                HttpChatProvider(
+                    args.chat_endpoint,
+                    args.chat_model,
+                    style=args.chat_style,
+                    api_key=args.api_key,
+                )
+            )
+        claims = eng.deep_dive(args.query, k=args.k, llm=llm)
         for c in claims:
             _emit(
                 {

@@ -459,6 +459,52 @@ def test_deep_dive_through_live_llm(server, spark, tmp_path):
     assert claims[0].source_indices == [1]
 
 
+def test_cli_discover_and_provider_flags(server, spark, tmp_path, capsys):
+    """The reference's model-discovery UI + cloud stack as CLI flags:
+    `discover` probes all three engines; index/search/deep-dive run
+    through --embed-endpoint and --chat-endpoint against the mock."""
+    from ai_vector_database_converstion_from_pdf_spark.cli import main
+
+    rc = main(
+        ["discover", "--ollama", server, "--lmstudio", server,
+         "--gemini", server, "--api-key", "k"]
+    )
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    names = {l["name"] for l in lines}
+    assert {"nomic-embed-text", "bge-reranker", "gemini-embedding-001"} <= names
+    by_name = {l["name"]: l for l in lines}
+    assert by_name["gemini-embedding-001"]["engine"] == "gemini"
+    assert by_name["gemini-embedding-001"]["capabilities"] == ["embedding"]
+
+    docs = spark.createDataFrame(
+        [(i, f"cli doc {i} about shuffles") for i in range(4)],
+        "doc_id long, text string",
+    )
+    pq = str(tmp_path / "cli_docs.parquet")
+    docs.write.parquet(pq)
+    ws = str(tmp_path / "cli_ws")
+    flags = [
+        "-w", ws, "--dim", str(DIM),
+        "--embed-endpoint", server, "--embed-model", "gemini-embedding-001",
+        "--embed-style", "gemini", "--api-key", "k",
+        "--asof", "2024-06-01 00:00:00",
+    ]
+    assert main(["index-text", *flags, "--parquet", pq]) == 0
+    capsys.readouterr()
+    assert main(["search", *flags, "-q", "cli doc 2", "-k", "1"]) == 0
+    hit = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert hit["id"] == 2
+
+    assert main(
+        ["deep-dive", *flags, "-q", "cli doc 2", "-k", "2",
+         "--chat-endpoint", server, "--chat-style", "ollama",
+         "--chat-model", "reason-model"]
+    ) == 0
+    claims = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert claims and claims[0]["statement"] == "mock grounded claim"
+
+
 def test_http_summary_udf_batches(server, spark):
     """I15 summaries executor-side through the chat provider UDF."""
     from ai_vector_database_converstion_from_pdf_spark.functions.providers import (
