@@ -938,8 +938,8 @@ def hundredx() -> None:
         ),
     )
 
-    # 7) trigram language ID at 500k docs: map-side grams, id-partitioned
-    # top-K window, broadcast profiles
+    # 7) trigram language ID at 500k docs: ONE shuffle-free mapInPandas
+    # pass (profiles ride the closure)
     timed(
         f"lang_id_trigram({nd} docs)",
         lambda: "{} docs classified, {} langs".format(
@@ -948,6 +948,50 @@ def hundredx() -> None:
             .select("lang_pred")
             .distinct()
             .count(),
+        ),
+    )
+
+    # 8) round-7 additions at the tier: the per-source dashboard (one
+    # source-keyed agg) and triplet mining (3 queries broadcast into one
+    # 200k-vector scan) — both linear by construction, proven here
+    from ai_vector_database_converstion_from_pdf_spark.operators.similarity import (
+        training_triplets,
+    )
+
+    from ai_vector_database_converstion_from_pdf_spark.functions.text import (
+        tokens as _tokens,
+    )
+
+    docs_src = docs.withColumn(
+        "source", F.concat(F.lit("s"), (F.col("doc_id") % 20).cast("string"))
+    )
+
+    def _report_rows():
+        ts = _tokens(F.col("text"))
+        return (
+            docs_src.select(
+                "source",
+                F.md5("text").alias("h"),
+                F.size(ts).cast("long").alias("n_tok"),
+            )
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.countDistinct("h").alias("n_uniq"),
+                F.sum("n_tok").alias("total_tokens"),
+            )
+            .count()
+        )
+
+    timed(
+        f"corpus_source_report shape({nd} docs, 20 sources)",
+        lambda: f"{_report_rows()} source rows",
+    )
+    no_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    timed(
+        f"training_triplets({nv} vectors, 3 anchors)",
+        lambda: "{} triplets".format(
+            training_triplets(emb, no_pairs, [0, 7, 42]).count()
         ),
     )
 
