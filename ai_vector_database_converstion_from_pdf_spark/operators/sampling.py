@@ -14,7 +14,7 @@ into the scan's row-group evaluation like any other predicate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 SAMPLE_MOD = 10_000  # rate granularity: 0.01% steps
 
@@ -105,6 +105,53 @@ def mixture_sample(
         docs.join(F.broadcast(counts), strat_col)
         .filter(hash_bucket(key) < thresh)
         .drop("cs")
+    )
+
+
+def temperature_mixture_sample(
+    docs: DataFrame,
+    alpha: float,
+    total_target: int,
+    strat_col: str,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-scaled multinomial source mixing — the exponentiated
+    reweighting multilingual LM corpora use (XLM-R/mT5 style: sample
+    source s with probability n_s^α / Σ n_t^α, α<1 upweights rare
+    sources relative to their natural share). Per-source target =
+    round(total_target · w_s, 6) floored; membership decided by the
+    salted content-stable hash bucket, so the draw is deterministic and
+    re-runnable.
+
+    Determinism across engines: n^α is one correctly-rounded pow of an
+    exact integer in BOTH engines; the share is rounded to 6 decimals
+    BEFORE the floor, so a 1-ulp pow/division difference cannot flip a
+    bucket threshold.
+
+    Scale: one strata-sized count agg; Σ n^α folded into the same tiny
+    frame (a strata-count window, never the corpus); thresholds
+    broadcast back over one narrow corpus scan."""
+    counts = docs.groupBy(strat_col).agg(F.count(F.lit(1)).alias("cs"))
+    w = Window.partitionBy()  # strata-sized frame only — never the corpus
+    weighted = counts.withColumn(
+        "pw", F.pow(F.col("cs").cast("double"), F.lit(float(alpha)))
+    ).withColumn("tot", F.sum("pw").over(w))
+    thresh = F.least(
+        F.lit(SAMPLE_MOD).cast("long"),
+        F.floor(
+            F.round(
+                F.lit(float(total_target)) * F.col("pw") / F.col("tot"), 6
+            )
+            / F.col("cs")
+            * SAMPLE_MOD
+        ),
+    )
+    key = F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    return (
+        docs.join(F.broadcast(weighted.withColumn("thr", thresh)), strat_col)
+        .filter(hash_bucket(key) < F.col("thr"))
+        .drop("cs", "pw", "tot", "thr")
     )
 
 

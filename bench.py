@@ -160,6 +160,7 @@ HEADLINE = [
     "corpus_source_report",
     "q3_suggest_terms",
     "training_triplets",
+    "sample_temperature_mixture",
     # NOT benched: bpe_* (the per-session training cache would turn
     # min-of-N replays into cache reads — see catalog._bpe_trained)
 ]

@@ -82,6 +82,53 @@ def test_corpus_source_report_hand_math(spark, tmp_path):
     assert s2["avg_quality"] == 0.0
 
 
+def test_temperature_mixture_upweights_rare_sources(spark):
+    """alpha<1 flattens the mixture: the rare source's SHARE of the
+    sample must exceed its natural share, the dominant source's must
+    shrink (the XLM-R reweighting contract); alpha=1 recovers
+    proportional sampling."""
+    from ai_vector_database_converstion_from_pdf_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    rows = [(i, "big") for i in range(900)] + [
+        (900 + i, "rare") for i in range(100)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+
+    out = temperature_mixture_sample(
+        docs, alpha=0.3, total_target=200, strat_col="source"
+    )
+    by_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # natural shares 0.9/0.1; alpha=0.3 targets ~0.65/0.35
+    tot = sum(by_src.values())
+    assert by_src["rare"] / tot > 0.2          # well above natural 0.1
+    assert by_src["big"] / tot < 0.8           # well below natural 0.9
+
+    # alpha=1: proportional (within hash-bucket noise)
+    prop = temperature_mixture_sample(
+        docs, alpha=1.0, total_target=200, strat_col="source"
+    )
+    by_src1 = {
+        r["source"]: r["n"]
+        for r in prop.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(by_src1["big"] / sum(by_src1.values()) - 0.9) < 0.1
+
+    # deterministic: same call, same rows
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_mixture_sample(
+            docs, alpha=0.3, total_target=200, strat_col="source"
+        ).collect()
+    )
+    assert a == b
+
+
 def test_suggest_terms_ranking(spark, tmp_path):
     from ai_vector_database_converstion_from_pdf_spark.catalog import (
         q3_suggest_terms,

@@ -259,6 +259,8 @@ EXPECT = {
     "q3_suggest_terms": ["TakeOrderedAndProject", "!SortMergeJoin"],
     # queries broadcast into one corpus scan; per-anchor windows over <=20 rows
     "training_triplets": ["!SortMergeJoin", "!CartesianProduct"],
+    # strata-sized count agg broadcast back; one narrow corpus scan
+    "sample_temperature_mixture": ["BroadcastHashJoin", "!SortMergeJoin", "!MapInPandas"],
     # KN LM: one bigram explode + three vocab-sized count joins (AQE
     # broadcasts them at runtime) — no window, no UDF
     "kn_surprisal_score": ["!MapInPandas", "!Window"],
