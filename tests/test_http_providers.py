@@ -291,6 +291,40 @@ def test_http_error_is_clear(server):
         prov.embed_batch(["x"])
 
 
+def test_provider_misconfiguration_fails_loudly(server, monkeypatch):
+    """Unknown styles rejected at construction; empty/malformed replies
+    raise a clear RuntimeError instead of returning empty vectors (the
+    reference surfaces these as error banners — gemini_api.cpp:615-617)."""
+    from ai_vector_database_converstion_from_pdf_spark.functions import providers
+    from ai_vector_database_converstion_from_pdf_spark.functions.providers import (
+        HttpChatProvider,
+    )
+
+    with pytest.raises(ValueError, match="unknown embed style"):
+        HttpEmbedProvider(server, "m", style="cohere")
+    with pytest.raises(ValueError, match="unknown chat style"):
+        HttpChatProvider(server, "m", style="claude")
+
+    chat = HttpChatProvider(server, "m", style="gemini")
+    monkeypatch.setattr(
+        providers, "_post_json", lambda u, p, t: {"candidates": []}
+    )
+    with pytest.raises(RuntimeError, match="no candidates"):
+        chat.generate("hi")
+    chat2 = HttpChatProvider(server, "m", style="openai")
+    monkeypatch.setattr(
+        providers, "_post_json", lambda u, p, t: {"choices": []}
+    )
+    with pytest.raises(RuntimeError, match="no choices"):
+        chat2.generate("hi")
+    emb = HttpEmbedProvider(server, "m", style="ollama")
+    monkeypatch.setattr(
+        providers, "_post_json", lambda u, p, t: {"embeddings": [[1.0]]}
+    )
+    with pytest.raises(RuntimeError, match="returned 1 embeddings for 2"):
+        emb.embed_batch(["a", "b"])
+
+
 def test_ocr_provider_extracts_pdf_text(server):
     """I13 wire-shape round trip: PDF bytes → generateContent POST →
     extracted text (the mock OCRs with minipdf, so content is real)."""
