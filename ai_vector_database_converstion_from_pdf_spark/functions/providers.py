@@ -26,11 +26,19 @@ from typing import Iterator
 import pandas as pd
 
 
-def _post_json(url: str, payload: dict, timeout: float) -> dict:
+def _post_json(
+    url: str, payload: dict, timeout: float, api_key: str = ""
+) -> dict:
+    headers = {"Content-Type": "application/json"}
+    if api_key:
+        # header transport, never ?key= in the query string: urllib error
+        # text and any URL logging would leak the key (ADVICE r7); Gemini
+        # accepts x-goog-api-key equivalently
+        headers["x-goog-api-key"] = api_key
     req = urllib.request.Request(
         url,
         data=json.dumps(payload).encode(),
-        headers={"Content-Type": "application/json"},
+        headers=headers,
         method="POST",
     )
     try:
@@ -44,9 +52,12 @@ def _post_json(url: str, payload: dict, timeout: float) -> dict:
         raise RuntimeError(f"provider POST {url} unreachable: {e.reason}") from e
 
 
-def _get_json(url: str, timeout: float) -> dict:
+def _get_json(url: str, timeout: float, api_key: str = "") -> dict:
+    req = urllib.request.Request(url)
+    if api_key:
+        req.add_header("x-goog-api-key", api_key)
     try:
-        with urllib.request.urlopen(url, timeout=timeout) as resp:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
             return json.loads(resp.read().decode())
     except urllib.error.URLError as e:
         raise RuntimeError(f"provider GET {url} failed: {e}") from e
@@ -59,7 +70,7 @@ class HttpEmbedProvider:
     - "openai":  POST {endpoint}/v1/embeddings   {"model", "input": [...]}
                  → {"data": [{"embedding": [...]}, ...]}   (LM Studio)
     - "gemini":  POST {endpoint}/v1beta/models/{model}:batchEmbedContents
-                 [?key=...]  {"requests": [{"model": "models/{model}",
+                 (key via x-goog-api-key header)  {"requests": [{"model": "models/{model}",
                  "content": {"parts": [{"text": t}]},
                  "task_type": "RETRIEVAL_DOCUMENT"}, ...]}
                  → {"embeddings": [{"values": [...]}, ...]}
@@ -85,8 +96,6 @@ class HttpEmbedProvider:
 
     def _embed_gemini(self, texts: list[str]) -> list[list[float]]:
         url = f"{self.endpoint}/v1beta/models/{self.model}:batchEmbedContents"
-        if self.api_key:
-            url += f"?key={self.api_key}"
         out = _post_json(
             url,
             {
@@ -100,6 +109,7 @@ class HttpEmbedProvider:
                 ]
             },
             self.timeout,
+            api_key=self.api_key,
         )
         # Response parse mirrors onEmbeddingsReply (`gemini_api.cpp:604-612`):
         # prefer the batch "embeddings" array of {"values": [...]}, accept a
@@ -179,7 +189,7 @@ class HttpChatProvider:
     dialect (`gemini_api.cpp:316-377` summary, `420-476` synthesis):
 
     - "gemini":  POST {endpoint}/v1beta/models/{model}:generateContent
-                 [?key=...]  {"contents": [{"parts": [{"text": prompt}]}]}
+                 (key via x-goog-api-key header)  {"contents": [{"parts": [{"text": prompt}]}]}
                  → candidates[0].content.parts[0].text
     - "ollama":  POST {endpoint}/api/generate
                  {"model", "prompt", "stream": false,
@@ -204,12 +214,11 @@ class HttpChatProvider:
                  temperature: float | None = None) -> str:
         if self.style == "gemini":
             url = f"{self.endpoint}/v1beta/models/{self.model}:generateContent"
-            if self.api_key:
-                url += f"?key={self.api_key}"
             out = _post_json(
                 url,
                 {"contents": [{"parts": [{"text": prompt}]}]},
                 self.timeout,
+                api_key=self.api_key,
             )
             cands = out.get("candidates") or []
             if not cands:
@@ -271,7 +280,7 @@ class HttpOcrProvider:
     base64'd into one inline_data part alongside an instruction part;
     the reply's first candidate part carries the extracted text):
 
-    POST {endpoint}/v1beta/models/{model}:generateContent[?key=...]
+    POST {endpoint}/v1beta/models/{model}:generateContent (key via x-goog-api-key header)
       {"contents": [{"parts": [
           {"inline_data": {"mime_type": "application/pdf", "data": b64}},
           {"text": prompt}]}]}
@@ -296,8 +305,6 @@ class HttpOcrProvider:
         import base64
 
         url = f"{self.endpoint}/v1beta/models/{self.model}:generateContent"
-        if self.api_key:
-            url += f"?key={self.api_key}"
         out = _post_json(
             url,
             {
@@ -316,6 +323,7 @@ class HttpOcrProvider:
                 ]
             },
             self.timeout,
+            api_key=self.api_key,
         )
         cands = out.get("candidates") or []
         if not cands:
@@ -353,16 +361,14 @@ def lmstudio_probe(endpoint: str, timeout: float = 5.0):
 
 def gemini_probe(endpoint: str, api_key: str = "", timeout: float = 5.0,
                  method: str = ""):
-    """GET /v1beta/models[?key=...] → [(name, 'gemini', endpoint)]
+    """GET /v1beta/models (key via x-goog-api-key header) → [(name, 'gemini', endpoint)]
     (`list_models.py:6-18`, `gemini_api.cpp:664-737` Gemini arm). Model
     names arrive as "models/<id>"; the prefix is stripped so registry
     names match the other engines'. Pass method="embedContent" (or
     "generateContent") to keep only models whose
     supportedGenerationMethods include it, the list_models.py filter."""
     url = f"{endpoint.rstrip('/')}/v1beta/models"
-    if api_key:
-        url += f"?key={api_key}"
-    out = _get_json(url, timeout)
+    out = _get_json(url, timeout, api_key=api_key)
     found = []
     for m in out.get("models", []):
         if method and method not in m.get("supportedGenerationMethods", []):

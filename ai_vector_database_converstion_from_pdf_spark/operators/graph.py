@@ -11,7 +11,7 @@ propagation without the dependency)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def connected_components(
@@ -543,6 +543,9 @@ def bfs_hops(
 def link_prediction(
     edges: DataFrame,
     top_k: int = 50,
+    center_cap: int | str | None = "auto",
+    auto_wedge_budget: float = 5e8,
+    salt: str = "lp",
 ) -> DataFrame:
     """Common-neighbor link prediction over an undirected pair graph:
     for every NON-adjacent pair sharing >= 1 neighbor, the
@@ -555,14 +558,33 @@ def link_prediction(
 
     Scale shape: wedges are generated at their CENTER via one
     self-equi-join of the directed edge list — Σdeg² work, the same
-    volume the triangle family's auto-dispatch probes; on hub-heavy
-    graphs gate this behind the `sum(deg*deg)` estimate from the degree
-    frame (graph.triangle_counts' "auto" idiom) or degree-cap the
-    centers. Candidate pairs are grouped map-side-combinable; the
-    adjacency filter is a left-anti equi-join on the canonical (a<b)
-    pair key; degrees attach via two vocabulary-of-nodes-sized joins.
-    Jaccard is integer-ratio exact pre-round; ranking is
-    TakeOrderedAndProject.
+    volume the triangle family's auto-dispatch probes. `center_cap`
+    gates that volume (the triangle_counts "auto" idiom):
+
+    - `"auto"` (default): one node-sized degree aggregate measures the
+      wedge bound sum(deg^2); at or below `auto_wedge_budget` the plan
+      is EXACT and byte-identical to `center_cap=None`, above it each
+      center's adjacency list is capped at
+      max(2, floor(sqrt(budget / n_nodes))) neighbors so the capped
+      wedge volume sum(min(deg, cap)^2) <= n*cap^2 lands back on
+      budget, and the switch is logged. On a hub-heavy similarity
+      graph (replica near-cliques) the uncapped wedge set is
+      Theta(sum deg^2) and spills unboundedly; the probe costs one
+      cheap pass over the node-sized degree frame.
+    - `int`: cap unconditionally at that many neighbors per center.
+    - `None`: always exact (legacy; only for graphs known sparse).
+
+    Capped neighbor choice is a deterministic, partition-independent
+    stable hash (xxhash64 over salt:src:dst, dst tie-break) — same
+    result on any cluster layout. Degrees in the Jaccard denominator
+    are always FULL-graph degrees (never capped), so capped-mode
+    scores are honest lower bounds: cn can only be undercounted at hub
+    centers, never inflated (mirrors triangle_counts' emit_deg rule).
+
+    Candidate pairs are grouped map-side-combinable; the adjacency
+    filter is a left-anti equi-join on the canonical (a<b) pair key;
+    degrees attach via two vocabulary-of-nodes-sized joins. Jaccard is
+    integer-ratio exact pre-round; ranking is TakeOrderedAndProject.
 
     `edges`: (id_a, id_b) canonical pairs, id_a < id_b."""
     both = edges.select(
@@ -573,7 +595,50 @@ def link_prediction(
     deg = both.groupBy(F.col("src").alias("id")).agg(
         F.count("*").cast("long").alias("deg")
     )
-    a, b = both.alias("a"), both.alias("b")
+    wedge_src = both
+    if center_cap == "auto":
+        # probe: one action over the node-sized degree frame; pin it so
+        # the two denominator joins below reuse it instead of
+        # re-aggregating the edge list per action
+        deg = deg.localCheckpoint(eager=True)
+        stats = deg.agg(
+            F.sum(F.col("deg") * F.col("deg")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        sdeg2 = stats["s"] or 0
+        n_nodes = stats["n"] or 0
+        if sdeg2 > auto_wedge_budget and n_nodes > 0:
+            center_cap = max(2, int((auto_wedge_budget / n_nodes) ** 0.5))
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "link_prediction auto-dispatch: wedge bound sum(deg^2)="
+                "%.3g exceeds budget %.3g — capping centers at %d "
+                "neighbors (cn/jaccard become lower bounds at hubs)",
+                float(sdeg2),
+                float(auto_wedge_budget),
+                center_cap,
+            )
+        else:
+            center_cap = None
+    if center_cap is not None:
+        if not isinstance(center_cap, int) or center_cap < 1:
+            raise ValueError(
+                f"center_cap must be 'auto', None, or a positive int, "
+                f"got {center_cap!r}"
+            )
+        pick = Window.partitionBy("src").orderBy(
+            F.xxhash64(
+                F.concat_ws(":", F.lit(salt), F.col("src"), F.col("dst"))
+            ),
+            F.col("dst"),
+        )
+        wedge_src = (
+            both.withColumn("_rn", F.row_number().over(pick))
+            .filter(F.col("_rn") <= center_cap)
+            .drop("_rn")
+        )
+    a, b = wedge_src.alias("a"), wedge_src.alias("b")
     cn = (
         a.join(
             b,

@@ -544,17 +544,23 @@ def fuzzy_search(
                 )
             ),
         )
+    # the EMPTY-string variant is kept on both sides: it is the only
+    # block linking length<=2 terms to length<=2 queries at distance 2
+    # (e.g. query "jo" vs corpus term "ab"), and it joins only those
+    # degenerate short strings — negligible blowup (ADVICE r7). The
+    # length>0 guard inside the depth-2 expansion below is an argument
+    # guard only (deleting from "" is undefined; "" itself still
+    # surfaces as a variant of length-1/2 terms).
     vv = vocab.select(
         "term",
         F.explode(F.array_distinct(var_arr)).alias("variant"),
-    ).filter(F.col("variant") != "")
+    )
     spark = chunks.sparkSession
     qv = spark.createDataFrame(
         [
             (q, v)
             for q in query_terms
             for v in deletion_variants(q, max_deletes=depth)
-            if v
         ],
         "qterm string, variant string",
     )

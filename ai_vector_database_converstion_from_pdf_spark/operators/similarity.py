@@ -683,7 +683,11 @@ def training_triplets(
     row per anchor. Shape: same broadcast-query corpus scan as
     `hard_negatives` (which supplies the candidate/negative machinery);
     the triplet assembly is two window picks over ≤k_candidates rows
-    per anchor."""
+    per anchor. The knn frame is deliberately NOT persisted: the
+    function returns a lazy plan (no safe unpersist point), and a
+    persist here leaked cached partitions for the session life under
+    repeated invocation (bench min-of-N, stress, verify — ADVICE r7);
+    the two candidate-scan recomputes are the cheaper trade."""
     qs = embeddings.filter(F.col(id_col).isin(list(query_ids))).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
@@ -699,7 +703,6 @@ def training_triplets(
         cand.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k_candidates)
         .select("q_id", F.col(id_col).alias("cid"), "score", "rnk")
-        .persist()
     )
     pos = knn.filter(F.col("rnk") == 1).select(
         "q_id", F.col("cid").alias("pos_id"), F.col("score").alias("pos_score")

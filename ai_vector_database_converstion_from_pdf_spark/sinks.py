@@ -92,6 +92,17 @@ class _LocalFS:
                 return True
         return False
 
+    def max_mtime_ns(self, p: str) -> int:
+        """Newest modification time (ns) across a directory's immediate
+        files, 0 if none — one listing plus stats, no Spark job."""
+        best = 0
+        for f in self.listdir(p):
+            try:
+                best = max(best, os.stat(os.path.join(p, f)).st_mtime_ns)
+            except OSError:
+                continue
+        return best
+
     def read_text(self, p: str) -> str | None:
         try:
             with open(p) as f:
@@ -176,6 +187,18 @@ class _HadoopFS:
             if it.next().getPath().getName().endswith(".parquet"):
                 return True
         return False
+
+    def max_mtime_ns(self, p: str) -> int:
+        """Newest modification time (ns) across a directory's immediate
+        files, 0 if none — one listStatus RPC, no Spark job. Hadoop
+        reports millis; scaled to ns for parity with _LocalFS."""
+        P = self._Path(p)
+        if not self._fs.exists(P):
+            return 0
+        best = 0
+        for s in self._fs.listStatus(P):
+            best = max(best, int(s.getModificationTime()) * 1_000_000)
+        return best
 
     def read_text(self, p: str) -> str | None:
         P = self._Path(p)
@@ -1541,16 +1564,19 @@ class Workspace:
             [(version, now, op)], "version long, ts timestamp, op string"
         ).coalesce(1).write.mode("append").parquet(self._tbl("_history"))
 
-    def mutation_stamp(self) -> int:
-        """Cheap monotone corpus-version token: the number of `_history`
-        files on disk (each logged mutation appends exactly one,
-        coalesce(1)). A filesystem listing, no Spark job — callers key
-        derived caches on it so DML from ANY writer (streaming upsert,
-        CLI, a second engine over the same path) invalidates them."""
-        return sum(
-            1
-            for f in self._fs.listdir(self._tbl("_history"))
-            if f.endswith(".parquet")
+    def mutation_stamp(self) -> tuple[int, int]:
+        """Cheap corpus-version token: (number of `_history` parquet
+        files, newest `_history` file mtime in ns). One filesystem
+        listing, no Spark job — callers key derived caches on equality
+        so DML from ANY writer (streaming upsert, CLI, a second engine
+        over the same path) invalidates them. A bare file COUNT is not
+        monotone under a future _history compaction/vacuum (it could
+        return to a previously cached value — ADVICE r7); pairing it
+        with the max mtime makes any rewrite change the stamp."""
+        root = self._tbl("_history")
+        return (
+            sum(1 for f in self._fs.listdir(root) if f.endswith(".parquet")),
+            self._fs.max_mtime_ns(root),
         )
 
     def history(self) -> DataFrame:
@@ -1641,16 +1667,15 @@ class Workspace:
         if not self._exists("retrieval_logs"):
             return None
         # v15 migration analog (`vector_store.cpp:144-148` ALTER ... DEFAULT
-        # 1.0): logs appended by a pre-v15 engine lack mmr_decay, so merge
-        # schemas across files and default the column where absent.
-        df = self.spark.read.option("mergeSchema", "true").parquet(
+        # 1.0): logs appended by a pre-v15 engine lack mmr_decay. Reading
+        # with the EXPLICIT v15 schema null-fills the column for old files
+        # at scan time — no mergeSchema footer pass over every log
+        # part-file per read (engine.search hits this once per uncached
+        # query; footer merging grows with log volume — ADVICE r7).
+        df = self.spark.read.schema(LOG_SCHEMA).parquet(
             self._tbl("retrieval_logs")
         )
-        if "mmr_decay" not in df.columns:
-            df = df.withColumn("mmr_decay", F.lit(1.0))
-        else:
-            df = df.fillna({"mmr_decay": 1.0})
-        return df
+        return df.fillna({"mmr_decay": 1.0})
 
     # -- S9: metadata KV --------------------------------------------------
     def set_metadata(self, key: str, value: str) -> None:

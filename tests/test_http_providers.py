@@ -142,6 +142,9 @@ class _Mock(BaseHTTPRequestHandler):
             # reference sends, reply {"embeddings": [{"values": [...]}]}
             _Mock.post_counts["embed"] += 1
             assert self.path.startswith("/v1beta/models/gemini-embedding-001")
+            # key must travel in the header, never the URL (ADVICE r7)
+            assert "key=" not in self.path
+            _Mock.last_key_header = self.headers.get("x-goog-api-key")
             reqs = payload["requests"]
             assert all(r["task_type"] == "RETRIEVAL_DOCUMENT" for r in reqs)
             texts = [r["content"]["parts"][0]["text"] for r in reqs]
@@ -197,8 +200,9 @@ def test_embed_batch_matches_stub(server, style):
 
 def test_gemini_embed_batch_matches_stub(server):
     """The reference's default dialect (gemini_api.cpp:256-263): one
-    batchEmbedContents POST per batch, api key in the query string,
-    task_type=RETRIEVAL_DOCUMENT asserted server-side."""
+    batchEmbedContents POST per batch, api key via the x-goog-api-key
+    HEADER (never the ?key= query string — URL logging would leak it,
+    ADVICE r7), task_type=RETRIEVAL_DOCUMENT asserted server-side."""
     _Mock.post_counts["embed"] = 0
     prov = HttpEmbedProvider(
         server, "gemini-embedding-001", style="gemini", api_key="k"
@@ -206,6 +210,7 @@ def test_gemini_embed_batch_matches_stub(server):
     texts = ["alpha beta", "gamma delta", ""]
     assert prov.embed_batch(texts) == [hash_embed(t, DIM) for t in texts]
     assert _Mock.post_counts["embed"] == 1  # batched, not per-text
+    assert _Mock.last_key_header == "k"  # header transport verified
 
 
 def test_gemini_single_embedding_response_shape(server, monkeypatch):
@@ -217,14 +222,14 @@ def test_gemini_single_embedding_response_shape(server, monkeypatch):
     monkeypatch.setattr(
         providers,
         "_post_json",
-        lambda url, payload, timeout: {
+        lambda url, payload, timeout, **kw: {
             "embedding": {"values": hash_embed("solo", DIM)}
         },
     )
     assert prov.embed_batch(["solo"]) == [hash_embed("solo", DIM)]
     # a malformed reply fails loudly, not with a silent empty vector
     monkeypatch.setattr(
-        providers, "_post_json", lambda url, payload, timeout: {"oops": 1}
+        providers, "_post_json", lambda url, payload, timeout, **kw: {"oops": 1}
     )
     with pytest.raises(RuntimeError, match="missing values"):
         prov.embed_batch(["solo"])
@@ -307,7 +312,7 @@ def test_provider_misconfiguration_fails_loudly(server, monkeypatch):
 
     chat = HttpChatProvider(server, "m", style="gemini")
     monkeypatch.setattr(
-        providers, "_post_json", lambda u, p, t: {"candidates": []}
+        providers, "_post_json", lambda u, p, t, **kw: {"candidates": []}
     )
     with pytest.raises(RuntimeError, match="no candidates"):
         chat.generate("hi")

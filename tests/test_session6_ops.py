@@ -216,6 +216,65 @@ class TestLinkPrediction:
         # (1,5) share neighbor 2: deg(1)=3, deg(5)=1 -> 1/3
         assert scores[(1, 5)] == pytest.approx(0.333333, abs=1e-6)
 
+    def test_auto_under_budget_is_exact(self, spark):
+        # default budget (5e8) dwarfs this graph: auto must be
+        # byte-identical to the ungated legacy plan
+        pairs = [(i, j) for i in range(1, 8) for j in range(i + 1, 8) if (i + j) % 3]
+        exact = link_prediction(
+            self._edges(spark, pairs), center_cap=None
+        ).collect()
+        auto = link_prediction(
+            self._edges(spark, pairs), center_cap="auto"
+        ).collect()
+        assert auto == exact and len(exact) > 0
+
+    def test_auto_over_budget_caps_hub_centers(self, spark):
+        # hub-heavy star K1,40: sum(deg^2) = 40^2 + 40 = 1640 > budget 100
+        # -> cap = max(2, floor(sqrt(100/41))) = 2: the hub center emits
+        # wedges over only 2 of its 40 leaves, so at most C(2,2)=1
+        # candidate pair survives instead of C(40,2)=780.
+        star = self._edges(spark, [(1, i) for i in range(2, 42)])
+        out = link_prediction(
+            star, top_k=1000, center_cap="auto", auto_wedge_budget=100
+        ).collect()
+        assert 1 <= len(out) < 780
+        # full-graph degrees in the denominator, never capped ones
+        for r in out:
+            assert r["deg_a"] == 1 and r["deg_b"] == 1
+            assert r["cn"] == 1 and r["jaccard"] == 1.0
+        # deterministic: the stable-hash neighbor pick gives the same
+        # rows on a re-run
+        again = link_prediction(
+            star, top_k=1000, center_cap="auto", auto_wedge_budget=100
+        ).collect()
+        assert again == out
+
+    def test_capped_scores_are_lower_bounds(self, spark):
+        # K5 minus edge (4,5): exact cn for the missing pair is 3 (via
+        # centers 1,2,3). An explicit cap of 2 can only shrink cn, and
+        # degrees stay full-graph, so every capped score <= exact score.
+        pairs = [(1, 2), (1, 3), (1, 4), (1, 5), (2, 3), (2, 4), (2, 5), (3, 4), (3, 5)]
+        exact = {
+            (r["id_a"], r["id_b"]): (r["cn"], r["jaccard"])
+            for r in link_prediction(
+                self._edges(spark, pairs), center_cap=None
+            ).collect()
+        }
+        capped = link_prediction(
+            self._edges(spark, pairs), center_cap=2
+        ).collect()
+        assert exact[(4, 5)][0] == 3
+        for r in capped:
+            e_cn, _ = exact[(r["id_a"], r["id_b"])]
+            assert r["cn"] <= e_cn
+            assert r["deg_a"] == 4 and r["deg_b"] == 4
+
+    def test_bad_cap_rejected(self, spark):
+        with pytest.raises(ValueError):
+            link_prediction(
+                self._edges(spark, [(1, 2)]), center_cap=0
+            ).collect()
+
 
 class TestHoltForecast:
     def _daily(self, spark, rows):
@@ -336,6 +395,24 @@ class TestMatchFuzzyDispatch:
         # kw_score contract for the CLI front door
         row = match_search(df, "merge~", 10).collect()[0]
         assert row["kw_score"] == 0.5
+
+    def test_empty_variant_links_short_terms(self, spark):
+        # depth-2 completeness for degenerate short strings (ADVICE r7):
+        # query "jo" and corpus term "ab" are Levenshtein 2 apart but
+        # share ONLY the empty-string deletion variant — dropping ''
+        # from either side silently loses the pair.
+        from ai_vector_database_converstion_from_pdf_spark.operators.keyword import (
+            fuzzy_search,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "ab ab"), (1, "unrelated words")], "id long, text string"
+        )
+        out = {
+            r["id"]: r["score_micro"]
+            for r in fuzzy_search(df, ["jo"], 10).collect()
+        }
+        assert out == {0: 1000000 // 3}  # lev("ab","jo") = 2
 
 
 class TestMatryoshkaFunnel:

@@ -995,6 +995,46 @@ def hundredx() -> None:
         ),
     )
 
+    # 9) round-8: link_prediction's IN-OPERATOR sum(deg^2) auto-gate on
+    # the planted 100-clique dup graph (every doc + its 99 exact copies
+    # -> union of 5000 100-cliques, ~24.75M edges, sum(deg^2) ~ 4.9e9
+    # >> the 5e8 budget). The UNGATED wedge self-join on this shape is
+    # the plan that spilled ~50 GB and died for exact triangles
+    # (BASELINE.md); center_cap="auto" probes, caps each center at
+    # sqrt(budget/n) neighbors, and completes.
+    from ai_vector_database_converstion_from_pdf_spark.operators.graph import (
+        link_prediction,
+    )
+
+    hd = docs.select(F.md5("text").alias("h"), "doc_id").persist()
+    bridge = docs0.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    clique = (
+        hd.alias("x")
+        .join(hd.alias("y"), "h")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+        )
+        # sparse chain overlay linking consecutive base docs: pure
+        # disjoint cliques have NO non-adjacent wedge pairs (every
+        # 2-path closes), so without it the run would prove only
+        # completion, not output
+        .unionByName(bridge)
+        .distinct()
+        .persist()
+    )
+    ncl = clique.count()
+    timed(
+        f"link_prediction(center_cap='auto', {ncl} clique+chain edges)",
+        lambda: "top {} pairs (auto-capped; ungated plan spills)".format(
+            link_prediction(clique, top_k=50, center_cap="auto").count()
+        ),
+    )
+    clique.unpersist()
+    hd.unpersist()
+
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "fifth":
