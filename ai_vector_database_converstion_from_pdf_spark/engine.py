@@ -39,7 +39,7 @@ class PvdbEngine:
         embedder=None,
         embed_udf=None,
         asof: str | None = None,
-        ivf_n_probe: int = 2,
+        ivf_n_probe: int | None = 2,
     ):
         """`embedder`: text→vector for query-side embedding (driver,
         one call per search). `embed_udf`: a pandas UDF column function
@@ -48,11 +48,13 @@ class PvdbEngine:
         must produce the same space, as in the reference where one
         configured model serves both sides. `ivf_n_probe`: cells probed
         by IVF-backed serving — the recall/latency knob (raise toward
-        the centroid count for exact coverage)."""
+        the centroid count for exact coverage; None auto-sizes to
+        ceil(0.375 * centroid count), the measured-recall fraction
+        similarity.ivf_auto_params documents)."""
         self.spark = spark
         self.workspace = Workspace(spark, workspace_path)
         self.dim = dim
-        self.ivf_n_probe = int(ivf_n_probe)
+        self.ivf_n_probe = None if ivf_n_probe is None else int(ivf_n_probe)
         self.embed_text = embedder or (lambda t: hash_embed(t, dim))
         self.embed_udf = embed_udf
         self.governor = LatencyGovernor()

@@ -87,7 +87,7 @@ def _merge_fold(left: str, right: str):
 
 
 def bpe_train(
-    vocab: DataFrame, n_merges: int, stop_below: int = 2
+    vocab: DataFrame, n_merges: int, stop_below: int = 2, batch_size: int = 1
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Learn up to ``n_merges`` merge rules. Returns (merges, final_vocab)
     where merges = [(left, right, pair_freq_at_merge_time), ...] in rank
@@ -95,10 +95,36 @@ def bpe_train(
 
     Stops early when no adjacent pair reaches ``stop_below`` total
     frequency (merging hapax pairs adds vocabulary without compression).
+
+    ``batch_size`` (VERDICT r7 #4): accept up to that many merges per
+    pair-count round instead of one — at a real 32k-merge vocabulary the
+    sequential loop is 32k Spark jobs, so cutting round-trips ~batch×
+    is the difference between hours and minutes of driver latency.
+    The round rule keeps the result a deterministic pure function of
+    the corpus: rank pairs by (count desc, left, right) and accept the
+    MAXIMAL PREFIX that is pairwise symbol-disjoint — no accepted
+    pair's left/right/minted symbol may collide with an earlier
+    accepted pair's left/right/minted symbol. Disjoint merges commute
+    (neither can create, destroy, or retokenize the other's sites), so
+    applying the prefix in rank order is well-defined; the prefix stops
+    at the first interaction because a merge CAN change the counts of
+    pairs that share its symbols, and a pair minted by the top merge
+    (e.g. ("ab","</w>") right after ("a","b")) can legitimately outrank
+    the rest of the table — only a fresh count round sees that.
+
+    ``batch_size=1`` (the default, and what the golden-oracled catalog
+    entries use) is byte-identical to the classic Sennrich sequential
+    algorithm: the prefix rule degenerates to the argmax.
+    ``batch_size>1`` is the scale path; it may pick a different (still
+    deterministic, still valid-BPE) merge order when consecutive ranks
+    interact. tests/test_bpe.py re-derives both against independent
+    pure-Python references.
     """
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
     cur = _init_symbols(vocab).select("word", "freq", "syms").localCheckpoint()
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
+    while len(merges) < n_merges:
         multi = cur.filter(F.size("syms") >= 2)
         lefts = F.slice(F.col("syms"), 1, F.size("syms") - 1)
         rights = F.slice(F.col("syms"), 2, F.size("syms") - 1)
@@ -107,19 +133,36 @@ def bpe_train(
         ).select(
             F.col("p.l").alias("l"), F.col("p.r").alias("r"), "freq"
         )
-        best = (
+        want = min(batch_size, n_merges - len(merges))
+        top = (
             pairs.groupBy("l", "r")
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-            .limit(1)
+            .limit(want)
             .collect()
         )
-        if not best or best[0]["cnt"] < stop_below:
+        if not top or top[0]["cnt"] < stop_below:
             break
-        left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
-        merges.append((left, right, cnt))
-        fold = _merge_fold(left, right)
-        cur = cur.withColumn("syms", fold(F.col("syms"))).localCheckpoint()
+        touched: set[str] = set()
+        accepted: list[tuple[str, str, int]] = []
+        for row in top:
+            if row["cnt"] < stop_below:
+                break
+            l, r, m = row["l"], row["r"], row["l"] + row["r"]
+            if {l, r, m} & touched:
+                break  # maximal disjoint PREFIX — not a skip-and-scan
+            touched |= {l, r, m}
+            accepted.append((l, r, int(row["cnt"])))
+        merges.extend(accepted)
+        col = F.col("syms")
+        for left, right, _cnt in accepted:
+            col = _merge_fold(left, right)(col)
+        # one checkpoint per ROUND, not per merge: lineage and job count
+        # both shrink ~batch× on non-interacting stretches
+        cur = cur.withColumn("syms", col).localCheckpoint()
+        # progress is guaranteed (the top-ranked pair is always accepted);
+        # exhaustion is detected by the next round's count falling below
+        # stop_below, exactly like the sequential loop
     return merges, cur
 
 

@@ -1110,17 +1110,23 @@ class Workspace:
     def build_ivf_index(
         self,
         dim: int,
-        n_centroids: int = 16,
+        n_centroids: int | None = 16,
         n_iter: int = 3,
         sample_size: int = 2048,
         seed: int = 42,
     ) -> int:
         """Train centroids on the current corpus, persist them, assign
-        every chunk. Returns the assignment row count."""
-        from .operators.similarity import kmeans_centroids
+        every chunk. Returns the assignment row count.
+
+        ``n_centroids=None`` auto-sizes from the corpus
+        (similarity.ivf_auto_params: 2*sqrt(N) cells — the rule that
+        lifts worst-case recall@10 from 0.59 to 0.83, VERDICT r7 #2)."""
+        from .operators.similarity import ivf_auto_params, kmeans_centroids
 
         chunks = self._read_table("chunks")
         vecs = chunks.select(F.col("id").alias("vec_id"), "embedding")
+        if n_centroids is None:
+            n_centroids, _ = ivf_auto_params(vecs.count())
         cents = kmeans_centroids(
             vecs, n_centroids, n_iter=n_iter, sample_size=sample_size, seed=seed
         )
@@ -1202,15 +1208,22 @@ class Workspace:
         dim, k = (int(x) for x in self.get_metadata("ivf_params").split(","))
         return self._read_table("ann_ivf"), cents, dim, k
 
-    def ivf_candidates(self, query_vec, n_probe: int = 2) -> DataFrame | None:
+    def ivf_candidates(
+        self, query_vec, n_probe: int | None = 2
+    ) -> DataFrame | None:
         """Candidate chunk ids from the n_probe centroids nearest the
         query (driver-side argmax over k tiny centroids, then ONE
-        filtered scan of the assignment table — no corpus scan)."""
+        filtered scan of the assignment table — no corpus scan).
+        ``n_probe=None`` probes ceil(0.375 * n_centroids) — the
+        measured-recall fraction ivf_auto_params documents."""
         idx = self.ivf_index()
         if idx is None:
             return None
         assignments, cents, _dim, _k = idx
         import math
+
+        if n_probe is None:
+            n_probe = max(1, math.ceil(0.375 * len(cents)))
 
         q = list(query_vec)
         qn = math.sqrt(sum(x * x for x in q)) or 1.0

@@ -118,6 +118,116 @@ class TestBpeTrain:
         assert merges == []
 
 
+def ref_bpe_batched(
+    word_freqs: dict[str, int],
+    n_merges: int,
+    batch_size: int,
+    stop_below: int = 2,
+):
+    """Independent pure-Python model of the BATCHED round rule: rank
+    pairs by (count desc, pair asc), accept the maximal prefix that is
+    pairwise symbol-disjoint (minted symbols included), apply in rank
+    order, recount."""
+    vocab = {w: list(w) + [END] for w in word_freqs}
+    merges = []
+    while len(merges) < n_merges:
+        pairs = collections.Counter()
+        for w, syms in vocab.items():
+            f = word_freqs[w]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        ranked = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        want = min(batch_size, n_merges - len(merges))
+        if not ranked or ranked[0][1] < stop_below:
+            break
+        touched, accepted = set(), []
+        for (l, r), cnt in ranked[:want]:
+            if cnt < stop_below or {l, r, l + r} & touched:
+                break
+            touched |= {l, r, l + r}
+            accepted.append((l, r, cnt))
+        merges.extend(accepted)
+        for l, r, _cnt in accepted:
+            for w, syms in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = out
+    return merges, vocab
+
+
+class TestBpeBatched:
+    @pytest.mark.parametrize("words", CORPORA)
+    @pytest.mark.parametrize("batch", [2, 4])
+    def test_matches_batched_reference(self, spark, words, batch):
+        from ai_vector_database_converstion_from_pdf_spark.operators.bpe import (
+            bpe_train,
+        )
+
+        wf_dict = collections.Counter(words)
+        wf = spark.createDataFrame(
+            sorted(wf_dict.items()), "word string, freq long"
+        ).repartition(3)
+        got_merges, got_final = bpe_train(wf, n_merges=12, batch_size=batch)
+        want_merges, want_vocab = ref_bpe_batched(dict(wf_dict), 12, batch)
+        assert got_merges == want_merges
+        got_vocab = {r["word"]: list(r["syms"]) for r in got_final.collect()}
+        assert got_vocab == want_vocab
+
+    def test_batch_one_is_sequential(self, spark):
+        """batch_size=1 must stay byte-identical to the classic loop —
+        the golden-oracled catalog entries depend on it."""
+        from ai_vector_database_converstion_from_pdf_spark.operators.bpe import (
+            bpe_train,
+        )
+
+        words = CORPORA[0]
+        wf = spark.createDataFrame(
+            sorted(collections.Counter(words).items()),
+            "word string, freq long",
+        )
+        seq, _ = bpe_train(wf, n_merges=10)
+        one, _ = bpe_train(wf, n_merges=10, batch_size=1)
+        want, _ = ref_bpe(dict(collections.Counter(words)), 10)
+        assert seq == one == want
+
+    def test_interaction_stops_the_prefix(self, spark):
+        """'ab'x100 + 'cd'x90: after ('a','b') the minted pair
+        ('ab','</w>') outranks ('c','d') — a batch that blindly accepted
+        disjoint ('c','d') in round 1 would be fine under the batched
+        contract, but the PREFIX rule must stop at ('b','</w>') (shares
+        'b') so round 1 accepts exactly [('a','b')], and round 2's fresh
+        count sees ('ab','</w>') first. The pure reference encodes the
+        same rule; this pins the counterexample explicitly."""
+        from ai_vector_database_converstion_from_pdf_spark.operators.bpe import (
+            bpe_train,
+        )
+
+        wf_dict = {"ab": 100, "cd": 90}
+        wf = spark.createDataFrame(
+            sorted(wf_dict.items()), "word string, freq long"
+        )
+        got, _ = bpe_train(wf, n_merges=4, batch_size=4)
+        want, _ = ref_bpe_batched(wf_dict, 4, 4)
+        assert got == want
+        assert got[0][:2] == ("a", "b")
+        assert got[1][:2] == ("ab", END)  # minted pair won round 2
+
+    def test_bad_batch_rejected(self, spark):
+        from ai_vector_database_converstion_from_pdf_spark.operators.bpe import (
+            bpe_train,
+        )
+
+        wf = spark.createDataFrame([("ab", 2)], "word string, freq long")
+        with pytest.raises(ValueError):
+            bpe_train(wf, n_merges=1, batch_size=0)
+
+
 class TestBpeFixture:
     def test_fixture_merges_match_reference(self, spark, duck):
         """Full-circle at sf0.01: Spark's 40-merge table equals the pure

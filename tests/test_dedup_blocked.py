@@ -82,3 +82,32 @@ def test_lsh_hot_bucket_cap(spark):
         ).count()
         == 0
     )
+
+
+def test_auto_under_budget_matches_gemm(spark):
+    """method='auto' with the default 1e11 budget stays on the exact
+    GEMM path at fixture scale — byte-identical pair set."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = _pairs(embedding_near_dup_pairs(emb, threshold=0.45, method="auto"))
+    want = _pairs(embedding_near_dup_pairs(emb, threshold=0.45))
+    assert got == want and len(got) > 0
+
+
+def test_auto_over_budget_dispatches_lsh(spark):
+    """A tiny flop_budget forces the sub-quadratic LSH path: output must
+    be a subset of the exact pairs (no false positives — verification is
+    exact), found deterministically."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = set(_pairs(embedding_near_dup_pairs(emb, threshold=0.45)))
+    lsh = _pairs(
+        embedding_near_dup_pairs(
+            emb, threshold=0.45, method="auto", flop_budget=1.0
+        )
+    )
+    assert set(lsh) <= exact
+    again = _pairs(
+        embedding_near_dup_pairs(
+            emb, threshold=0.45, method="auto", flop_budget=1.0
+        )
+    )
+    assert again == lsh

@@ -178,6 +178,30 @@ class TestMatryoshkaRecall:
         assert out[4] == 2
         assert out[2] == 1
 
+    def test_scan_budget_sampling_engages(self, spark):
+        """Over-budget corpora are evaluated on a deterministic sample:
+        query rows always kept (self-match semantics), dim=max stays
+        recall 1.0 by construction, and the run is repeatable."""
+        emb = spark.createDataFrame(
+            [(i, [float(i % 7), 1.0, float(i % 3), 0.5], "a") for i in range(60)],
+            "vec_id long, embedding array<float>, label string",
+        )
+        kw = dict(n_queries=3, dims=(2, 4), k=2, max_scan_flops=100.0)
+        a = {r["dim"]: r for r in matryoshka_recall(emb, **kw).collect()}
+        b = {r["dim"]: r for r in matryoshka_recall(emb, **kw).collect()}
+        assert a[4]["recall"] == 1.0  # full width is its own truth
+        assert {d: r["n_overlap"] for d, r in a.items()} == {
+            d: r["n_overlap"] for d, r in b.items()
+        }
+        # under-budget call is exact and may differ from the sampled one
+        exact = {
+            r["dim"]: r
+            for r in matryoshka_recall(
+                emb, n_queries=3, dims=(2, 4), k=2
+            ).collect()
+        }
+        assert exact[4]["recall"] == 1.0
+
 
 class TestLinkPrediction:
     def _edges(self, spark, pairs):

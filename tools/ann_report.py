@@ -38,6 +38,11 @@ def main() -> None:
     codes = similarity.pq_encode(emb, books)
     ivfpq_idx = similarity.ivf_pq_index(emb, cents, books)
     assign = similarity.ivf_assign(emb, cents)
+    # auto-sized IVF (the r8 recall fix): 2*sqrt(N) cells, 37.5% probed
+    a_nc, a_probe = similarity.ivf_auto_params(emb.count())
+    a_cents = similarity.kmeans_centroids(emb, a_nc)
+    a_assign = similarity.ivf_assign(emb, a_cents)
+    a_ivfpq_idx = similarity.ivf_pq_index(emb, a_cents, books)
 
     def ids(df):
         return [int(r[0]) for r in df.collect()]
@@ -62,6 +67,12 @@ def main() -> None:
     }
     methods["ivf (probe 4/16)"] = lambda qv: similarity.ivf_topk(
         emb, qv, k=10, centroids=cents, assignments=assign, n_probe=4
+    )
+    methods[f"ivf (auto {a_probe}/{a_nc})"] = lambda qv: similarity.ivf_topk(
+        emb, qv, k=10, centroids=a_cents, assignments=a_assign, n_probe=a_probe
+    )
+    methods[f"ivf-pq (auto {a_probe}/{a_nc})"] = lambda qv: similarity.ivf_pq_topk(
+        a_ivfpq_idx, emb, qv, books, a_cents, k=10, n_probe=a_probe
     )
 
     exact_by_q = {}

@@ -1035,6 +1035,112 @@ def hundredx() -> None:
     clique.unpersist()
     hd.unpersist()
 
+    # 10) round-8: batched BPE merge rounds at a REAL vocabulary scale
+    # (VERDICT r7 #4). The parquet fixture's text has only ~31 distinct
+    # words — useless for tokenizer training — so the vocabulary here is
+    # synthetic-but-Zipf: ~100k distinct hex words, freq ~ 1/rank.
+    # batch_size=16 accepts the maximal symbol-disjoint prefix per
+    # count round; merges that chain through minted symbols cap the
+    # average acceptance (~1.8/round on hex text), still ~1.8x fewer
+    # driver round-trips than the sequential loop at n_merges=256.
+    from ai_vector_database_converstion_from_pdf_spark.operators.bpe import (
+        bpe_train,
+    )
+
+    wf = (
+        spark.range(100_000)
+        .select(
+            F.substring(
+                F.md5(F.col("id").cast("string")),
+                1,
+                (F.pmod(F.col("id"), F.lit(12)) + 4).cast("int"),
+            ).alias("word"),
+            (F.lit(1_000_000) / (F.col("id") + 1)).cast("long").alias("freq"),
+        )
+        .groupBy("word")
+        .agg(F.sum("freq").alias("freq"))
+        .filter(F.col("freq") >= 1)
+        .persist()
+    )
+    nw = wf.count()
+    timed(
+        f"bpe_train({nw} Zipf vocab words, n_merges=256, batch_size=16)",
+        lambda: f"{len(bpe_train(wf, n_merges=256, batch_size=16)[0])} merges",
+    )
+    wf.unpersist()
+
+    # 11) round-8 (VERDICT r7 #7): the GEMM-riding ops now carry their
+    # OWN probes at the tier.
+    #
+    # mutual-kNN: method="auto" refuses brute GEMM in-operator (200k ×
+    # dim 64 = 2.56e12 FLOPs > 1e11). On THIS corpus the LSH fallback's
+    # candidate volume is itself adversarial — every bucket is a stack
+    # of 100-cliques (~3e8 candidate pairs, measured by the same
+    # count-only bucket probe as minhash §2) — so the staged discipline
+    # applies verbatim: exact-collapse identical vectors first (linear
+    # hash-groupBy), then mutual-kNN auto on the canonicals (under the
+    # FLOP budget → exact GEMM). Mutual-kNN on raw exact-dup corpora is
+    # semantically noise anyway: every vector's top-k is its own
+    # replicas (the 10x eighth-session observation).
+    from ai_vector_database_converstion_from_pdf_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+    from ai_vector_database_converstion_from_pdf_spark.operators.similarity import (
+        matryoshka_recall,
+        mutual_knn_pairs_from,
+        rp_lsh_buckets,
+    )
+
+    vdim = len(emb.select("embedding").first()[0])
+    print(
+        f"STRESS100 mutual_knn in-operator probe: N^2*dim = "
+        f"{float(nv) * nv * vdim:.3g} FLOPs > 1e11 -> brute GEMM refused "
+        f"(embedding_near_dup_pairs method='auto' warns + dispatches)"
+    )
+    lsh_bound = (
+        rp_lsh_buckets(emb, vdim, 8, 4)
+        .groupBy("table", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.expr("n * (n - 1) / 2")).cast("long").alias("b"))
+        .collect()[0]["b"]
+    )
+    print(
+        f"STRESS100 mutual_knn LSH bucket probe: candidate bound "
+        f"{lsh_bound:,} pairs on the 100-replica corpus -> staged path "
+        f"(exact-collapse first, the minhash discipline)"
+    )
+    canon = (
+        emb.groupBy(F.md5(F.col("embedding").cast("string")).alias("h"))
+        .agg(
+            F.min("vec_id").alias("vec_id"),
+            F.first("embedding").alias("embedding"),
+            F.count(F.lit(1)).alias("replicas"),
+        )
+        .drop("h")
+        .persist()
+    )
+    nc2 = canon.count()
+
+    def _mutual_staged():
+        pairs = embedding_near_dup_pairs(canon, threshold=0.25, method="auto")
+        return (
+            f"{mutual_knn_pairs_from(pairs, k=3).count()} mutual pairs on "
+            f"{nc2} canonicals (auto -> exact GEMM under budget)"
+        )
+
+    timed(f"mutual_knn(staged: {nv} -> {nc2} canonicals)", _mutual_staged)
+    canon.unpersist()
+
+    # matryoshka_recall's own probe: 200k × 20 queries × Σdims=120 =
+    # 4.8e8 slice-cosine evals > the 2e8 budget → deterministic
+    # corpus-sample estimate engages in-operator (logged), bounded wall.
+    timed(
+        f"matryoshka_recall({nv} vectors, sampled-estimate path)",
+        lambda: {
+            r["dim"]: r["recall"] for r in matryoshka_recall(emb).collect()
+        },
+    )
+
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "fifth":
