@@ -6,11 +6,18 @@ comparison (rows sorted, floats to 9 significant digits).
 
 Usage: python tools/verify_local.py [name ...]
        python tools/verify_local.py --emit CORRECTNESS_FULL_r7.json [name ...]
+       python tools/verify_local.py --sf /root/testdata/sf0.001 [name ...]
 
 --emit writes the results in the driver's CORRECTNESS row shape
 ({name: {rows_match, schema_match, hash_match, spark_rows, oracle_rows,
 err}}), so every round can commit a full-catalog correctness artifact
 instead of the driver's 50-row sample (VERDICT r6 next-round #2).
+
+--sf runs the whole comparison against a different fixture directory —
+the second-scale-factor robustness sweep that catches SF-dependent
+constants a single-SF gate can't. Golden-VALUES oracles are pinned to
+the sf0.01 fixture, so at any other SF those queries are demoted to
+rows-only smoke (the Spark side still executes and must not crash).
 """
 
 from __future__ import annotations
@@ -43,7 +50,7 @@ def canon_rows(rows):
     return sorted("|".join(canon(v) for v in row) for row in rows)
 
 
-def main(names=None, emit_path: str | None = None):
+def main(names=None, emit_path: str | None = None, sf_dir: str = SF_DIR):
     import duckdb
 
     import __spark_entry__ as entry_mod
@@ -52,10 +59,17 @@ def main(names=None, emit_path: str | None = None):
     spark = get_spark("verify-local", cpus=8)
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if sf_dir != SF_DIR:
+        # golden VALUES are pinned to the sf0.01 fixture — demote those
+        # queries to rows-only smoke at any other SF
+        from ai_vector_database_converstion_from_pdf_spark import catalog
+
+        for g in catalog._golden_oracles():
+            oracles.pop(g, None)
     picked = names or sorted(qs)
     failed = []
     results: dict[str, dict] = {}
@@ -70,7 +84,7 @@ def main(names=None, emit_path: str | None = None):
         }
         results[name] = rec
         try:
-            sdf = fn(spark, SF_DIR)
+            sdf = fn(spark, sf_dir)
             spark_cols = [c.lower() for c in sdf.columns]
             spark_rows = [tuple(r) for r in sdf.collect()]
             rec["spark_rows"] = len(spark_rows)
@@ -125,8 +139,13 @@ def main(names=None, emit_path: str | None = None):
 if __name__ == "__main__":
     argv = sys.argv[1:]
     emit = None
+    sf = SF_DIR
     if "--emit" in argv:
         i = argv.index("--emit")
         emit = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
-    sys.exit(main(argv or None, emit_path=emit))
+    if "--sf" in argv:
+        i = argv.index("--sf")
+        sf = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sys.exit(main(argv or None, emit_path=emit, sf_dir=sf))
