@@ -166,11 +166,18 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser(
         "snapshot",
-        help="zero-copy workspace snapshots: create | list | restore | drop",
+        help="zero-copy workspace snapshots: create | list | restore | "
+        "drop | diff (chunk-level corpus delta)",
     )
     common(sp)
-    sp.add_argument("action", choices=["create", "list", "restore", "drop"])
+    sp.add_argument(
+        "action", choices=["create", "list", "restore", "drop", "diff"]
+    )
     sp.add_argument("--tag", help="snapshot tag (required except for list)")
+    sp.add_argument(
+        "--against",
+        help="diff only: second snapshot tag (default: the live table)",
+    )
 
     sp = sub.add_parser(
         "dedup-report",
@@ -433,6 +440,19 @@ def main(argv: list[str] | None = None) -> int:
             _emit(ws.snapshot(args.tag))
         elif args.action == "restore":
             _emit(ws.restore(args.tag))
+        elif args.action == "diff":
+            rows = ws.snapshot_diff(args.tag, args.against).collect()
+            by = {}
+            for r in rows:
+                by.setdefault(r["status"], []).append(int(r["id"]))
+            _emit(
+                {
+                    "diff": args.tag,
+                    "against": args.against or "live",
+                    "counts": {k: len(v) for k, v in sorted(by.items())},
+                    "sample": {k: sorted(v)[:10] for k, v in sorted(by.items())},
+                }
+            )
         else:
             ws.drop_snapshot(args.tag)
             _emit({"dropped": args.tag})

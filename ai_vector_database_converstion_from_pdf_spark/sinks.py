@@ -1799,6 +1799,56 @@ class Workspace:
     def drop_snapshot(self, tag: str) -> None:
         self._fs.rmtree(self._tbl(f"_snapshots/{tag}"))
 
+    def snapshot_diff(self, tag_a: str, tag_b: str | None = None) -> DataFrame:
+        """Chunk-level corpus delta between snapshot `tag_a` and
+        `tag_b` (or the LIVE chunk table when tag_b is None) — the
+        data-versioning primitive an incremental pipeline keys on:
+        which chunks must be re-embedded / re-deduped / re-indexed
+        since the last corpus version, without a full recompute.
+
+        Output: (id, doc_id, status) with status ∈ added (in b only),
+        removed (in a only), changed (same id, different text content —
+        compared by md5, never by shipping both text payloads through
+        the join).
+
+        Scale shape: two parquet scans projected to (id, doc_id,
+        md5(text)) — column-pruned, a few bytes/row regardless of chunk
+        size — and ONE id-keyed full-outer join; no corpus-wide sort,
+        no driver state. Unchanged rows are filtered before the
+        result ever materializes."""
+
+        def side(df):
+            return df.select(
+                F.col("id"), F.col("doc_id"), F.md5(F.col("text")).alias("h")
+            )
+
+        a = side(self._read_snapshot_chunks(tag_a)).alias("a")
+        b = side(
+            self._read_snapshot_chunks(tag_b) if tag_b is not None
+            else self._read_table("chunks")
+        ).alias("b")
+        j = a.join(b, F.col("a.id") == F.col("b.id"), "full_outer")
+        return (
+            j.select(
+                F.coalesce(F.col("a.id"), F.col("b.id")).alias("id"),
+                F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+                F.when(F.col("a.id").isNull(), F.lit("added"))
+                .when(F.col("b.id").isNull(), F.lit("removed"))
+                .when(F.col("a.h") != F.col("b.h"), F.lit("changed"))
+                .alias("status"),
+            )
+            .filter(F.col("status").isNotNull())
+        )
+
+    def _read_snapshot_chunks(self, tag: str) -> DataFrame:
+        src = f"_snapshots/{tag}/chunks"
+        if not self._fs.isdir(self._tbl(src)):
+            raise ValueError(f"no snapshot {tag!r} (or it has no chunks table)")
+        # _read_table is path-relative, so it resolves the snapshot's own
+        # manifest for bucketed tables (the snapshot copies it verbatim)
+        # and falls back to directory discovery for rename-managed ones
+        return self._read_table(src)
+
     # -- S2: CSV export ---------------------------------------------------
     def export_csv(self, out_path: str) -> None:
         """(id, source_file, text) with full quoting

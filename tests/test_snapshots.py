@@ -157,10 +157,61 @@ def test_cli_snapshot_lifecycle(spark, capsys, tmp_path):
     src2 = str(tmp_path / "d2.parquet")
     docs2.write.parquet(src2)
     run(["index-text", "-w", ws, "--dim", "16", "--parquet", src2])
+    # diff against live: doc 3's chunks are additions since v1
+    got = run(["snapshot", "-w", ws, "diff", "--tag", "v1"])
+    assert got[0]["against"] == "live"
+    assert got[0]["counts"] == {"added": 1}
     got = run(["snapshot", "-w", ws, "restore", "--tag", "v1"])
     assert "chunks" in got[0]["restored"]
     from ai_vector_database_converstion_from_pdf_spark.sinks import Workspace
 
     assert Workspace(spark, ws).count() == 2
+    # post-restore the diff is empty
+    got = run(["snapshot", "-w", ws, "diff", "--tag", "v1"])
+    assert got[0]["counts"] == {}
     run(["snapshot", "-w", ws, "drop", "--tag", "v1"])
     assert run(["snapshot", "-w", ws, "list"])[0]["snapshots"] == []
+
+
+class TestSnapshotDiff:
+    def test_diff_vs_live_after_dml(self, spark, tmp_path):
+        """added/removed/changed between a snapshot and the live table —
+        one id-keyed full-outer join over (id, doc_id, md5) projections."""
+        ws = Workspace(spark, str(tmp_path / "wsd"))
+        ws.add_chunks(_chunk_rows(spark, range(8)), partition_buckets=2)
+        ws.snapshot("v1")
+        ws.add_chunks(_chunk_rows(spark, [100, 101]), partition_buckets=2)
+        ws.merge_chunks(
+            _chunk_rows(spark, [3]).withColumn("text", F.lit("REPLACED"))
+        )
+        ws.delete_doc(5)
+        out = {
+            (r["id"], r["status"]) for r in ws.snapshot_diff("v1").collect()
+        }
+        assert out == {
+            (100, "added"),
+            (101, "added"),
+            (3, "changed"),
+            (5, "removed"),
+        }
+
+    def test_diff_between_two_snapshots_and_identity(self, spark, tmp_path):
+        ws = Workspace(spark, str(tmp_path / "wsd2"))
+        ws.add_chunks(_chunk_rows(spark, range(5)), partition_buckets=2)
+        ws.snapshot("a")
+        ws.delete_doc(2)
+        ws.add_chunks(_chunk_rows(spark, [50]), partition_buckets=2)
+        ws.snapshot("b")
+        out = {
+            (r["id"], r["status"])
+            for r in ws.snapshot_diff("a", "b").collect()
+        }
+        assert out == {(2, "removed"), (50, "added")}
+        # a snapshot diffed against itself is empty (unchanged filtered)
+        assert ws.snapshot_diff("a", "a").count() == 0
+
+    def test_diff_unknown_tag_raises(self, spark, tmp_path):
+        ws = Workspace(spark, str(tmp_path / "wsd3"))
+        ws.add_chunks(_chunk_rows(spark, range(2)), partition_buckets=2)
+        with pytest.raises(ValueError, match="no snapshot"):
+            ws.snapshot_diff("nope").count()
