@@ -123,11 +123,13 @@ def ref_bpe_batched(
     n_merges: int,
     batch_size: int,
     stop_below: int = 2,
+    accept: str = "prefix",
 ):
     """Independent pure-Python model of the BATCHED round rule: rank
     pairs by (count desc, pair asc), accept the maximal prefix that is
-    pairwise symbol-disjoint (minted symbols included), apply in rank
-    order, recount."""
+    pairwise symbol-disjoint (minted symbols included) — or, in scan
+    mode, the greedy rank-ordered independent set within a 4*batch
+    lookahead — apply in rank order, recount."""
     vocab = {w: list(w) + [END] for w in word_freqs}
     merges = []
     while len(merges) < n_merges:
@@ -138,12 +140,17 @@ def ref_bpe_batched(
                 pairs[(a, b)] += f
         ranked = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
         want = min(batch_size, n_merges - len(merges))
+        lookahead = want if accept == "prefix" else max(4 * want, want)
         if not ranked or ranked[0][1] < stop_below:
             break
         touched, accepted = set(), []
-        for (l, r), cnt in ranked[:want]:
-            if cnt < stop_below or {l, r, l + r} & touched:
+        for (l, r), cnt in ranked[:lookahead]:
+            if cnt < stop_below or len(accepted) >= want:
                 break
+            if {l, r, l + r} & touched:
+                if accept == "prefix":
+                    break
+                continue
             touched |= {l, r, l + r}
             accepted.append((l, r, cnt))
         merges.extend(accepted)
@@ -217,6 +224,60 @@ class TestBpeBatched:
         assert got == want
         assert got[0][:2] == ("a", "b")
         assert got[1][:2] == ("ab", END)  # minted pair won round 2
+
+    @pytest.mark.parametrize("words", CORPORA)
+    def test_scan_mode_matches_reference(self, spark, words):
+        from ai_vector_database_converstion_from_pdf_spark.operators.bpe import (
+            bpe_train,
+        )
+
+        wf_dict = collections.Counter(words)
+        wf = spark.createDataFrame(
+            sorted(wf_dict.items()), "word string, freq long"
+        ).repartition(3)
+        got, _ = bpe_train(wf, n_merges=12, batch_size=4, accept="scan")
+        want, _ = ref_bpe_batched(dict(wf_dict), 12, 4, accept="scan")
+        assert got == want
+
+    def test_scan_skips_conflicts_and_accepts_more(self, spark):
+        """'ab'x100 + 'cd'x90: prefix mode stops round 1 at [('a','b')]
+        (rank-2 ('b','</w>') interacts); scan mode skips the conflict
+        and also accepts the disjoint ('c','d') in the same round."""
+        from ai_vector_database_converstion_from_pdf_spark.operators.bpe import (
+            bpe_train,
+        )
+
+        wf_dict = {"ab": 100, "cd": 90}
+        wf = spark.createDataFrame(
+            sorted(wf_dict.items()), "word string, freq long"
+        )
+        got, _ = bpe_train(wf, n_merges=2, batch_size=2, accept="scan")
+        want, _ = ref_bpe_batched(wf_dict, 2, 2, accept="scan")
+        assert got == want
+        assert [m[:2] for m in got] == [("a", "b"), ("c", "d")]
+
+    def test_scan_batch_one_is_sequential(self, spark):
+        from ai_vector_database_converstion_from_pdf_spark.operators.bpe import (
+            bpe_train,
+        )
+
+        words = CORPORA[0]
+        wf = spark.createDataFrame(
+            sorted(collections.Counter(words).items()),
+            "word string, freq long",
+        )
+        a, _ = bpe_train(wf, n_merges=8, batch_size=1, accept="scan")
+        b, _ = bpe_train(wf, n_merges=8, batch_size=1)
+        assert a == b
+
+    def test_bad_accept_rejected(self, spark):
+        from ai_vector_database_converstion_from_pdf_spark.operators.bpe import (
+            bpe_train,
+        )
+
+        wf = spark.createDataFrame([("ab", 2)], "word string, freq long")
+        with pytest.raises(ValueError, match="accept"):
+            bpe_train(wf, n_merges=1, accept="nope")
 
     def test_bad_batch_rejected(self, spark):
         from ai_vector_database_converstion_from_pdf_spark.operators.bpe import (

@@ -1067,6 +1067,12 @@ def hundredx() -> None:
         f"bpe_train({nw} Zipf vocab words, n_merges=256, batch_size=16)",
         lambda: f"{len(bpe_train(wf, n_merges=256, batch_size=16)[0])} merges",
     )
+    timed(
+        f"bpe_train({nw} Zipf words, n=256, bs=16, accept='scan')",
+        lambda: "{} merges (skip-and-scan independent set)".format(
+            len(bpe_train(wf, n_merges=256, batch_size=16, accept="scan")[0])
+        ),
+    )
     wf.unpersist()
 
     # 11) round-8 (VERDICT r7 #7): the GEMM-riding ops now carry their
