@@ -124,6 +124,7 @@ def winnowing_fingerprints(
     text_col: str = "text",
     k: int = WINNOW_K,
     w: int = WINNOW_W,
+    fp_set: DataFrame | None = None,
 ) -> DataFrame:
     """Winnowing (MOSS-style) document fingerprints: hash every char
     k-gram of the normalized token stream, keep the minimum hash of each
@@ -134,36 +135,14 @@ def winnowing_fingerprints(
 
     Output: (id, n_fingerprints, digest) where digest = md5 of the
     sorted fingerprint multiset — two docs with equal digests share all
-    fingerprints. Pure window/agg ops; one shuffle on doc id."""
-    from pyspark.sql import Window
-
-    from ..operators.dedup import shingle_base_hash
-
-    norm = F.array_join(tokens(F.col(text_col)), "")
-    base = docs.select(F.col(id_col).alias("id"), norm.alias("_norm"))
-    grams = base.select(
-        "id",
-        F.length("_norm").alias("_len"),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, greatest(length(_norm) - {k - 1}, 0)),"
-                f" i -> substr(_norm, i, {k}))"
-            )
-        ).alias("pos", "gram"),
-    )
-    hashed = grams.select(
-        "id", "_len", "pos", shingle_base_hash(F.col("gram")).alias("x")
-    )
-    win = (
-        Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
-    )
-    # windows fully inside the gram stream: 1-based start ≤ n_grams − w + 1
-    # (posexplode positions are 0-based, hence the +1)
+    fingerprints. Pure window/agg ops; one shuffle on doc id.
+    `fp_set` reuses a precomputed winnowing_fingerprint_set frame so
+    callers running both the per-doc report AND pair matching pay the
+    gram+window pass once."""
     mins = (
-        hashed.withColumn("wmin", F.min("x").over(win))
-        .filter(F.col("pos") + 1 <= F.col("_len") - (k - 1) - w + 1)
-        .select("id", "wmin")
-        .distinct()
+        fp_set
+        if fp_set is not None
+        else winnowing_fingerprint_set(docs, id_col, text_col, k, w)
     )
     digest = F.md5(
         F.array_join(
@@ -225,6 +204,7 @@ def winnowing_matches(
     w: int = WINNOW_W,
     auto_pair_budget: int = 50_000_000,
     auto_cap: int = 50,
+    fp_set: DataFrame | None = None,
 ) -> DataFrame:
     """MOSS-style match pairs: (id_a < id_b, n_shared) for document
     pairs sharing >= min_shared winnowing fingerprints — the actual
@@ -257,7 +237,11 @@ def winnowing_matches(
     under-count instead of an unbounded pair explosion."""
     from ..operators.dedup import _sorted_id_pairs
 
-    fp = winnowing_fingerprint_set(docs, id_col, text_col, k, w)
+    fp = (
+        fp_set
+        if fp_set is not None
+        else winnowing_fingerprint_set(docs, id_col, text_col, k, w)
+    )
     if max_doc_freq == "auto":
         # dispatch probe: the cap report's count-only aggregate (no id
         # lists carried, no pair explosion) bounds the EXACT expansion
