@@ -162,7 +162,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--kind", choices=["lsh", "ivf", "fts"], default="lsh")
     sp.add_argument("--planes", type=int, default=4)
     sp.add_argument("--tables", type=int, default=8)
-    sp.add_argument("--centroids", type=int, default=16)
+    sp.add_argument(
+        "--centroids",
+        default="auto",
+        help="IVF cell count, or 'auto' (2*sqrt(N), the measured-recall"
+        " default)",
+    )
 
     sp = sub.add_parser(
         "snapshot",
@@ -428,7 +433,8 @@ def main(argv: list[str] | None = None) -> int:
         elif args.kind == "fts":
             n = ws.build_fts()
         else:
-            n = ws.build_ivf_index(dim=args.dim, n_centroids=args.centroids)
+            nc = None if args.centroids == "auto" else int(args.centroids)
+            n = ws.build_ivf_index(dim=args.dim, n_centroids=nc)
         _emit({"index": args.kind, "rows": n})
     elif args.cmd == "snapshot":
         from .sinks import Workspace
@@ -441,16 +447,37 @@ def main(argv: list[str] | None = None) -> int:
         elif args.action == "restore":
             _emit(ws.restore(args.tag))
         elif args.action == "diff":
-            rows = ws.snapshot_diff(args.tag, args.against).collect()
-            by = {}
-            for r in rows:
-                by.setdefault(r["status"], []).append(int(r["id"]))
+            # aggregate distributedly: the delta can be corpus-sized
+            # (every chunk changed), so the driver reads only one count
+            # row per status plus a bounded 10-id sample per status —
+            # never the full delta (snapshot_diff's no-driver-state
+            # contract holds through the CLI)
+            from pyspark.sql import Window as _W
+            from pyspark.sql import functions as F
+
+            d = ws.snapshot_diff(args.tag, args.against)
+            w = _W.partitionBy("status").orderBy("id")
+            top = (
+                d.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= 10)
+                .groupBy("status")
+                .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+            )
+            counts = {
+                r["status"]: int(r["n"])
+                for r in d.groupBy("status").agg(
+                    F.count(F.lit(1)).alias("n")
+                ).collect()
+            }
+            sample = {
+                r["status"]: [int(i) for i in r["ids"]] for r in top.collect()
+            }
             _emit(
                 {
                     "diff": args.tag,
                     "against": args.against or "live",
-                    "counts": {k: len(v) for k, v in sorted(by.items())},
-                    "sample": {k: sorted(v)[:10] for k, v in sorted(by.items())},
+                    "counts": dict(sorted(counts.items())),
+                    "sample": dict(sorted(sample.items())),
                 }
             )
         else:

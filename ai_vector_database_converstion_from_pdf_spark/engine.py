@@ -39,7 +39,7 @@ class PvdbEngine:
         embedder=None,
         embed_udf=None,
         asof: str | None = None,
-        ivf_n_probe: int | None = 2,
+        ivf_n_probe: int | None = None,
     ):
         """`embedder`: text→vector for query-side embedding (driver,
         one call per search). `embed_udf`: a pandas UDF column function

@@ -313,9 +313,14 @@ def kmeans_centroids(
     return [(i, [float(x) for x in C[i]]) for i in range(k)]
 
 
+# the measured-recall probe fraction (see ivf_auto_params): the ONE
+# place serving (Workspace.ivf_candidates) and index sizing share it
+IVF_PROBE_FRAC = 0.375
+
+
 def ivf_auto_params(
     n_vectors: int,
-    probe_frac: float = 0.375,
+    probe_frac: float = IVF_PROBE_FRAC,
     min_centroids: int = 8,
     max_centroids: int = 4096,
 ) -> tuple[int, int]:
@@ -332,11 +337,13 @@ def ivf_auto_params(
       2·sqrt(N) doubles the classic sqrt(N) rule for that reason while
       keeping the centroid list broadcast-small (4096 × dim floats max)
       and cells at ~sqrt(N)/2 rows.
-    - probe_frac=0.375 lands recall@10 = 0.83 on that worst-case
-      fixture (measured; the auto rule's documented scan cost is
-      therefore ≤ ~37.5% of corpus vector bytes per query — an upper
-      bound: corpora with real cluster structure concentrate neighbors
-      in fewer cells and can lower probe_frac).
+    - probe_frac=0.375 lands recall@10 = 0.860 on that worst-case
+      fixture (tools/ann_report.py, committed in BASELINE.md; the
+      sweep's 44-cell probe run measured 0.83 — same rule, off-by-one
+      cell count). The auto rule's documented scan cost is therefore
+      ≤ ~37.5% of corpus vector bytes per query — an upper bound:
+      corpora with real cluster structure concentrate neighbors in
+      fewer cells and can lower probe_frac.
     """
     if n_vectors < 1:
         return min_centroids, max(1, int(probe_frac * min_centroids))
@@ -879,7 +886,10 @@ def matryoshka_recall(
             (F.col(id_col) < n_queries)
             | (
                 F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(1_000_000))
-                < int(min(1.0, keep_n / n) * 1_000_000)
+                # max(1, ...): at extreme N the scaled fraction floors
+                # to 0 and would keep ZERO non-query rows; one hash slot
+                # in a million is the smallest non-degenerate sample
+                < max(1, int(min(1.0, keep_n / n) * 1_000_000))
             )
         )
     q = (

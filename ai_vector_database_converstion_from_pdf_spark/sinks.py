@@ -1110,7 +1110,7 @@ class Workspace:
     def build_ivf_index(
         self,
         dim: int,
-        n_centroids: int | None = 16,
+        n_centroids: int | None = None,
         n_iter: int = 3,
         sample_size: int = 2048,
         seed: int = 42,
@@ -1209,13 +1209,13 @@ class Workspace:
         return self._read_table("ann_ivf"), cents, dim, k
 
     def ivf_candidates(
-        self, query_vec, n_probe: int | None = 2
+        self, query_vec, n_probe: int | None = None
     ) -> DataFrame | None:
         """Candidate chunk ids from the n_probe centroids nearest the
         query (driver-side argmax over k tiny centroids, then ONE
         filtered scan of the assignment table — no corpus scan).
-        ``n_probe=None`` probes ceil(0.375 * n_centroids) — the
-        measured-recall fraction ivf_auto_params documents."""
+        ``n_probe=None`` probes ceil(IVF_PROBE_FRAC * n_centroids) —
+        the measured-recall fraction ivf_auto_params documents."""
         idx = self.ivf_index()
         if idx is None:
             return None
@@ -1223,7 +1223,13 @@ class Workspace:
         import math
 
         if n_probe is None:
-            n_probe = max(1, math.ceil(0.375 * len(cents)))
+            from .operators.similarity import IVF_PROBE_FRAC
+
+            # the canonical probe fraction (shared constant with
+            # ivf_auto_params) so serving and index sizing cannot drift
+            n_probe = min(
+                len(cents), max(1, math.ceil(IVF_PROBE_FRAC * len(cents)))
+            )
 
         q = list(query_vec)
         qn = math.sqrt(sum(x * x for x in q)) or 1.0
@@ -1834,7 +1840,12 @@ class Workspace:
                 F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
                 F.when(F.col("a.id").isNull(), F.lit("added"))
                 .when(F.col("b.id").isNull(), F.lit("removed"))
-                .when(F.col("a.h") != F.col("b.h"), F.lit("changed"))
+                # null-SAFE comparison: md5(NULL) is NULL, and a plain
+                # != against NULL yields SQL NULL — a text change to or
+                # from NULL would silently read as "unchanged"
+                .when(
+                    ~F.col("a.h").eqNullSafe(F.col("b.h")), F.lit("changed")
+                )
                 .alias("status"),
             )
             .filter(F.col("status").isNotNull())

@@ -115,14 +115,19 @@ def test_ivf_unbucketed_maintenance(spark, tmp_path):
 def test_search_uses_maintained_ivf_index(spark, tmp_path):
     """IVF-backed serving: with only an IVF index (no LSH), use_ann auto
     routes the semantic branch through the coarse-quantizer candidates.
-    Built with 2 centroids and served with n_probe=2, the candidate set
-    is the whole corpus, so results must EQUAL the exact full scan."""
+    Built with 2 centroids and served with an EXPLICIT n_probe=2, the
+    candidate set is the whole corpus, so results must EQUAL the exact
+    full scan (the engine default is now n_probe=None → the auto
+    fraction, which on a deliberately tiny 2-cell index probes 1 cell
+    and is legitimately approximate — this test pins routing
+    correctness, not recall, hence full coverage)."""
     from tests.conftest import SF_ORACLE
 
     from ai_vector_database_converstion_from_pdf_spark.engine import PvdbEngine
 
     eng = PvdbEngine(
-        spark, str(tmp_path / "eng_ivf"), dim=16, asof="2024-06-01 00:00:00"
+        spark, str(tmp_path / "eng_ivf"), dim=16, asof="2024-06-01 00:00:00",
+        ivf_n_probe=2,
     )
     docs = (
         spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
