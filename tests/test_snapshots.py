@@ -210,6 +210,32 @@ class TestSnapshotDiff:
         # a snapshot diffed against itself is empty (unchanged filtered)
         assert ws.snapshot_diff("a", "a").count() == 0
 
+    def test_null_text_change_is_detected(self, spark, tmp_path):
+        """md5(NULL) is NULL and a plain != against NULL is SQL NULL —
+        the diff must use a null-SAFE comparison or a chunk whose text
+        changed to/from NULL silently reads as unchanged."""
+        ws = Workspace(spark, str(tmp_path / "wsd4"))
+        base = _chunk_rows(spark, range(3))
+        ws.add_chunks(
+            base.withColumn(
+                "text",
+                F.when(F.col("id") == 1, F.lit(None)).otherwise(F.col("text")),
+            ),
+            partition_buckets=2,
+        )
+        ws.snapshot("v1")
+        # id 1: NULL -> real text; id 2: real text -> NULL
+        ws.merge_chunks(
+            base.filter(F.col("id").isin([1, 2])).withColumn(
+                "text",
+                F.when(F.col("id") == 2, F.lit(None)).otherwise(F.col("text")),
+            )
+        )
+        out = {
+            (r["id"], r["status"]) for r in ws.snapshot_diff("v1").collect()
+        }
+        assert out == {(1, "changed"), (2, "changed")}
+
     def test_diff_unknown_tag_raises(self, spark, tmp_path):
         ws = Workspace(spark, str(tmp_path / "wsd3"))
         ws.add_chunks(_chunk_rows(spark, range(2)), partition_buckets=2)
