@@ -669,3 +669,54 @@ def normalize_text(col: Column) -> Column:
     x = F.regexp_replace(x, "…", "...")
     x = F.regexp_replace(x, "\\s+", " ")
     return F.trim(x)
+
+
+def adaptive_quality_gate(
+    docs: DataFrame,
+    frac: float = 0.1,
+    by: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-SOURCE adaptive quality gate: keep a doc iff its
+    quality_score is at or above its OWN source's `frac` quantile —
+    the curation rule that replaces one global threshold when sources
+    are heterogeneous (a fixed cut tuned on clean wiki text either
+    guts a noisy-but-valuable web source or lets everything through;
+    cutting each source's own bottom `frac` removes the worst of each
+    distribution instead). CCNet-style per-bucket filtering applied to
+    the composite quality heuristic.
+
+    Output per doc: (doc_id, source, quality, src_cut, keep) where
+    src_cut is the source's exact interpolated `frac`-quantile
+    (Spark `percentile` == DuckDB `quantile_cont`, both (n-1)*p linear
+    interpolation on the 6-rounded scores — the events_value_percentiles
+    determinism contract) rounded to 6, and keep = quality >= src_cut.
+
+    Scale shape: quality is pure expressions in ONE scan; the exact
+    per-source percentile is one source-keyed agg (group volume =
+    corpus rows, keys = #sources — uniform, no skew risk beyond source
+    imbalance itself); the cut table (#sources rows) broadcast-joins
+    back; the flag is map-side. At 100 TB swap the exact percentile for
+    approx_percentile with an error budget — the only stage that
+    changes; kept exact here so the gate stays value-oracled."""
+    q = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(by).alias("source"),
+        quality_score(F.col(text_col)).alias("quality"),
+    )
+    cuts = q.groupBy("source").agg(
+        F.round(
+            F.expr(f"percentile(quality, {float(frac)}D)"), 6
+        ).alias("src_cut")
+    )
+    return (
+        q.join(F.broadcast(cuts), "source")
+        .select(
+            "doc_id",
+            "source",
+            "quality",
+            "src_cut",
+            (F.col("quality") >= F.col("src_cut")).alias("keep"),
+        )
+    )

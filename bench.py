@@ -171,6 +171,7 @@ HEADLINE = [
     "q3_suggest_terms",
     "training_triplets",
     "sample_temperature_mixture",
+    "quality_adaptive_gate",
     # NOT benched: bpe_* (the per-session training cache would turn
     # min-of-N replays into cache reads — see catalog._bpe_trained)
 ]

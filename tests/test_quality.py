@@ -68,3 +68,63 @@ def test_embedding_quality_detects_planted_defects(spark):
     # norms: [5, 1, nan-propagated?, 3, 0] — NaN rows poison avg; the
     # report's job is the counts, but p50 must be finite over the rest
     assert got["norm_p50"] is not None
+
+
+def test_adaptive_quality_gate_hand_math(spark):
+    """Per-source p10/p50 gate vs an independent pure-Python
+    recomputation of both the quality formula and the interpolated
+    percentile — plus the adaptive point itself: the same mediocre text
+    is DROPPED in a strong source but KEPT in a weak one."""
+    import re
+
+    import numpy as np
+
+    from ai_vector_database_converstion_from_pdf_spark.operators.textstats import (
+        STOPWORDS,
+        adaptive_quality_gate,
+    )
+
+    def ref_quality(text: str) -> float:
+        n = len(text)
+        ts = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        len_term = 0.0 if n <= 0 else min(n / 200.0, 1.0) * (0.5 if n > 4000 else 1.0)
+        p = 0.0 if n == 0 else (n - len(re.sub(r"[^a-zA-Z0-9\s]", "", text))) / n
+        punct_term = max(0.0, 1.0 - p * 4.0)
+        sw = 0.0 if not ts else sum(t in STOPWORDS for t in ts) / len(ts)
+        sw_term = 1.0 if 0.05 <= sw <= 0.6 else 0.5
+        mwl = 0.0 if not ts else sum(len(t) for t in ts) / len(ts)
+        mwl_term = 1.0 if 3.0 <= mwl <= 8.0 else 0.5
+        return round(
+            0.4 * len_term + 0.2 * punct_term + 0.2 * sw_term + 0.2 * mwl_term, 6
+        )
+
+    strong = "the quick brown fox jumps over the lazy dog and keeps running "
+    rows = [
+        # strong source: three long clean docs + one mediocre short one
+        (1, "a", strong * 4),
+        (2, "a", strong * 4 + "with more and more flowing text here"),
+        (3, "a", strong * 3),
+        (4, "a", "short mediocre text here"),
+        # weak source: all mediocre — the same short text now clears
+        # its own source's cut
+        (5, "b", "short mediocre text here"),
+        (6, "b", "short!! mediocre?? text... here##"),
+        (7, "b", "x y z q"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in adaptive_quality_gate(docs, frac=0.5).collect()
+    }
+    by_src: dict[str, list[float]] = {}
+    for _id, src, text in rows:
+        by_src.setdefault(src, []).append(ref_quality(text))
+    for _id, src, text in rows:
+        q = ref_quality(text)
+        cut = round(float(np.percentile(by_src[src], 50, method="linear")), 6)
+        assert out[_id]["quality"] == q, (_id, out[_id]["quality"], q)
+        assert out[_id]["src_cut"] == cut, (_id, out[_id]["src_cut"], cut)
+        assert out[_id]["keep"] == (q >= cut)
+    # the adaptive point: identical text, opposite outcomes
+    assert not out[4]["keep"]  # below the strong source's median
+    assert out[5]["keep"]      # at/above the weak source's median

@@ -261,6 +261,9 @@ EXPECT = {
     "training_triplets": ["!SortMergeJoin", "!CartesianProduct"],
     # strata-sized count agg broadcast back; one narrow corpus scan
     "sample_temperature_mixture": ["BroadcastHashJoin", "!SortMergeJoin", "!MapInPandas"],
+    # one scan of quality expressions -> source-keyed exact-percentile
+    # agg -> tiny cut table broadcast back; no sort-merge, no Python
+    "quality_adaptive_gate": ["BroadcastHashJoin", "!SortMergeJoin", "!MapInPandas"],
     # KN LM: one bigram explode + three vocab-sized count joins (AQE
     # broadcasts them at runtime) — no window, no UDF
     "kn_surprisal_score": ["!MapInPandas", "!Window"],
