@@ -239,6 +239,8 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--ann", action="store_true", help="route through the ANN index")
 
     args = p.parse_args(argv)
+    if args.cmd == "snapshot" and args.action != "list" and not args.tag:
+        p.error(f"snapshot {args.action} requires --tag")
     if args.cmd == "discover":
         # no Spark session needed: pure HTTP probes + name inference
         from .functions.providers import (

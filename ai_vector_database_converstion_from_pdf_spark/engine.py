@@ -142,8 +142,9 @@ class PvdbEngine:
         """Governor depth hint from the maintained doc rollup: the folded
         total chunk count — a rollup-sized aggregate (one row per doc of
         partials), NOT a corpus scan, and DML-maintained so never stale.
-        Keyed on the workspace mutation stamp (a file-count listing, no
-        Spark job), so DML from ANY writer — this engine, a streaming
+        Keyed on the workspace mutation stamp (a (file count, max mtime
+        ns, total bytes) tuple from one directory listing, no Spark
+        job), so DML from ANY writer — this engine, a streaming
         upsert, a second engine on the same path — invalidates the hint
         (ADVICE r6); None on rollup-less workspaces keeps the governor
         exactly as before."""

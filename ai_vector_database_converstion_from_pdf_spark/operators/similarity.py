@@ -847,8 +847,13 @@ def matryoshka_recall(
     must be the full width and serves as its own ground truth (its
     recall row is 1.0 by construction, a built-in sanity check).
 
-    Queries are the first `n_queries` corpus vectors (self-match kept:
-    it ranks first at every prefix in both engines, so it cancels out).
+    Queries are the `n_queries` LOWEST-id corpus vectors (self-match
+    kept: it ranks first at every prefix in both engines, so it cancels
+    out). The set is derived with an explicit top-k over `id_col` — a
+    tiny driver-side list — so the contract holds for ANY id space, not
+    just dense 0-based integers (ADVICE r8: the former `id < n_queries`
+    predicate silently dropped query rows under sparse ids, and the
+    sampling path reused it as the query-keep filter).
 
     Scale shape: the query set (n_queries x |dims| slices) broadcasts
     into one codegen'd corpus scan — corpus rows are read ONCE for all
@@ -868,6 +873,13 @@ def matryoshka_recall(
     Catalog-SF inputs sit far under the budget: exact, golden-stable."""
     scan = emb
     n = emb.count()
+    # Explicit query-id set: the n_queries lowest ids (an orderBy+limit
+    # top-k, k-row collect). Identical to the old `id < n_queries` for
+    # dense 0-based ids, correct for sparse/non-integer ids.
+    qids = [
+        r[0] for r in emb.select(id_col).orderBy(id_col).limit(n_queries).collect()
+    ]
+    is_query = F.col(id_col).isin(qids)
     bound = float(n) * float(n_queries) * float(sum(int(d) for d in dims))
     if bound > max_scan_flops and n > 0:
         frac = max_scan_flops / bound
@@ -883,7 +895,7 @@ def matryoshka_recall(
             keep_n,
         )
         scan = emb.filter(
-            (F.col(id_col) < n_queries)
+            is_query
             | (
                 F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(1_000_000))
                 # max(1, ...): at extreme N the scaled fraction floors
@@ -893,7 +905,7 @@ def matryoshka_recall(
             )
         )
     q = (
-        emb.filter(F.col(id_col) < n_queries)
+        emb.filter(is_query)
         .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
         .withColumn("dim", F.explode(F.lit([int(d) for d in dims])))
     )

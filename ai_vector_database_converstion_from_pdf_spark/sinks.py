@@ -92,16 +92,18 @@ class _LocalFS:
                 return True
         return False
 
-    def max_mtime_ns(self, p: str) -> int:
-        """Newest modification time (ns) across a directory's immediate
-        files, 0 if none — one listing plus stats, no Spark job."""
-        best = 0
+    def dir_stamp(self, p: str) -> tuple[int, int]:
+        """(newest mtime ns, total bytes) across a directory's immediate
+        files, (0, 0) if none — one listing plus stats, no Spark job."""
+        best, total = 0, 0
         for f in self.listdir(p):
             try:
-                best = max(best, os.stat(os.path.join(p, f)).st_mtime_ns)
+                st = os.stat(os.path.join(p, f))
             except OSError:
                 continue
-        return best
+            best = max(best, st.st_mtime_ns)
+            total += st.st_size
+        return best, total
 
     def read_text(self, p: str) -> str | None:
         try:
@@ -188,17 +190,21 @@ class _HadoopFS:
                 return True
         return False
 
-    def max_mtime_ns(self, p: str) -> int:
-        """Newest modification time (ns) across a directory's immediate
-        files, 0 if none — one listStatus RPC, no Spark job. Hadoop
-        reports millis; scaled to ns for parity with _LocalFS."""
+    def dir_stamp(self, p: str) -> tuple[int, int]:
+        """(newest mtime ns, total bytes) across a directory's immediate
+        files, (0, 0) if none — one listStatus RPC, no Spark job. Hadoop
+        reports millis; scaled to ns for parity with _LocalFS. The byte
+        total matters because HDFS mtimes are millisecond-granular: a
+        same-millisecond rewrite that preserves file count would
+        otherwise reproduce an old stamp (ADVICE r8)."""
         P = self._Path(p)
         if not self._fs.exists(P):
-            return 0
-        best = 0
+            return 0, 0
+        best, total = 0, 0
         for s in self._fs.listStatus(P):
             best = max(best, int(s.getModificationTime()) * 1_000_000)
-        return best
+            total += int(s.getLen())
+        return best, total
 
     def read_text(self, p: str) -> str | None:
         P = self._Path(p)
@@ -1583,19 +1589,25 @@ class Workspace:
             [(version, now, op)], "version long, ts timestamp, op string"
         ).coalesce(1).write.mode("append").parquet(self._tbl("_history"))
 
-    def mutation_stamp(self) -> tuple[int, int]:
+    def mutation_stamp(self) -> tuple[int, int, int]:
         """Cheap corpus-version token: (number of `_history` parquet
-        files, newest `_history` file mtime in ns). One filesystem
-        listing, no Spark job — callers key derived caches on equality
-        so DML from ANY writer (streaming upsert, CLI, a second engine
-        over the same path) invalidates them. A bare file COUNT is not
-        monotone under a future _history compaction/vacuum (it could
-        return to a previously cached value — ADVICE r7); pairing it
-        with the max mtime makes any rewrite change the stamp."""
+        files, newest `_history` file mtime in ns, total `_history`
+        bytes). One filesystem listing, no Spark job — callers key
+        derived caches on equality so DML from ANY writer (streaming
+        upsert, CLI, a second engine over the same path) invalidates
+        them. A bare file COUNT is not monotone under a future _history
+        compaction/vacuum (it could return to a previously cached value
+        — ADVICE r7); mtime narrows that but HDFS mtimes are
+        millisecond-granular, so a count-preserving rewrite within one
+        millisecond could still alias — the byte total closes that
+        (ADVICE r8): any rewrite that changes content changes at least
+        one of the three."""
         root = self._tbl("_history")
+        mtime, nbytes = self._fs.dir_stamp(root)
         return (
             sum(1 for f in self._fs.listdir(root) if f.endswith(".parquet")),
-            self._fs.max_mtime_ns(root),
+            mtime,
+            nbytes,
         )
 
     def history(self) -> DataFrame:
