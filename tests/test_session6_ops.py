@@ -9,7 +9,10 @@ import math
 import pytest
 
 from ai_vector_database_converstion_from_pdf_spark.operators.graph import (
+    common_neighbor_counts,
     link_prediction,
+    triangle_counts,
+    triangle_counts_from_cn,
 )
 from ai_vector_database_converstion_from_pdf_spark.operators.keyword import (
     deletion_variants,
@@ -298,6 +301,59 @@ class TestLinkPrediction:
             link_prediction(
                 self._edges(spark, [(1, 2)]), center_cap=0
             ).collect()
+
+
+class TestSharedWedgeStage:
+    """The r9 shared wedge memo (VERDICT r8 #2): ONE pair-level
+    common-neighbor table serves both link prediction (non-adjacent
+    pairs) and triangle counting (adjacent pairs; per-node triangles =
+    half the sum of incident-edge cn). These pin the algebra on
+    constructed graphs against the standalone operators."""
+
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(
+            [(a, b) for a, b in pairs], "id_a long, id_b long"
+        )
+
+    # K5 minus edge (4,5), plus a pendant 6-1: mixes triangles, open
+    # wedges, degree asymmetry
+    PAIRS = [
+        (1, 2), (1, 3), (1, 4), (1, 5), (2, 3),
+        (2, 4), (2, 5), (3, 4), (3, 5), (1, 6),
+    ]
+
+    def test_cn_includes_adjacent_and_nonadjacent_pairs(self, spark):
+        cn = {
+            (r["id_a"], r["id_b"]): r["cn"]
+            for r in common_neighbor_counts(
+                self._edges(spark, self.PAIRS)
+            ).collect()
+        }
+        # adjacent pair (1,2): common neighbors {3,4,5} -> 3 (its
+        # triangle-through-edge count)
+        assert cn[(1, 2)] == 3
+        # non-adjacent pair (4,5): centers {1,2,3} -> 3
+        assert cn[(4, 5)] == 3
+        # non-adjacent pair (2,6): only center 1
+        assert cn[(2, 6)] == 1
+
+    def test_triangles_from_cn_match_compact_forward(self, spark):
+        edges = self._edges(spark, self.PAIRS)
+        cn = common_neighbor_counts(edges)
+        via_cn = sorted(
+            map(tuple, triangle_counts_from_cn(cn, edges, with_degrees=True).collect())
+        )
+        direct = sorted(
+            map(tuple, triangle_counts(edges, with_degrees=True).collect())
+        )
+        assert via_cn == direct and len(direct) == 6  # all nodes, 6 zero-filled
+
+    def test_link_prediction_from_shared_cn_is_byte_identical(self, spark):
+        edges = self._edges(spark, self.PAIRS)
+        cn = common_neighbor_counts(edges)
+        shared = link_prediction(edges, top_k=50, cn_pairs=cn).collect()
+        standalone = link_prediction(edges, top_k=50, center_cap=None).collect()
+        assert shared == standalone and len(shared) > 0
 
 
 class TestHoltForecast:
