@@ -118,6 +118,131 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def windowed_counts_epoch(
+    events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation in the EXACT output shape
+    of the batch `events_tumbling_window` catalog query
+    (window_start_epoch, event_type, n, sum_value) — so append-mode
+    emissions are row-for-row comparable against the batch/DuckDB
+    answer on the finalized-window subset. The sum rides the same
+    decimal(18,6) accumulator as the batch query: order-independent,
+    byte-stable across micro-batch boundaries."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").cast("long").alias("window_start_epoch"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def stage_event_drops(
+    events: DataFrame, stream_dir: str, n_drops: int = 4, flush_drop: bool = True
+) -> None:
+    """Replay a batch events frame as `n_drops` event-time-ordered
+    single-file parquet drops under `stream_dir` (one file = one
+    micro-batch with maxFilesPerTrigger=1), plus an optional EMPTY
+    final drop. The empty drop matters: append-mode emission happens in
+    the micro-batch where the watermark (computed from the PREVIOUS
+    batch's max event time) passes a window's end, so without a final
+    no-data batch the last drop's watermark advance never flushes —
+    the empty file forces one more batch and makes "finalized" mean
+    exactly `window_end <= global max(ts) - watermark delay`, a
+    deterministic, SQL-expressible criterion.
+
+    Files are named and mtime-stamped in replay order (FileStreamSource
+    schedules oldest-modTime first; names break ties)."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    # time-ordered drops (the production shape: files arrive roughly in
+    # event-time order); ntile over ts gives contiguous, deterministic
+    # slices. The global window is a one-off replay-staging cost over
+    # the fixture, not a query-path pattern.
+    from pyspark.sql import Window as _W
+
+    tiled = events.withColumn(
+        "_tile",
+        F.ntile(n_drops).over(_W.orderBy("ts", "event_id")),
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    base = _time.time() - 3600
+    for i in range(1, n_drops + 1):
+        part_dir = os.path.join(stream_dir, f"_stage_{i}")
+        tiled.filter(F.col("_tile") == i).drop("_tile").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+        src = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        dst = os.path.join(stream_dir, f"drop-{i:03d}.parquet")
+        shutil.move(src, dst)
+        shutil.rmtree(part_dir)
+        os.utime(dst, (base + i, base + i))
+    if flush_drop:
+        part_dir = os.path.join(stream_dir, "_stage_flush")
+        events.limit(0).coalesce(1).write.mode("overwrite").parquet(part_dir)
+        src = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        dst = os.path.join(stream_dir, f"drop-{n_drops + 1:03d}.parquet")
+        shutil.move(src, dst)
+        shutil.rmtree(part_dir)
+        os.utime(dst, (base + n_drops + 1, base + n_drops + 1))
+
+
+def run_windowed_counts_job(
+    spark: SparkSession,
+    stream_dir: str,
+    checkpoint_dir: str,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> list:
+    """The end-to-end watermarked event-time job (SURVEY §2.8 depth,
+    VERDICT r8 #4): file-source stream over parquet drops → watermarked
+    tumbling aggregation → append-mode foreachBatch sink collecting the
+    FINALIZED windows. Returns the collected rows (each micro-batch's
+    append output is a set of windows the advancing watermark just
+    closed — each window emits exactly once).
+
+    Late-data semantics (the state-store contract, proven in
+    tests/test_event_time_watermark.py): a late row whose window is
+    still open (window_end > current watermark) is merged into that
+    window's running state and reflected in its final emission; a row
+    arriving after its window closed (window_end <= watermark) is
+    dropped — the emitted count never changes retroactively.
+
+    Scale shape: this is ordinary Structured Streaming — per-batch
+    shuffle keyed on (window, event_type), state store holds only OPEN
+    windows (bounded by watermark horizon × group cardinality, not by
+    stream length), checkpointing makes it exactly-once into an
+    idempotent sink."""
+    collected: list = []
+    stream = read_event_stream(spark, stream_dir)
+    agg = windowed_counts_epoch(stream, window=window, watermark=watermark)
+
+    def _sink(batch_df: DataFrame, _epoch: int) -> None:
+        collected.extend(batch_df.collect())
+
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return collected
+
+
 def run_to_memory(stream_df: DataFrame, name: str) -> None:
     """Drive a streaming DataFrame to completion synchronously (tests)."""
     q = (

@@ -12,6 +12,12 @@ the driver sees it.
 
 Regenerate (ONLY after an intentional semantic change, with the diff
 reviewed): python tools/make_goldens.py
+
+Second-scale-factor sets (VERDICT r8 #3): `--sf /root/testdata/sf0.001`
+writes the same VALUES pins computed at that fixture into
+`tests/golden/<sfbase>/` (e.g. tests/golden/sf0.001/). verify_local.py's
+`--sf` sweep then keeps VALUE-level checks for the golden family at the
+second SF instead of demoting those queries to rows-only smoke.
 """
 
 from __future__ import annotations
@@ -100,15 +106,28 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from ai_vector_database_converstion_from_pdf_spark.session import get_spark
 
+    argv = sys.argv[1:]
+    sf_dir, out_dir = SF_DIR, GOLDEN_DIR
+    if "--sf" in argv:
+        i = argv.index("--sf")
+        sf_dir = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+        if os.path.normpath(sf_dir) != os.path.normpath(SF_DIR):
+            # second-SF pins live in a tagged subdirectory; the primary
+            # sf0.01 set stays at tests/golden/*.sql (the driver-facing
+            # oracle_sql() contract reads only the top level)
+            out_dir = os.path.join(
+                GOLDEN_DIR, os.path.basename(os.path.normpath(sf_dir))
+            )
     spark = get_spark("make-goldens", cpus=8)
     qs = entry_mod.queries()
-    os.makedirs(GOLDEN_DIR, exist_ok=True)
-    picked = sys.argv[1:] or GOLDEN_NAMES
+    os.makedirs(out_dir, exist_ok=True)
+    picked = argv or GOLDEN_NAMES
     assert all(n in GOLDEN_NAMES for n in picked), picked
     for name in picked:
-        df = qs[name](spark, SF_DIR)
+        df = qs[name](spark, sf_dir)
         sql = golden_sql(df)
-        path = os.path.join(GOLDEN_DIR, f"{name}.sql")
+        path = os.path.join(out_dir, f"{name}.sql")
         with open(path, "w") as f:
             f.write(sql)
         print(f"wrote {path} ({sql.count(chr(10))} lines)")

@@ -64,12 +64,29 @@ def main(names=None, emit_path: str | None = None, sf_dir: str = SF_DIR):
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     if sf_dir != SF_DIR:
-        # golden VALUES are pinned to the sf0.01 fixture — demote those
-        # queries to rows-only smoke at any other SF
+        # golden VALUES are pinned per-fixture: swap in the second-SF
+        # golden set (tests/golden/<sfbase>/, from make_goldens.py --sf)
+        # when it exists; only queries with no pin at this SF demote to
+        # rows-only smoke (VERDICT r8 #3)
+        import os as _os
+
         from ai_vector_database_converstion_from_pdf_spark import catalog
 
+        alt = catalog._golden_oracles(
+            sf_tag=_os.path.basename(_os.path.normpath(sf_dir))
+        )
+        demoted = 0
         for g in catalog._golden_oracles():
-            oracles.pop(g, None)
+            if g in alt:
+                oracles[g] = alt[g]
+            else:
+                oracles.pop(g, None)
+                demoted += 1
+        if demoted:
+            print(
+                f"note: {demoted} golden queries have no pin for this SF "
+                "(rows-only smoke); generate with tools/make_goldens.py --sf"
+            )
     picked = names or sorted(qs)
     failed = []
     results: dict[str, dict] = {}
