@@ -216,9 +216,14 @@ def run_windowed_counts_job(
     Late-data semantics (the state-store contract, proven in
     tests/test_event_time_watermark.py): a late row whose window is
     still open (window_end > current watermark) is merged into that
-    window's running state and reflected in its final emission; a row
-    arriving after its window closed (window_end <= watermark) is
-    dropped — the emitted count never changes retroactively.
+    window's running state and reflected in its final emission. Spark
+    maintains TWO watermarks per micro-batch — late-record FILTERING
+    uses the PREVIOUS batch's watermark, state EVICTION the current
+    one — so "too late" means window_end <= the filter watermark,
+    which lags eviction by one batch: a row arriving in the same
+    micro-batch in which its window closes is still merged into that
+    window's single emission; from the next batch on it is dropped and
+    the emitted count never changes retroactively.
 
     Scale shape: this is ordinary Structured Streaming — per-batch
     shuffle keyed on (window, event_type), state store holds only OPEN

@@ -38,7 +38,9 @@ SF_ORACLE = "/root/testdata/sf0.001"
 
 
 def _ev(i, minute, second=0, etype="click", value=1.0):
-    ts = dt.datetime(2024, 1, 1, 10, minute, second)
+    ts = dt.datetime(2024, 1, 1, 10, 0, 0) + dt.timedelta(
+        minutes=minute, seconds=second
+    )
     return (i, ts, i % 5, etype, value, "{}")
 
 
@@ -93,14 +95,23 @@ class TestLateDataSemantics:
     def test_too_late_row_is_dropped_and_window_not_revised(
         self, spark, tmp_path
     ):
+        """Spark keeps TWO watermarks per micro-batch: late-record
+        FILTERING uses the previous batch's watermark, state EVICTION
+        the current one. A too-late row landing in the very batch where
+        its window closes would therefore still be merged (filter wm
+        lags one batch) — so the scenario needs a SPACER batch between
+        the watermark-advancing drop and the too-late arrival."""
         # batch 1: 2 rows in window A, max 10:03 -> wm 9:53
         _write_drop(spark, tmp_path, "b1", [_ev(1, 0), _ev(2, 3)], 1)
-        # batch 2: 10:20 -> wm 10:10, closes window A at n=2
+        # batch 2: 10:20 -> wm 10:10 (effective from batch 3 on)
         _write_drop(spark, tmp_path, "b2", [_ev(3, 20)], 2)
-        # batch 3: a row back in window A arriving when wm=10:10 >
-        # window end 10:05 -> MUST be dropped; plus 10:40 to keep
-        # advancing and flush everything else
-        _write_drop(spark, tmp_path, "b3", [_ev(4, 2), _ev(5, 40)], 3)
+        # batch 3 (SPACER): eviction wm is now 10:10 >= 10:05, so
+        # window A emits here at n=2; filter wm catches up to 10:10
+        _write_drop(spark, tmp_path, "b3", [_ev(4, 21)], 3)
+        # batch 4: a row back in window A arriving when the FILTER
+        # watermark is 10:10 > window end 10:05 -> MUST be dropped;
+        # plus 10:40 to keep advancing and flush everything else
+        _write_drop(spark, tmp_path, "b4", [_ev(5, 2), _ev(6, 40)], 4)
         rows = self._run(spark, tmp_path)
         win_a = int(dt.datetime(2024, 1, 1, 10, 0, tzinfo=dt.timezone.utc).timestamp())
         emits_a = [r for r in rows if r["window_start_epoch"] == win_a]
