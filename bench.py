@@ -172,6 +172,7 @@ HEADLINE = [
     "training_triplets",
     "sample_temperature_mixture",
     "quality_adaptive_gate",
+    "events_stream_window_parity",
     # NOT benched: bpe_* (the per-session training cache would turn
     # min-of-N replays into cache reads — see catalog._bpe_trained)
 ]
