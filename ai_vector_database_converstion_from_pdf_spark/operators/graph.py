@@ -13,6 +13,34 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+# THE wedge budget: the Σdeg² bound above which exact wedge generation
+# is replaced by capping (common_neighbor_counts/link_prediction) or
+# DOULION sampling (triangle_counts). One shared constant — the
+# catalog's shared wedge memo gates on the same value, so the two
+# sides cannot be retuned apart (ADVICE r9).
+AUTO_WEDGE_BUDGET = 5e8
+
+
+def wedge_probe(edges: DataFrame) -> tuple[DataFrame, int, int]:
+    """THE Σdeg² dispatch probe, single implementation (ADVICE r9):
+    one node-sized degree aggregate over a canonical undirected pair
+    frame (id_a, id_b) plus a scalar sum. Returns
+    (degree_df(id, deg), sum_deg_squared, n_nodes). Every wedge-volume
+    gate — triangle_counts 'auto', common_neighbor_counts 'auto', and
+    the catalog's shared _cn_pairs memo — reads this one function, so
+    the exact-vs-capped/sampled criterion cannot drift between them."""
+    deg = (
+        edges.select(F.col("id_a").alias("id"))
+        .unionByName(edges.select(F.col("id_b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    stats = deg.agg(
+        F.sum(F.col("deg") * F.col("deg")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    return deg, int(stats["s"] or 0), int(stats["n"] or 0)
+
 
 def connected_components(
     nodes: DataFrame,
@@ -180,7 +208,7 @@ def triangle_counts(
     sample_p: float | str | None = None,
     salt: str = "tri",
     with_degrees: bool = False,
-    auto_wedge_budget: float = 5e8,
+    auto_wedge_budget: float = AUTO_WEDGE_BUDGET,
 ) -> DataFrame:
     """Per-node triangle participation counts over an undirected pair
     graph: (id, triangles) for every node on >= 1 triangle. The
@@ -257,17 +285,10 @@ def triangle_counts(
             .localCheckpoint(eager=True)
         )
     if sample_p == "auto":
-        # one node-sized degree aggregate + scalar sum over the persisted
-        # canonical edges — the dispatch probe costs one cheap pass
-        full_deg = (
-            canon.select(F.col("u").alias("id"))
-            .union(canon.select(F.col("v")))
-            .groupBy("id")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
-        sdeg2 = (
-            full_deg.agg(F.sum(F.col("deg") * F.col("deg")).alias("s")).first()[0]
-            or 0
+        # the shared probe over the persisted canonical edges — one
+        # node-sized degree aggregate + scalar sum, one cheap pass
+        full_deg, sdeg2, _ = wedge_probe(
+            canon.select(F.col("u").alias("id_a"), F.col("v").alias("id_b"))
         )
         if sdeg2 > auto_wedge_budget:
             sample_p = max(0.01, min(1.0, (auto_wedge_budget / sdeg2) ** 0.5))
@@ -543,7 +564,7 @@ def bfs_hops(
 def common_neighbor_counts(
     edges: DataFrame,
     center_cap: int | str | None = None,
-    auto_wedge_budget: float = 5e8,
+    auto_wedge_budget: float = AUTO_WEDGE_BUDGET,
     salt: str = "lp",
 ) -> DataFrame:
     """Pair-level common-neighbor counts over an undirected pair graph:
@@ -581,15 +602,7 @@ def common_neighbor_counts(
     )
     wedge_src = both
     if center_cap == "auto":
-        deg = both.groupBy(F.col("src").alias("id")).agg(
-            F.count("*").cast("long").alias("deg")
-        )
-        stats = deg.agg(
-            F.sum(F.col("deg") * F.col("deg")).alias("s"),
-            F.count(F.lit(1)).alias("n"),
-        ).first()
-        sdeg2 = stats["s"] or 0
-        n_nodes = stats["n"] or 0
+        _, sdeg2, n_nodes = wedge_probe(edges)
         if sdeg2 > auto_wedge_budget and n_nodes > 0:
             center_cap = max(2, int((auto_wedge_budget / n_nodes) ** 0.5))
             import logging
@@ -688,7 +701,7 @@ def link_prediction(
     edges: DataFrame,
     top_k: int = 50,
     center_cap: int | str | None = "auto",
-    auto_wedge_budget: float = 5e8,
+    auto_wedge_budget: float = AUTO_WEDGE_BUDGET,
     salt: str = "lp",
     cn_pairs: DataFrame | None = None,
 ) -> DataFrame:

@@ -92,18 +92,24 @@ class _LocalFS:
                 return True
         return False
 
-    def dir_stamp(self, p: str) -> tuple[int, int]:
-        """(newest mtime ns, total bytes) across a directory's immediate
-        files, (0, 0) if none — one listing plus stats, no Spark job."""
-        best, total = 0, 0
+    def dir_stamp(self, p: str, count_suffix: str = ".parquet") -> tuple[int, int, int]:
+        """(files matching count_suffix, newest mtime ns, total bytes)
+        across a directory's immediate files, (0, 0, 0) if none — ONE
+        listing plus stats, no Spark job. All three stamp components
+        come from the same listing so a concurrent writer can't produce
+        a chimera stamp matching neither before nor after (ADVICE r9),
+        and the HDFS flavor pays one listStatus RPC, not two."""
+        n, best, total = 0, 0, 0
         for f in self.listdir(p):
             try:
                 st = os.stat(os.path.join(p, f))
             except OSError:
                 continue
+            if f.endswith(count_suffix):
+                n += 1
             best = max(best, st.st_mtime_ns)
             total += st.st_size
-        return best, total
+        return n, best, total
 
     def read_text(self, p: str) -> str | None:
         try:
@@ -190,21 +196,26 @@ class _HadoopFS:
                 return True
         return False
 
-    def dir_stamp(self, p: str) -> tuple[int, int]:
-        """(newest mtime ns, total bytes) across a directory's immediate
-        files, (0, 0) if none — one listStatus RPC, no Spark job. Hadoop
-        reports millis; scaled to ns for parity with _LocalFS. The byte
-        total matters because HDFS mtimes are millisecond-granular: a
-        same-millisecond rewrite that preserves file count would
-        otherwise reproduce an old stamp (ADVICE r8)."""
+    def dir_stamp(self, p: str, count_suffix: str = ".parquet") -> tuple[int, int, int]:
+        """(files matching count_suffix, newest mtime ns, total bytes)
+        across a directory's immediate files, (0, 0, 0) if none — one
+        listStatus RPC, no Spark job. Hadoop reports millis; scaled to
+        ns for parity with _LocalFS. The byte total matters because
+        HDFS mtimes are millisecond-granular: a same-millisecond
+        rewrite that preserves file count would otherwise reproduce an
+        old stamp (ADVICE r8). All three components come from the SAME
+        listing so a concurrent writer can't yield a chimera stamp, and
+        the count no longer costs a second RPC (ADVICE r9)."""
         P = self._Path(p)
         if not self._fs.exists(P):
-            return 0, 0
-        best, total = 0, 0
+            return 0, 0, 0
+        n, best, total = 0, 0, 0
         for s in self._fs.listStatus(P):
+            if s.getPath().getName().endswith(count_suffix):
+                n += 1
             best = max(best, int(s.getModificationTime()) * 1_000_000)
             total += int(s.getLen())
-        return best, total
+        return n, best, total
 
     def read_text(self, p: str) -> str | None:
         P = self._Path(p)
@@ -1601,14 +1612,11 @@ class Workspace:
         millisecond-granular, so a count-preserving rewrite within one
         millisecond could still alias — the byte total closes that
         (ADVICE r8): any rewrite that changes content changes at least
-        one of the three."""
-        root = self._tbl("_history")
-        mtime, nbytes = self._fs.dir_stamp(root)
-        return (
-            sum(1 for f in self._fs.listdir(root) if f.endswith(".parquet")),
-            mtime,
-            nbytes,
-        )
+        one of the three. All three components come from ONE directory
+        listing (ADVICE r9): a second listdir for the count both
+        doubled the RPC and could interleave with a concurrent writer,
+        yielding a stamp matching neither the before nor after state."""
+        return self._fs.dir_stamp(self._tbl("_history"))
 
     def history(self) -> DataFrame:
         """Mutation log, newest first (DESCRIBE HISTORY analog).

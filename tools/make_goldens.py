@@ -110,6 +110,11 @@ def main() -> None:
     sf_dir, out_dir = SF_DIR, GOLDEN_DIR
     if "--sf" in argv:
         i = argv.index("--sf")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            sys.exit(
+                "usage: make_goldens.py [--sf /path/to/sfX] [name ...] "
+                "— --sf requires a fixture directory argument"
+            )
         sf_dir = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
         if os.path.normpath(sf_dir) != os.path.normpath(SF_DIR):

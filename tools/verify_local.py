@@ -6,7 +6,11 @@ comparison (rows sorted, floats to 9 significant digits).
 
 Usage: python tools/verify_local.py [name ...]
        python tools/verify_local.py --emit CORRECTNESS_FULL_r7.json [name ...]
-       python tools/verify_local.py --sf /root/testdata/sf0.001 [name ...]
+       python tools/verify_local.py --sf /root/testdata/sf0.001 [--strict] [name ...]
+
+--strict (with --sf): fail instead of noting when a golden query lacks
+a pin at the requested SF, so golden additions can't silently demote to
+rows-only smoke in the sweep.
 
 --emit writes the results in the driver's CORRECTNESS row shape
 ({name: {rows_match, schema_match, hash_match, spark_rows, oracle_rows,
@@ -50,7 +54,12 @@ def canon_rows(rows):
     return sorted("|".join(canon(v) for v in row) for row in rows)
 
 
-def main(names=None, emit_path: str | None = None, sf_dir: str = SF_DIR):
+def main(
+    names=None,
+    emit_path: str | None = None,
+    sf_dir: str = SF_DIR,
+    strict: bool = False,
+):
     import duckdb
 
     import __spark_entry__ as entry_mod
@@ -83,6 +92,14 @@ def main(names=None, emit_path: str | None = None, sf_dir: str = SF_DIR):
                 oracles.pop(g, None)
                 demoted += 1
         if demoted:
+            if strict:
+                # --strict: a missing second-SF pin is a FAILURE, not a
+                # silent rows-only demotion — so golden additions can't
+                # slip through the sweep unpinned (VERDICT r9 #8)
+                sys.exit(
+                    f"STRICT: {demoted} golden queries have no pin for "
+                    f"{sf_dir}; generate with tools/make_goldens.py --sf"
+                )
             print(
                 f"note: {demoted} golden queries have no pin for this SF "
                 "(rows-only smoke); generate with tools/make_goldens.py --sf"
@@ -165,4 +182,7 @@ if __name__ == "__main__":
         i = argv.index("--sf")
         sf = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
-    sys.exit(main(argv or None, emit_path=emit, sf_dir=sf))
+    strict = "--strict" in argv
+    if strict:
+        argv.remove("--strict")
+    sys.exit(main(argv or None, emit_path=emit, sf_dir=sf, strict=strict))
