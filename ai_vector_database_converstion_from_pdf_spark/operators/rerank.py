@@ -23,6 +23,7 @@ import math
 import re
 from dataclasses import dataclass, field
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 ALPHA = 0.15          # gemini_api.cpp:39
@@ -160,14 +161,41 @@ def rerank_topk(
     return spark.createDataFrame(out, f"{id_col} long, rerank_score double, rerank_rank long")
 
 
-def batch_score(df: DataFrame, query: str, text_col: str = "text") -> DataFrame:
-    """Corpus-scale rerank scoring: Arrow-batched pandas UDF (the shape a
-    real cross-encoder model server plugs into)."""
-    import pandas as pd
+def batch_score(
+    df: DataFrame,
+    query: str,
+    text_col: str = "text",
+    endpoint: str | None = None,
+    model: str | None = None,
+) -> DataFrame:
+    """Corpus-scale rerank scoring: Arrow-batched pandas UDF. With no
+    endpoint the deterministic stub scores locally; with `endpoint` +
+    `model` each Arrow batch POSTs ONE /v1/rerank call through
+    HttpRerankProvider (the Cohere/Jina/bge wire shape) — so a corpus of
+    N candidates costs N / arrow_batch_size HTTP round trips, not N
+    (vs the reference's one-candidate-in-flight loop,
+    `gemini_api.cpp:79-178`). Scale shape: scoring is map-side only —
+    no shuffle, cost strictly linear in candidates; the executor-side
+    provider is constructed per task from the (endpoint, model)
+    strings, so nothing unpicklable rides the closure."""
     from pyspark.sql.types import DoubleType
 
-    @F.pandas_udf(DoubleType())
-    def score(batch: pd.Series) -> pd.Series:
-        return batch.map(lambda t: stub_score(query, (t or "")[:PREFIX_CHARS]))
+    if endpoint is not None:
+        if model is None:
+            raise ValueError("batch_score with endpoint requires model")
+
+        @F.pandas_udf(DoubleType())
+        def score(batch: pd.Series) -> pd.Series:
+            from ..functions.providers import HttpRerankProvider
+
+            prov = HttpRerankProvider(endpoint, model)
+            docs = [(t or "")[:PREFIX_CHARS] for t in batch]
+            return pd.Series(prov.score_batch(query, docs), index=batch.index)
+
+    else:
+
+        @F.pandas_udf(DoubleType())
+        def score(batch: pd.Series) -> pd.Series:
+            return batch.map(lambda t: stub_score(query, (t or "")[:PREFIX_CHARS]))
 
     return df.withColumn("rerank_raw", score(F.col(text_col)))
