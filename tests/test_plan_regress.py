@@ -78,3 +78,42 @@ def test_plan_shapes_hold(spark):
         line for line in report if any(f in line for f in failures)
     )
     assert not failures, f"plan regressions: {failures}\n{detail}"
+
+
+def test_no_oversized_broadcasts(spark):
+    """AQE mis-broadcast gate (VERDICT r8 #6 / r9 #4): run the big-side
+    join families end-to-end and read every BroadcastExchange's ACTUAL
+    materialized size from the SQL status store — a broadcast side
+    materially above the 10 MB autoBroadcastJoinThreshold means the
+    planner was misled by a stats estimate (the r8 incident shape: a
+    crossJoin+persist made a corpus-sized vector table look tiny and
+    broadcast ~200k vector rows). The full suspect set runs at the 10x
+    stress tier via `python tools/aqe_audit.py`; this gate keeps a
+    representative subset regression-checked at sf0.01 on every suite
+    run. Flag is two-signal (see the tool docstring): a hashed
+    relation's reported `data size` has a one-64MiB-page floor even for
+    a 1,500-row side, so size alone over-flags — rows above the
+    fixture's corpus scale, or size of 4+ pages, is the misestimate
+    signal."""
+    from aqe_audit import audit_query
+
+    from ai_vector_database_converstion_from_pdf_spark import catalog
+
+    qs = catalog.queries()
+    sf = "/root/testdata/sf0.01"
+    flag_bytes = 256 * 1024**2
+    flag_rows = 100_000  # sf0.01: every legitimate dim side is <= ~20k rows
+    offenders = {}
+    for name in (
+        "dedup_embedding_cosine",
+        "mutual_knn_pairs",
+        "graph_pagerank_simdocs",
+        "graph_link_prediction",
+        "dedup_resolution",
+        "hybrid_rrf",
+        "knn_multi",
+    ):
+        mx_b, mx_r, _recs = audit_query(spark, sf, name, qs[name])
+        if mx_b > flag_bytes or mx_r > flag_rows:
+            offenders[name] = (mx_b, mx_r)
+    assert not offenders, f"oversized broadcast sides: {offenders}"
