@@ -119,12 +119,26 @@ def incremental_update(
     quarantined: list = []
     write = delta
     if has_corpus and delta_docs > 0:
+        # the maintained band table (ws.build_dedup_index) makes the
+        # arrival O(batch): the corpus is never re-signed, only its
+        # candidate docs are re-shingled for exact verification
+        didx = ws.dedup_index() if hasattr(ws, "dedup_index") else None
+        lsh_kwargs = {}
+        if didx is not None:
+            bands_c, n, n_hashes, band_size = didx
+            lsh_kwargs = dict(
+                corpus_bands=bands_c,
+                n=n,
+                n_hashes=n_hashes,
+                band_size=band_size,
+            )
         pairs = incremental_lsh_pairs(
             stored.select("id", "doc_id", "text"),
             delta.select("id", "doc_id", "text"),
             threshold=dedup_threshold,
             id_col="id",
             text_col="text",
+            **lsh_kwargs,
         )
         new_doc = delta.select(
             F.col("id").alias("new_id"), F.col("doc_id").alias("new_doc")

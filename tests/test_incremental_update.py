@@ -78,13 +78,18 @@ def _with_embeddings(rows, dim=DIM):
     )
 
 
-@pytest.fixture()
-def seeded_ws(spark, tmp_path):
+@pytest.fixture(params=["no_dedup_index", "with_dedup_index"])
+def seeded_ws(spark, tmp_path, request):
+    """Both arrival-dedup paths: per-batch corpus signing (no index) and
+    the maintained band table (ws.build_dedup_index) — the plan's stats
+    and quarantine decisions must be identical."""
     ws = Workspace(spark, str(tmp_path / "inc_ws"))
     ws.add_chunks(_with_embeddings(_doc_rows(spark)), partition_buckets=BUCKETS)
     ws.build_ann_index(DIM)
     ws.build_ivf_index(DIM, n_centroids=4)
     ws.build_fts()
+    if request.param == "with_dedup_index":
+        ws.build_dedup_index()
     return ws
 
 
@@ -176,6 +181,24 @@ def test_delta_update_rewrites_only_delta_buckets(spark, seeded_ws):
         .count()
         > 0
     )
+    # maintained band table == rebuild-from-scratch (bit-for-bit), the
+    # same contract the ANN/IVF maintenance proves
+    if seeded_ws.dedup_index() is not None:
+        maintained = {
+            tuple(r)
+            for r in seeded_ws._read_table("dedup_lsh")
+            .select("id", "doc_id", "band", "band_key")
+            .collect()
+        }
+        rebuilt = {
+            tuple(r)
+            for r in seeded_ws._dedup_rows(
+                seeded_ws.chunks(fold_boosts=False)
+            )
+            .select("id", "doc_id", "band", "band_key")
+            .collect()
+        }
+        assert maintained == rebuilt
 
 
 def test_quarantine_respects_threshold(spark, seeded_ws):

@@ -94,9 +94,10 @@ def main() -> None:
     ws.build_ann_index(args.dim)
     ws.build_ivf_index(args.dim)
     ws.build_fts()
+    ws.build_dedup_index()
     print(
-        f"seed: {n_docs} docs, {args.buckets} buckets, ANN+IVF+FTS built "
-        f"in {time.perf_counter() - t0:.1f}s"
+        f"seed: {n_docs} docs, {args.buckets} buckets, ANN+IVF+FTS+dedup-LSH "
+        f"built in {time.perf_counter() - t0:.1f}s"
     )
 
     # 1) full-corpus re-send: delta detection must find nothing
