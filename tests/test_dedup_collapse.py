@@ -1,0 +1,194 @@
+"""Exact-duplicate collapse pre-stage for the text near-dup families.
+
+The collapsed plan (run the pair family over one representative per
+md5(lower(trim(text))) class, expand rep pairs back to members) must be
+OUTPUT-IDENTICAL to the direct plan — pair scores depend on the text
+only through tokens(), which is constant within a class. These tests
+pin that equality on a corpus engineered with every edge the expansion
+must honor: case/whitespace variants in one class, singleton classes,
+empty/whitespace-only docs, docs below the shingle width, and a
+threshold no identity pair can clear.
+
+The reference dedups whole files only (docId = MD5(name+size),
+pdf_processor.cpp:409-416); exact-collapse-before-near-dup is the
+content-level, web-scale extension (cf. RefinedWeb/Dolma pipelines).
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from ai_vector_database_converstion_from_pdf_spark.operators.dedup import (
+    exact_collapse_classes,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    ngram_jaccard_prefix_pairs,
+    simhash_pairs,
+)
+
+
+def _corpus(spark):
+    """Dup-heavy corpus: class A has 4 members (two verbatim, one cased,
+    one padded), class B has 3 verbatim members plus a near-dup D that
+    is similar-but-not-identical to B, two empty-ish classes (empty
+    string x2, whitespace x2), a 2-token class (below the 3-shingle
+    width) x2, and singletons."""
+    base_a = "the quick brown fox jumps over the lazy dog near the river bank"
+    base_b = "training data pipelines need exact dedup before minhash at corpus scale"
+    near_b = "training data pipelines need exact dedup before minhash at web scale"
+    rows = [
+        ("a1", base_a),
+        ("a2", base_a),
+        ("a3", base_a.upper()),
+        ("a4", "  " + base_a + "  "),
+        ("b1", base_b),
+        ("b2", base_b),
+        ("b3", base_b),
+        ("d1", near_b),
+        ("e1", ""),
+        ("e2", ""),
+        ("w1", "   "),
+        ("w2", "   "),
+        ("t1", "two tokens"),
+        ("t2", "two tokens"),
+        ("s1", "a singleton document about something else entirely unique"),
+        ("s2", "another lone text sharing no shingles with anything here"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _rows(df):
+    cols = df.columns
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_classes_shape(spark):
+    cls = exact_collapse_classes(_corpus(spark))
+    got = {r["rep"]: (list(r["members"]), r["m"]) for r in cls.collect()}
+    assert got["a1"] == (["a1", "a2", "a3", "a4"], 4)
+    assert got["b1"] == (["b1", "b2", "b3"], 3)
+    # "   " trims to "", so the whitespace docs join the empty-string class
+    assert got["e1"] == (["e1", "e2", "w1", "w2"], 4)
+    assert got["t1"] == (["t1", "t2"], 2)
+    assert got["s1"] == (["s1"], 1)
+    assert "w1" not in got and "w2" not in got
+
+
+def test_whitespace_and_empty_share_class(spark):
+    cls = exact_collapse_classes(_corpus(spark))
+    row = [r for r in cls.collect() if r["rep"] == "e1"]
+    assert len(row) == 1
+    assert list(row[0]["members"]) == ["e1", "e2", "w1", "w2"]
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.8, 1.0])
+def test_ngram_jaccard_collapse_equals_direct(spark, threshold):
+    docs = _corpus(spark)
+    direct = _rows(ngram_jaccard_pairs(docs, threshold=threshold))
+    coll = _rows(ngram_jaccard_pairs(docs, threshold=threshold, collapse=True))
+    assert coll == direct
+    assert len(direct) > 0
+
+
+def test_prefix_collapse_equals_direct(spark):
+    docs = _corpus(spark)
+    direct = _rows(ngram_jaccard_prefix_pairs(docs, threshold=0.5))
+    coll = _rows(ngram_jaccard_prefix_pairs(docs, threshold=0.5, collapse=True))
+    assert coll == direct
+    # the near-dup cross-class pair must expand to every B member
+    ids = {(a, b) for a, b, _ in direct}
+    assert {("b1", "d1"), ("b2", "d1"), ("b3", "d1")} <= ids
+
+
+def test_minhash_collapse_equals_direct(spark):
+    docs = _corpus(spark)
+    direct = _rows(minhash_lsh_pairs(docs, threshold=0.5))
+    coll = _rows(minhash_lsh_pairs(docs, threshold=0.5, collapse=True))
+    assert coll == direct
+    assert len(direct) > 0
+
+
+def test_simhash_collapse_equals_direct(spark):
+    docs = _corpus(spark)
+    direct = _rows(simhash_pairs(docs, max_hamming=3))
+    coll = _rows(simhash_pairs(docs, max_hamming=3, collapse=True))
+    assert coll == direct
+    # within-class pairs carry hamming 0; the 2-token class qualifies
+    # for simhash (min_tokens=1) even though it has no 3-shingles
+    ids = {(a, b): h for a, b, h in direct}
+    assert ids[("t1", "t2")] == 0
+
+
+def test_no_identity_pairs_for_subshingle_docs(spark):
+    """The 2-token class has no 3-shingles: the direct Jaccard plans
+    emit nothing for it, so the collapsed plan must not invent a pair."""
+    docs = _corpus(spark)
+    for fn in (
+        lambda d, c: ngram_jaccard_pairs(d, threshold=0.5, collapse=c),
+        lambda d, c: ngram_jaccard_prefix_pairs(d, threshold=0.5, collapse=c),
+        lambda d, c: minhash_lsh_pairs(d, threshold=0.5, collapse=c),
+    ):
+        got = {(r["id_a"], r["id_b"]) for r in fn(docs, True).collect()}
+        assert ("t1", "t2") not in got
+        assert ("e1", "e2") not in got
+        assert ("w1", "w2") not in got
+
+
+def test_null_text_class_is_inert(spark):
+    docs = spark.createDataFrame(
+        [("n1", None), ("n2", None), ("x1", "real text with enough tokens here")],
+        "doc_id string, text string",
+    )
+    for collapse in (False, True):
+        got = _rows(ngram_jaccard_pairs(docs, threshold=0.5, collapse=collapse))
+        assert got == []
+
+
+def test_auto_probe_collapses_on_dup_heavy(spark, caplog):
+    """'auto' on a dup-heavy corpus must pick the collapsed plan (log
+    line) and still match the direct output."""
+    import logging
+
+    docs = _corpus(spark)
+    with caplog.at_level(
+        logging.INFO,
+        logger="ai_vector_database_converstion_from_pdf_spark.operators.dedup",
+    ):
+        coll = _rows(simhash_pairs(docs, max_hamming=3, collapse="auto"))
+    assert any("collapsed plan" in r.message for r in caplog.records)
+    assert coll == _rows(simhash_pairs(docs, max_hamming=3))
+
+
+def test_auto_probe_stays_direct_on_unique_corpus(spark, caplog):
+    import logging
+
+    rows = [(f"u{i}", f"wholly unique document number {i} with token {i * 7}")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    with caplog.at_level(
+        logging.INFO,
+        logger="ai_vector_database_converstion_from_pdf_spark.operators.dedup",
+    ):
+        got = _rows(ngram_jaccard_pairs(docs, threshold=0.5, collapse="auto"))
+    assert any("direct plan" in r.message for r in caplog.records)
+    assert got == _rows(ngram_jaccard_pairs(docs, threshold=0.5))
+
+
+def test_capped_plan_ignores_collapse(spark):
+    """max_doc_freq changes posting sizes, which collapse would alter —
+    the cap plan must ignore the flag and stay cap-exact."""
+    docs = _corpus(spark)
+    capped = _rows(
+        ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=2, collapse=True)
+    )
+    assert capped == _rows(
+        ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=2)
+    )
+
+
+def test_collapse_on_fixture_sample(spark):
+    """sf0.001 documents: collapse=True equals direct on real fixture
+    data (mostly unique texts — exercises the singleton-heavy shape)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    direct = _rows(minhash_lsh_pairs(docs, threshold=0.8))
+    coll = _rows(minhash_lsh_pairs(docs, threshold=0.8, collapse=True))
+    assert coll == direct

@@ -112,7 +112,11 @@ EXPECT = {
     # tiny per-type stats broadcast back onto the daily pre-aggregate
     "events_daily_anomalies": ["BroadcastHashJoin", "!SortMergeJoin", "!Window"],
     # pair family broadcast against the narrow (doc_id, source) projection
-    "dedup_cross_source_overlap": ["BroadcastHashJoin", "!SortMergeJoin"],
+    # pair side is NOT hint-broadcast (24M rows at the 10x replica tier
+    # — a forced broadcast there is the mis-broadcast failure mode);
+    # the labeling joins are id-keyed shuffle-safe joins that AQE
+    # converts to broadcast at runtime when the pair list is small
+    "dedup_cross_source_overlap": ["!BroadcastNestedLoopJoin", "!CartesianProduct"],
     # codegen'd bigram explode; both count tables join back broadcast
     "bigram_surprisal_score": ["!MapInPandas", "!SortMergeJoin"],
     # moments + projection are map-side GEMM passes; no join anywhere
