@@ -185,6 +185,90 @@ def test_capped_plan_ignores_collapse(spark):
     )
 
 
+def test_vector_collapse_equals_direct(spark):
+    """embedding_near_dup_pairs collapse=True must equal the direct
+    plan on a replica-heavy vector corpus, including: replicated
+    vectors (identity cos=1.0), a zero vector class (no pair — NaN
+    cosine never clears the threshold), and null vectors (inert)."""
+    from ai_vector_database_converstion_from_pdf_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dim = len(base.select("embedding").first()[0])
+    reps = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    extra = spark.createDataFrame(
+        [
+            (900001, [0.0] * dim),
+            (900002, [0.0] * dim),
+            (900003, None),
+            (900004, None),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    emb = base.unionByName(reps).unionByName(extra)
+
+    def rows(df):
+        return sorted(
+            (r["id_a"], r["id_b"], round(r["cos"], 6)) for r in df.collect()
+        )
+
+    direct = rows(embedding_near_dup_pairs(emb, threshold=0.45))
+    coll = rows(embedding_near_dup_pairs(emb, threshold=0.45, collapse=True))
+    assert coll == direct
+    # every base id pairs with its replica at cos 1.0
+    got = {(a, b): c for a, b, c in coll}
+    some_id = base.select("vec_id").first()[0]
+    assert got[(some_id, some_id + 100000)] == 1.0
+    # zero/null vector classes emit nothing
+    assert (900001, 900002) not in got
+    assert (900003, 900004) not in got
+
+
+def test_vector_collapse_auto_keeps_exact_gemm(spark, caplog):
+    """On a replica-heavy corpus big enough that the raw FLOP probe
+    would pick approximate LSH, collapse='auto' + method='auto' must
+    collapse first and stay on the EXACT GEMM path (no lsh switch log),
+    returning the same pairs as the forced-exact direct plan."""
+    import logging
+
+    from ai_vector_database_converstion_from_pdf_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n = base.count()
+    dim = len(base.select("embedding").first()[0])
+    emb = base
+    for k in (1, 2, 3):
+        emb = emb.unionByName(
+            base.select((F.col("vec_id") + 100000 * k).alias("vec_id"), "embedding")
+        )
+    # budget chosen so 4n fails the brute bound but n passes
+    budget = float(n * n * dim * 4)
+    with caplog.at_level(
+        logging.INFO,
+        logger="ai_vector_database_converstion_from_pdf_spark.operators.dedup",
+    ):
+        coll = embedding_near_dup_pairs(
+            emb, threshold=0.45, method="auto", flop_budget=budget,
+            collapse="auto",
+        ).collect()
+    assert any("collapsed plan" in r.message for r in caplog.records)
+    assert not any("switching" in r.message for r in caplog.records)
+    want = embedding_near_dup_pairs(
+        emb, threshold=0.45, method="gemm"
+    ).collect()
+    key = lambda r: (r["id_a"], r["id_b"])  # noqa: E731
+    assert sorted(map(key, coll)) == sorted(map(key, want))
+
+
 def test_collapse_on_fixture_sample(spark):
     """sf0.001 documents: collapse=True equals direct on real fixture
     data (mostly unique texts — exercises the singleton-heavy shape)."""
