@@ -798,3 +798,163 @@ def link_prediction(
         )
         .limit(top_k)
     )
+
+
+def link_prediction_quotient(
+    qedges: DataFrame,
+    classes: DataFrame,
+    top_k: int = 50,
+) -> DataFrame:
+    """EXACT link prediction over a member-expanded similarity graph,
+    computed on its WEIGHTED QUOTIENT — the exact-collapse answer to
+    the one graph query the 10x replica tier could only answer capped
+    (`link_prediction(center_cap="auto")` under-counts hub wedges by
+    design when Σdeg² blows the budget).
+
+    When the similarity graph's edges come from a signature pair
+    family over documents (simhash here), adjacency is constant on
+    exact-duplicate classes: members of adjacent classes form complete
+    bicliques, a signature class with m >= 2 members is an internal
+    clique, and a class with no signature is isolated. Every
+    link-prediction quantity is therefore a function of the QUOTIENT
+    graph (one node per class, weight m) alone:
+
+      deg(x in A)  = Σ_{C adj A} m_C + (m_A - 1)
+      cn(x∈A,y∈B)  = Σ_{C adj A and C adj B} m_C    (A ≠ B, A not adj B)
+
+    Non-adjacent member pairs with a common neighbor are EXACTLY the
+    cross-class pairs of non-adjacent signature classes (same-class
+    pairs are either clique edges or isolated), so the top-k expands
+    from class-level scores. On an N-doc corpus with U unique texts the
+    wedge join runs at U-scale — Σdeg² of the quotient equals the
+    UNIQUE corpus's Σdeg², i.e. replica multiplicity no longer inflates
+    the budget — and the result is exact at any multiplicity, not a
+    capped lower bound.
+
+    Inputs: `qedges` (id_a, id_b) canonical rep-level adjacency;
+    `classes` (rep, members, m, has_sig) — `exact_collapse_classes`
+    output plus has_sig (class text yields >= 1 token, i.e. it has a
+    simhash signature; no-signature classes are isolated and dropped).
+    Output schema/ordering identical to `link_prediction`."""
+    cls = (
+        classes.filter(F.col("has_sig"))
+        .select("rep", "members", F.col("m").cast("long").alias("m"))
+        .persist()
+    )
+    # pin the quotient adjacency: it feeds the degree pass, BOTH wedge
+    # sides, and the anti-join — unpinned, the upstream signature
+    # pipeline (collapse groupBy + simhash) would re-execute per
+    # reference (the same reason _sim_graph/similarity_graph checkpoint
+    # the member-level pair table)
+    qedges = qedges.select("id_a", "id_b").localCheckpoint(eager=True)
+    w = cls.select(F.col("rep").alias("c"), F.col("m").alias("w"))
+    und = qedges.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("c")
+    ).unionByName(qedges.select(F.col("id_b").alias("a"), F.col("id_a").alias("c")))
+    # weights attach to the EDGE-sized side (broadcast: |classes| rows)
+    # BEFORE the wedge join — joining them onto the Σdeg²-sized wedge
+    # output would shuffle the whole wedge volume a second time
+    undw = und.join(F.broadcast(w), "c")
+    cross = undw.groupBy("a").agg(F.sum("w").alias("cross_w"))
+    degw = (
+        cls.select(F.col("rep").alias("a"), (F.col("m") - 1).alias("self_w"))
+        .join(cross, "a", "left")
+        .select(
+            F.col("a").alias("nid"),
+            (F.coalesce(F.col("cross_w"), F.lit(0)) + F.col("self_w"))
+            .cast("long")
+            .alias("degw"),
+        )
+    )
+    x = undw.select("c", F.col("a").alias("id_a"), "w")
+    y = und.select("c", F.col("a").alias("id_b"))
+    cnw = (
+        x.join(y, "c")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("w").cast("long").alias("cn"))
+    )
+    ne = cnw.join(qedges, ["id_a", "id_b"], "left_anti")
+    scored = (
+        ne.join(
+            F.broadcast(
+                degw.select(
+                    F.col("nid").alias("id_a"), F.col("degw").alias("dwa")
+                )
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                degw.select(
+                    F.col("nid").alias("id_b"), F.col("degw").alias("dwb")
+                )
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("dwa") + F.col("dwb") - F.col("cn")).cast("double"),
+                6,
+            ),
+        )
+        # referenced twice below (boundary probe + kept filter): pin so
+        # the Σdeg² wedge aggregate runs once
+        .localCheckpoint(eager=True)
+    )
+    # expand ONLY the class pairs that can reach the member-level top-k:
+    # every member row inherits its class pair's (jaccard, cn) key, and
+    # the top-k class pairs each contribute >= 1 member row, so the kth
+    # member row's key is >= the kth class pair's key K — hence any
+    # class pair contributing a top-k member row has key >= K. Keeping
+    # key >= K (the boundary, ties included) is a tight superset;
+    # expanding everything first made the 100x tier explode
+    # |ne| x m_a x m_b rows into TakeOrdered.
+    head = (
+        scored.orderBy(
+            F.col("jaccard").desc(),
+            F.col("cn").desc(),
+            F.col("id_a").asc(),
+            F.col("id_b").asc(),
+        )
+        .limit(top_k)
+        .select("jaccard", "cn")
+        .collect()
+    )
+    if not head:
+        jb, cb = -1.0, -1
+    else:
+        jb, cb = head[-1]["jaccard"], head[-1]["cn"]
+    kept = scored.filter(
+        (F.col("jaccard") > F.lit(jb))
+        | ((F.col("jaccard") == F.lit(jb)) & (F.col("cn") >= F.lit(cb)))
+    )
+    ma = cls.select(F.col("rep").alias("id_a"), F.col("members").alias("ma"))
+    mb = cls.select(F.col("rep").alias("id_b"), F.col("members").alias("mb"))
+    return (
+        kept.join(F.broadcast(ma), "id_a")
+        .join(F.broadcast(mb), "id_b")
+        .select("cn", "dwa", "dwb", "jaccard", F.explode("ma").alias("xa"), "mb")
+        .select("cn", "dwa", "dwb", "jaccard", "xa", F.explode("mb").alias("xb"))
+        .select(
+            F.least("xa", "xb").alias("id_a"),
+            F.greatest("xa", "xb").alias("id_b"),
+            "cn",
+            F.when(F.col("xa") < F.col("xb"), F.col("dwa"))
+            .otherwise(F.col("dwb"))
+            .alias("deg_a"),
+            F.when(F.col("xa") < F.col("xb"), F.col("dwb"))
+            .otherwise(F.col("dwa"))
+            .alias("deg_b"),
+            "jaccard",
+        )
+        .orderBy(
+            F.col("jaccard").desc(),
+            F.col("cn").desc(),
+            F.col("id_a").asc(),
+            F.col("id_b").asc(),
+        )
+        .limit(top_k)
+    )

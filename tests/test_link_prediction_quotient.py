@@ -1,0 +1,92 @@
+"""Weighted-quotient link prediction == direct EXACT link prediction.
+
+On a similarity graph whose edges come from a signature family over
+documents, adjacency is constant on exact-duplicate classes, so link
+prediction is computable on the weighted quotient (class nodes, size
+weights). These tests pin the equality against the direct
+`link_prediction(center_cap=None)` plan on replica-heavy corpora where
+the quotient path is the one the catalog dispatches to.
+"""
+
+import pyspark.sql.functions as F
+
+from ai_vector_database_converstion_from_pdf_spark.functions.text import tokens
+from ai_vector_database_converstion_from_pdf_spark.operators.dedup import (
+    exact_collapse_classes,
+    simhash_pairs,
+)
+from ai_vector_database_converstion_from_pdf_spark.operators.graph import (
+    link_prediction,
+    link_prediction_quotient,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _replicated_fixture_docs(spark, k):
+    """sf0.001 documents replicated k times with shifted ids, plus
+    degenerate classes: empty texts (no signature -> isolated) and a
+    duplicated 2-token doc (signature class below the 3-shingle
+    width — still a simhash clique)."""
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = base
+    for i in range(1, k):
+        out = out.unionByName(
+            base.select((F.col("doc_id") + 100000 * i).alias("doc_id"), "text")
+        )
+    extra = spark.createDataFrame(
+        [(900001, ""), (900002, ""), (900003, "two tokens"), (900004, "two tokens")],
+        "doc_id long, text string",
+    )
+    return out.unionByName(extra)
+
+
+def _quotient(docs, top_k=50):
+    cls = exact_collapse_classes(docs).withColumn(
+        "has_sig", F.size(tokens(F.col("txt"))) >= 1
+    )
+    reps = cls.select(F.col("rep").alias("doc_id"), F.col("txt").alias("text"))
+    qedges = simhash_pairs(reps, max_hamming=3).select("id_a", "id_b")
+    return link_prediction_quotient(qedges, cls, top_k=top_k)
+
+
+def _rows(df):
+    return [
+        (r["id_a"], r["id_b"], r["cn"], r["deg_a"], r["deg_b"], r["jaccard"])
+        for r in df.collect()
+    ]
+
+
+def test_quotient_equals_direct_exact_x3(spark):
+    docs = _replicated_fixture_docs(spark, 3)
+    edges = simhash_pairs(docs, max_hamming=3).select("id_a", "id_b")
+    want = _rows(link_prediction(edges, top_k=50, center_cap=None))
+    got = _rows(_quotient(docs, top_k=50))
+    assert got == want
+    assert len(want) == 50
+
+
+def test_quotient_interleaved_ids_swap_degrees(spark):
+    """Member ids interleave across classes (replica offsets guarantee
+    the min member of a higher-rep class can sit between another
+    class's members), exercising the deg_a/deg_b swap on expansion.
+    Checked implicitly by full-row equality at a deeper top_k."""
+    docs = _replicated_fixture_docs(spark, 2)
+    edges = simhash_pairs(docs, max_hamming=3).select("id_a", "id_b")
+    want = _rows(link_prediction(edges, top_k=200, center_cap=None))
+    got = _rows(_quotient(docs, top_k=200))
+    assert got == want
+
+
+def test_quotient_on_unique_corpus_degenerates(spark):
+    """With every class a singleton the quotient IS the original graph:
+    outputs must match the direct plan on the raw fixture."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    edges = simhash_pairs(docs, max_hamming=3).select("id_a", "id_b")
+    want = _rows(link_prediction(edges, top_k=50, center_cap=None))
+    got = _rows(_quotient(docs, top_k=50))
+    assert got == want
