@@ -800,6 +800,192 @@ def link_prediction(
     )
 
 
+def triangle_counts_quotient(
+    qedges: DataFrame,
+    classes: DataFrame,
+    with_degrees: bool = False,
+) -> DataFrame:
+    """EXACT per-node triangle participation over a member-expanded
+    similarity graph, computed on its weighted quotient (see
+    `link_prediction_quotient` for the expansion model: adjacent
+    classes form complete bicliques, a signature class is an internal
+    clique). For x in class A with cross-neighbor weight
+    S_A = Σ_{C adj A} m_C:
+
+      triangles(x) = C(m_A-1, 2)                  [both others inside A]
+                   + (m_A-1) · S_A                [one inside A, one adjacent]
+                   + Σ_{C adj A} C(m_C, 2)        [both inside one adjacent C]
+                   + Σ_{C<D adj A, C adj D} m_C·m_D   [two adjacent classes,
+                                                        quotient triangle]
+
+    and deg(x) = S_A + (m_A - 1). Integer arithmetic throughout —
+    byte-identical to `triangle_counts(sample_p=None)` on the expanded
+    graph at ANY replica multiplicity, while the wedge stage runs at
+    unique-corpus scale (the 100x member graph's 2.4B edges never
+    materialize). `with_degrees=True` returns the zero-filled
+    (id, triangles, deg) superset over all nodes with deg >= 1, exactly
+    like triangle_counts; False filters triangles > 0.
+
+    Inputs as in `link_prediction_quotient`."""
+    cls = (
+        classes.filter(F.col("has_sig"))
+        .select("rep", "members", F.col("m").cast("long").alias("m"))
+        .persist()
+    )
+    qedges = qedges.select("id_a", "id_b").localCheckpoint(eager=True)
+    w = cls.select(F.col("rep").alias("c"), F.col("m").alias("w"))
+    und = qedges.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("c")
+    ).unionByName(qedges.select(F.col("id_b").alias("a"), F.col("id_a").alias("c")))
+    undw = und.join(F.broadcast(w), "c")
+    # S_A and the inside-one-adjacent-class term in ONE pass
+    agg1 = undw.groupBy("a").agg(
+        F.sum("w").alias("s_w"),
+        F.sum(F.col("w") * (F.col("w") - 1) / 2).cast("long").alias("ic_w"),
+    )
+    # quotient triangles through center A, weighted m_C*m_D: wedge pairs
+    # at the center, semi-verified against the quotient edge set
+    x = undw.select("a", F.col("c").alias("c1"), F.col("w").alias("w1"))
+    y = undw.select("a", F.col("c").alias("c2"), F.col("w").alias("w2"))
+    tA = (
+        x.join(y, "a")
+        .filter(F.col("c1") < F.col("c2"))
+        .join(
+            qedges.select(
+                F.col("id_a").alias("c1"), F.col("id_b").alias("c2")
+            ),
+            ["c1", "c2"],
+            "left_semi",
+        )
+        .groupBy("a")
+        .agg(F.sum(F.col("w1") * F.col("w2")).cast("long").alias("t_w"))
+    )
+    base = (
+        cls.select(F.col("rep").alias("a"), "members", "m")
+        .join(agg1, "a", "left")
+        .join(tA, "a", "left")
+        .select(
+            "members",
+            "m",
+            F.coalesce(F.col("s_w"), F.lit(0)).cast("long").alias("s_w"),
+            F.coalesce(F.col("ic_w"), F.lit(0)).cast("long").alias("ic_w"),
+            F.coalesce(F.col("t_w"), F.lit(0)).cast("long").alias("t_w"),
+        )
+    )
+    mm = F.col("m") - 1
+    tri = (
+        (mm * (mm - 1) / 2).cast("long")
+        + mm * F.col("s_w")
+        + F.col("ic_w")
+        + F.col("t_w")
+    ).cast("long")
+    deg = (F.col("s_w") + mm).cast("long")
+    out = base.select(
+        F.explode("members").alias("id"),
+        tri.alias("triangles"),
+        deg.alias("deg"),
+    )
+    if with_degrees:
+        return out.filter(F.col("deg") >= 1).localCheckpoint(eager=True)
+    return out.filter(F.col("triangles") > 0).select("id", "triangles")
+
+
+def kcore_peel_quotient(
+    qedges: DataFrame,
+    classes: DataFrame,
+    k: int = 3,
+    n_rounds: int = 3,
+) -> DataFrame:
+    """Fixed-round k-core peeling on the weighted quotient — members of
+    an exact-duplicate class share their degree, so they peel in the
+    same round: the synchronous member-level rounds of `kcore_peel`
+    replay exactly at class granularity with
+    deg(x in A) = Σ_{C alive, C adj A} m_C + (m_A - 1). A class with no
+    alive incident member edge (m = 1 and no alive cross edges) has no
+    degree row and vanishes without being peeled — the same silent-drop
+    rule as the member-level op. Output (id, peel_round, deg_final),
+    schema identical to `kcore_peel`, exact at any multiplicity; each
+    round is one quotient-sized aggregate instead of a member-edge
+    scan (2.4B rows at the 100x tier)."""
+    if int(n_rounds) < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    cls = (
+        classes.filter(F.col("has_sig"))
+        .select("rep", "members", F.col("m").cast("long").alias("m"))
+        .persist()
+    )
+    canon = (
+        qedges.select(
+            F.least("id_a", "id_b").alias("u"),
+            F.greatest("id_a", "id_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _deg(alive_cls, alive_e):
+        und = alive_e.select(
+            F.col("u").alias("a"), F.col("v").alias("c")
+        ).unionByName(alive_e.select(F.col("v").alias("a"), F.col("u").alias("c")))
+        wts = alive_cls.select(F.col("rep").alias("c"), F.col("m").alias("w"))
+        cross = (
+            und.join(F.broadcast(wts), "c")
+            .groupBy("a")
+            .agg(F.sum("w").alias("cross_w"))
+        )
+        return (
+            alive_cls.select(F.col("rep").alias("a"), "m")
+            .join(cross, "a", "left")
+            .select(
+                F.col("a").alias("rep"),
+                (F.coalesce(F.col("cross_w"), F.lit(0)) + F.col("m") - 1)
+                .cast("long")
+                .alias("deg"),
+            )
+            .filter(F.col("deg") >= 1)  # deg-0 classes vanish silently
+        )
+
+    peeled = None  # (rep, peel_round)
+    alive_cls = cls.select("rep", "m")
+    alive_e = canon
+    for rnd in range(1, int(n_rounds) + 1):
+        doomed = _deg(alive_cls, alive_e).filter(F.col("deg") < k).select(
+            "rep", F.lit(rnd).alias("peel_round")
+        )
+        peeled = (
+            doomed if peeled is None else peeled.unionByName(doomed)
+        ).localCheckpoint(eager=True)
+        alive_cls = alive_cls.join(peeled, "rep", "left_anti").localCheckpoint(
+            eager=True
+        )
+        alive_e = (
+            alive_e.join(
+                peeled.select(F.col("rep").alias("u")), "u", "left_anti"
+            )
+            .join(peeled.select(F.col("rep").alias("v")), "v", "left_anti")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    survivors = _deg(alive_cls, alive_e).select(
+        "rep",
+        F.lit(None).cast("int").alias("peel_round"),
+        F.col("deg").alias("deg_final"),
+    )
+    both = survivors.unionByName(
+        peeled.select(
+            "rep",
+            F.col("peel_round").cast("int"),
+            F.lit(None).cast("long").alias("deg_final"),
+        )
+    )
+    return both.join(
+        F.broadcast(cls.select("rep", "members")), "rep"
+    ).select(
+        F.explode("members").alias("id"), "peel_round", "deg_final"
+    )
+
+
 def link_prediction_quotient(
     qedges: DataFrame,
     classes: DataFrame,

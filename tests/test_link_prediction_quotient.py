@@ -16,8 +16,12 @@ from ai_vector_database_converstion_from_pdf_spark.operators.dedup import (
     simhash_pairs,
 )
 from ai_vector_database_converstion_from_pdf_spark.operators.graph import (
+    kcore_peel,
+    kcore_peel_quotient,
     link_prediction,
     link_prediction_quotient,
+    triangle_counts,
+    triangle_counts_quotient,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -78,6 +82,90 @@ def test_quotient_interleaved_ids_swap_degrees(spark):
     want = _rows(link_prediction(edges, top_k=200, center_cap=None))
     got = _rows(_quotient(docs, top_k=200))
     assert got == want
+
+
+def _cls_and_qedges(docs):
+    cls = exact_collapse_classes(docs).withColumn(
+        "has_sig", F.size(tokens(F.col("txt"))) >= 1
+    )
+    reps = cls.select(F.col("rep").alias("doc_id"), F.col("txt").alias("text"))
+    qedges = simhash_pairs(reps, max_hamming=3).select("id_a", "id_b")
+    return cls, qedges
+
+
+def test_triangle_quotient_equals_direct_x3(spark):
+    docs = _replicated_fixture_docs(spark, 3)
+    edges = simhash_pairs(docs, max_hamming=3).select("id_a", "id_b")
+    want = sorted(
+        (r["id"], r["triangles"], r["deg"])
+        for r in triangle_counts(
+            edges, with_degrees=True, sample_p=None
+        ).collect()
+    )
+    cls, qedges = _cls_and_qedges(docs)
+    got = sorted(
+        (r["id"], r["triangles"], r["deg"])
+        for r in triangle_counts_quotient(
+            qedges, cls, with_degrees=True
+        ).collect()
+    )
+    assert got == want
+    assert len(want) > 0
+    # plain variant: triangles > 0 projection parity
+    want2 = sorted(
+        (r["id"], r["triangles"])
+        for r in triangle_counts(edges, sample_p=None).collect()
+    )
+    got2 = sorted(
+        (r["id"], r["triangles"])
+        for r in triangle_counts_quotient(qedges, cls).collect()
+    )
+    assert got2 == want2
+
+
+def test_kcore_quotient_equals_direct_x3(spark):
+    docs = _replicated_fixture_docs(spark, 3)
+    edges = simhash_pairs(docs, max_hamming=3).select("id_a", "id_b")
+    want = sorted(
+        (r["id"], r["peel_round"], r["deg_final"])
+        for r in kcore_peel(edges, k=3, n_rounds=3).collect()
+    )
+    cls, qedges = _cls_and_qedges(docs)
+    got = sorted(
+        (r["id"], r["peel_round"], r["deg_final"])
+        for r in kcore_peel_quotient(qedges, cls, k=3, n_rounds=3).collect()
+    )
+    assert got == want
+    assert len(want) > 0
+
+
+def test_kcore_quotient_vanish_and_peel_rules(spark):
+    """Hand-built corpus exercising the silent-vanish rule: a singleton
+    chain neighbor that loses its only edge when the chain peels, a
+    2-member class (internal degree 1 -> peels round 1 at k=3), and a
+    6-member class (internal degree 5 -> survives)."""
+    docs = spark.createDataFrame(
+        [("a%d" % i, "alpha beta gamma delta " * 3) for i in range(6)]
+        + [("b1", "omega psi chi phi " * 3), ("b2", "omega psi chi phi " * 3)]
+        + [("c1", "totally different text about nothing shared here")],
+        ["doc_id", "text"],
+    )
+    edges = simhash_pairs(docs, max_hamming=3).select("id_a", "id_b")
+    want = sorted(
+        (r["id"], r["peel_round"], r["deg_final"])
+        for r in kcore_peel(edges, k=3, n_rounds=3).collect()
+    )
+    cls, qedges = _cls_and_qedges(docs)
+    got = sorted(
+        (r["id"], r["peel_round"], r["deg_final"])
+        for r in kcore_peel_quotient(qedges, cls, k=3, n_rounds=3).collect()
+    )
+    assert got == want
+    by_id = dict((i, (p, d)) for i, p, d in got)
+    # 6-member clique: degree 5 >= 3, survives with deg_final 5
+    assert by_id["a0"] == (None, 5)
+    # 2-member class: internal degree 1 < 3, peeled round 1
+    assert by_id["b1"] == (1, None)
 
 
 def test_quotient_on_unique_corpus_degenerates(spark):
