@@ -20,6 +20,8 @@ from ai_vector_database_converstion_from_pdf_spark.operators.graph import (
     kcore_peel_quotient,
     link_prediction,
     link_prediction_quotient,
+    pagerank,
+    pagerank_quotient,
     triangle_counts,
     triangle_counts_quotient,
 )
@@ -166,6 +168,30 @@ def test_kcore_quotient_vanish_and_peel_rules(spark):
     assert by_id["a0"] == (None, 5)
     # 2-member class: internal degree 1 < 3, peeled round 1
     assert by_id["b1"] == (1, None)
+
+
+def test_pagerank_quotient_equals_direct_x3(spark):
+    """Quotient PageRank == member-level PageRank at full 12-digit
+    precision: the per-iteration round-12 contract absorbs the
+    multiplication-vs-repeated-addition float difference."""
+    docs = _replicated_fixture_docs(spark, 3)
+    edges = simhash_pairs(docs, max_hamming=3).select("id_a", "id_b")
+    sym = edges.unionByName(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    want = sorted(
+        (r["id"], r["rank"])
+        for r in pagerank(sym, damping=0.85, n_iter=5).collect()
+    )
+    cls, qedges = _cls_and_qedges(docs)
+    got = sorted(
+        (r["id"], r["rank"])
+        for r in pagerank_quotient(
+            qedges, cls, damping=0.85, n_iter=5
+        ).collect()
+    )
+    assert got == want
+    assert len(want) > 0
 
 
 def test_quotient_on_unique_corpus_degenerates(spark):
