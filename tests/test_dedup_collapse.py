@@ -269,6 +269,44 @@ def test_vector_collapse_auto_keeps_exact_gemm(spark, caplog):
     assert sorted(map(key, coll)) == sorted(map(key, want))
 
 
+def test_simhash_incident_equals_filtered_full(spark):
+    """simhash_pairs_incident(ids) == simhash_pairs filtered to pairs
+    with an endpoint in ids — on the replica-heavy corpus AND the raw
+    fixture (ids present and absent, dup classes included)."""
+    from ai_vector_database_converstion_from_pdf_spark.operators.dedup import (
+        simhash_pairs_incident,
+    )
+
+    docs = _corpus(spark)
+    ids = ["b1", "t1", "zz-missing"]
+    full = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs(docs, max_hamming=3).collect()
+        if r["id_a"] in ids or r["id_b"] in ids
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs_incident(docs, ids, max_hamming=3).collect()
+    }
+    assert got == full
+    assert len(full) > 0
+
+    fx = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    fids = [r["doc_id"] for r in fx.limit(3).collect()]
+    full2 = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs(fx, max_hamming=3).collect()
+        if r["id_a"] in fids or r["id_b"] in fids
+    }
+    got2 = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs_incident(fx, fids, max_hamming=3).collect()
+    }
+    assert got2 == full2
+
+
 def test_collapse_on_fixture_sample(spark):
     """sf0.001 documents: collapse=True equals direct on real fixture
     data (mostly unique texts — exercises the singleton-heavy shape)."""
