@@ -800,6 +800,68 @@ def link_prediction(
     )
 
 
+def bfs_hops_quotient(
+    qedges: DataFrame,
+    classes: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source BFS of a member-expanded similarity graph, levelled
+    on the quotient. A member path s→…→y induces a class walk of the
+    same length, and from ANY member of class A every member of an
+    adjacent class B is one hop — so member distance equals quotient
+    distance, with exactly one special case: a NON-seed member of a
+    seed class is at hop 1 via the class's internal clique (never
+    shorter through any detour). Rules, exact by the above:
+
+      seed ids                               -> 0  (graph presence not
+                                                   required — matches
+                                                   bfs_hops' seed rule)
+      non-seed y in C, C not a seed class    -> quotient dist(C)
+      non-seed y in a seed class with >= 1   -> 1
+        token (internal clique exists)
+      members of no-signature classes        -> unreachable (isolated)
+
+    The quotient BFS is `bfs_hops` itself over the class graph — the
+    member-level edge table (2.4B rows at the 100x tier, where the
+    direct plan died materializing it) never exists. Inputs as in
+    `link_prediction_quotient`; `seeds` = (id) member-level. Output
+    (id, hops), identical to `bfs_hops`."""
+    cls = (
+        classes.filter(F.col("has_sig"))
+        .select("rep", "members", F.col("m").cast("long").alias("m"))
+        .persist()
+    )
+    seeds = seeds.select("id").distinct().persist()
+    membership = cls.select(
+        "rep", F.explode("members").alias("id")
+    )
+    seed_cls = (
+        membership.join(seeds, "id", "left_semi").select("rep").distinct()
+    )
+    qdist = bfs_hops(
+        qedges.select("id_a", "id_b"),
+        seed_cls.select(F.col("rep").alias("id")),
+        max_hops=max_hops,
+    ).select(F.col("id").alias("rep"), F.col("hops").alias("qhops"))
+    non_seed = membership.join(seeds, "id", "left_anti")
+    is_seed_cls = seed_cls.select("rep", F.lit(True).alias("is_seed_cls"))
+    expanded = (
+        non_seed.join(qdist, "rep", "left")
+        .join(F.broadcast(is_seed_cls), "rep", "left")
+        .select(
+            "id",
+            F.when(F.col("is_seed_cls"), F.lit(1).cast("long"))
+            .otherwise(F.col("qhops"))
+            .alias("hops"),
+        )
+        .filter(F.col("hops").isNotNull() & (F.col("hops") <= max_hops))
+    )
+    return seeds.select("id", F.lit(0).cast("long").alias("hops")).unionByName(
+        expanded
+    )
+
+
 def pagerank_quotient(
     qedges: DataFrame,
     classes: DataFrame,

@@ -16,6 +16,8 @@ from ai_vector_database_converstion_from_pdf_spark.operators.dedup import (
     simhash_pairs,
 )
 from ai_vector_database_converstion_from_pdf_spark.operators.graph import (
+    bfs_hops,
+    bfs_hops_quotient,
     kcore_peel,
     kcore_peel_quotient,
     link_prediction,
@@ -192,6 +194,38 @@ def test_pagerank_quotient_equals_direct_x3(spark):
     )
     assert got == want
     assert len(want) > 0
+
+
+def test_bfs_quotient_equals_direct_x3(spark):
+    """Quotient BFS == member-level bfs_hops, with seeds spanning: a
+    replica-heavy class (seed-class clique rule), a no-signature class
+    (isolated seed still at 0, co-members unreachable), and an id that
+    appears nowhere in the graph."""
+    docs = _replicated_fixture_docs(spark, 3)
+    edges = simhash_pairs(docs, max_hamming=3).select("id_a", "id_b")
+    some = [r["doc_id"] for r in docs.filter(
+        F.length("text") > 40).limit(3).collect()]
+    seed_ids = some + [900001, 555555555]  # empty-text seed + absent id
+    seeds = spark.createDataFrame(
+        [(i,) for i in seed_ids], "id long"
+    )
+    want = sorted(
+        (r["id"], r["hops"])
+        for r in bfs_hops(edges, seeds, max_hops=4).collect()
+    )
+    cls, qedges = _cls_and_qedges(docs)
+    got = sorted(
+        (r["id"], r["hops"])
+        for r in bfs_hops_quotient(qedges, cls, seeds, max_hops=4).collect()
+    )
+    assert got == want
+    assert len(want) > len(seed_ids)
+    by_id = dict(got)
+    # replica co-members of a seed sit at hop 1 (clique rule)
+    assert by_id.get(some[0] + 100000) == 1
+    # the empty-text seed is present at 0; its empty co-members are not
+    assert by_id[900001] == 0
+    assert 900002 not in by_id
 
 
 def test_quotient_on_unique_corpus_degenerates(spark):
