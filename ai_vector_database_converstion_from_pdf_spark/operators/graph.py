@@ -827,12 +827,16 @@ def bfs_hops_quotient(
     direct plan died materializing it) never exists. Inputs as in
     `link_prediction_quotient`; `seeds` = (id) member-level. Output
     (id, hops), identical to `bfs_hops`."""
+    # eager localCheckpoint, NOT persist: checkpoint blocks are released
+    # by the ContextCleaner when the frame goes out of scope, so bench
+    # min-of-N reps don't accumulate cached class tables for the session
+    # lifetime (the pagerank()/ADVICE-r7 leak class)
     cls = (
         classes.filter(F.col("has_sig"))
         .select("rep", "members", F.col("m").cast("long").alias("m"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    seeds = seeds.select("id").distinct().persist()
+    seeds = seeds.select("id").distinct().localCheckpoint(eager=True)
     membership = cls.select(
         "rep", F.explode("members").alias("id")
     )
@@ -890,12 +894,26 @@ def pagerank_quotient(
     Output (id, rank) at member granularity, schema identical to
     `pagerank` consumers' expectations. Inputs as in
     `link_prediction_quotient`."""
+    # eager localCheckpoint, NOT persist: checkpoint blocks are released
+    # by the ContextCleaner when the frame goes out of scope, so bench
+    # min-of-N reps don't accumulate cached class tables for the session
+    # lifetime (the pagerank()/ADVICE-r7 leak class)
     cls = (
         classes.filter(F.col("has_sig"))
         .select("rep", "members", F.col("m").cast("long").alias("m"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    qedges = qedges.select("id_a", "id_b").localCheckpoint(eager=True)
+    # canonicalize defensively — duplicate/reversed rows would double
+    # edge weight in the degree and contribution sums
+    qedges = (
+        qedges.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     w = cls.select(F.col("rep").alias("c"), F.col("m").alias("w"))
     und = (
         qedges.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
@@ -990,12 +1008,27 @@ def triangle_counts_quotient(
     like triangle_counts; False filters triangles > 0.
 
     Inputs as in `link_prediction_quotient`."""
+    # eager localCheckpoint, NOT persist: checkpoint blocks are released
+    # by the ContextCleaner when the frame goes out of scope, so bench
+    # min-of-N reps don't accumulate cached class tables for the session
+    # lifetime (the pagerank()/ADVICE-r7 leak class)
     cls = (
         classes.filter(F.col("has_sig"))
         .select("rep", "members", F.col("m").cast("long").alias("m"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    qedges = qedges.select("id_a", "id_b").localCheckpoint(eager=True)
+    # canonicalize defensively (least/greatest + distinct): the wedge
+    # (c1<c2) semi-join and the expansion identities assume canonical
+    # pairs — a symmetrized/reversed input would silently undercount
+    qedges = (
+        qedges.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     w = cls.select(F.col("rep").alias("c"), F.col("m").alias("w"))
     und = qedges.select(
         F.col("id_a").alias("a"), F.col("id_b").alias("c")
@@ -1072,10 +1105,14 @@ def kcore_peel_quotient(
     scan (2.4B rows at the 100x tier)."""
     if int(n_rounds) < 1:
         raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    # eager localCheckpoint, NOT persist: checkpoint blocks are released
+    # by the ContextCleaner when the frame goes out of scope, so bench
+    # min-of-N reps don't accumulate cached class tables for the session
+    # lifetime (the pagerank()/ADVICE-r7 leak class)
     cls = (
         classes.filter(F.col("has_sig"))
         .select("rep", "members", F.col("m").cast("long").alias("m"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     canon = (
         qedges.select(
@@ -1185,17 +1222,30 @@ def link_prediction_quotient(
     output plus has_sig (class text yields >= 1 token, i.e. it has a
     simhash signature; no-signature classes are isolated and dropped).
     Output schema/ordering identical to `link_prediction`."""
+    # eager localCheckpoint, NOT persist: checkpoint blocks are released
+    # by the ContextCleaner when the frame goes out of scope, so bench
+    # min-of-N reps don't accumulate cached class tables for the session
+    # lifetime (the pagerank()/ADVICE-r7 leak class)
     cls = (
         classes.filter(F.col("has_sig"))
         .select("rep", "members", F.col("m").cast("long").alias("m"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # pin the quotient adjacency: it feeds the degree pass, BOTH wedge
     # sides, and the anti-join — unpinned, the upstream signature
     # pipeline (collapse groupBy + simhash) would re-execute per
     # reference (the same reason _sim_graph/similarity_graph checkpoint
-    # the member-level pair table)
-    qedges = qedges.select("id_a", "id_b").localCheckpoint(eager=True)
+    # the member-level pair table). Canonicalized defensively: the
+    # anti-join and (id_a<id_b) wedge pairs assume canonical input.
+    qedges = (
+        qedges.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     w = cls.select(F.col("rep").alias("c"), F.col("m").alias("w"))
     und = qedges.select(
         F.col("id_a").alias("a"), F.col("id_b").alias("c")

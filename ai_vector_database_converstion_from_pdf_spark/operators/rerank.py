@@ -23,6 +23,11 @@ import math
 import re
 from dataclasses import dataclass, field
 
+# pandas must be a MODULE-level import: the pandas_udf builders below
+# declare `pd.Series` type hints, and with postponed annotation
+# evaluation those strings resolve against module globals at
+# decoration time — a function-local import raises
+# UNSUPPORTED_SIGNATURE.
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 

@@ -229,6 +229,37 @@ def test_vector_collapse_equals_direct(spark):
     assert (900003, 900004) not in got
 
 
+def test_vector_collapse_nonfinite_classes_are_inert(spark):
+    """Duplicated vectors containing inf/NaN must emit NO within-class
+    identity pair: their cosine is NaN in every direct plan. (Review
+    finding: the sq>0 guard alone let inf-norm classes through.)"""
+    from ai_vector_database_converstion_from_pdf_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    inf, nan = float("inf"), float("nan")
+    emb = spark.createDataFrame(
+        [
+            (1, [inf, 0.0, 1.0]),
+            (2, [inf, 0.0, 1.0]),
+            (3, [nan, 1.0, 0.0]),
+            (4, [nan, 1.0, 0.0]),
+            (5, [1.0, 2.0, 3.0]),
+            (6, [1.0, 2.0, 3.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.45, collapse=True
+        ).collect()
+    }
+    assert (1, 2) not in got
+    assert (3, 4) not in got
+    assert got[(5, 6)] == 1.0
+
+
 def test_vector_collapse_auto_keeps_exact_gemm(spark, caplog):
     """On a replica-heavy corpus big enough that the raw FLOP probe
     would pick approximate LSH, collapse='auto' + method='auto' must
