@@ -539,13 +539,19 @@ def bfs_hops(
     pinned pairs. BFS discovers each node first at its true minimum
     level, so the anti-join (not a min-aggregate) is sufficient.
 
-    `edges`: (id_a, id_b) undirected pairs; `seeds`: (id)."""
+    `edges`: (id_a, id_b) undirected pairs; `seeds`: (id), deduplicated
+    here — duplicate seed ids yield ONE hops-0 row, the same contract
+    as bfs_hops_quotient's .distinct() on seeds (ADVICE r10: the two
+    plans must stay output-identical on any input, including dup
+    seeds)."""
     both = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(
         edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
-    dist = seeds.select("id", F.lit(0).cast("long").alias("hops"))
+    dist = seeds.select("id").distinct().select(
+        "id", F.lit(0).cast("long").alias("hops")
+    )
     frontier = dist.select("id")
     for k in range(1, max_hops + 1):
         nxt = (
@@ -800,6 +806,31 @@ def link_prediction(
     )
 
 
+def _quotient_cls(classes: DataFrame) -> DataFrame:
+    """Filter + project + pin the exact-collapse class table for the
+    quotient ops: has_sig classes only, exactly (rep, members, m:long),
+    eagerly localCheckpoint-ed. NOT persist(): checkpoint blocks are
+    released by the ContextCleaner when the frame goes out of scope, so
+    bench min-of-N reps don't accumulate cached class tables for the
+    session lifetime (the pagerank()/ADVICE-r7 leak class).
+
+    Idempotent: a frame already in prepared shape — exactly the columns
+    (rep, members, m) with m bigint, i.e. this function's own output —
+    passes through untouched, so a caller that prepares ONCE
+    (catalog._quotient_graph) shares a single checkpoint across every
+    quotient consumer instead of each op eagerly re-materializing its
+    own copy per invocation (ADVICE r10)."""
+    if classes.columns == ["rep", "members", "m"] and dict(
+        classes.dtypes
+    ).get("m") == "bigint":
+        return classes
+    return (
+        classes.filter(F.col("has_sig"))
+        .select("rep", "members", F.col("m").cast("long").alias("m"))
+        .localCheckpoint(eager=True)
+    )
+
+
 def bfs_hops_quotient(
     qedges: DataFrame,
     classes: DataFrame,
@@ -827,15 +858,7 @@ def bfs_hops_quotient(
     direct plan died materializing it) never exists. Inputs as in
     `link_prediction_quotient`; `seeds` = (id) member-level. Output
     (id, hops), identical to `bfs_hops`."""
-    # eager localCheckpoint, NOT persist: checkpoint blocks are released
-    # by the ContextCleaner when the frame goes out of scope, so bench
-    # min-of-N reps don't accumulate cached class tables for the session
-    # lifetime (the pagerank()/ADVICE-r7 leak class)
-    cls = (
-        classes.filter(F.col("has_sig"))
-        .select("rep", "members", F.col("m").cast("long").alias("m"))
-        .localCheckpoint(eager=True)
-    )
+    cls = _quotient_cls(classes)
     seeds = seeds.select("id").distinct().localCheckpoint(eager=True)
     membership = cls.select(
         "rep", F.explode("members").alias("id")
@@ -887,22 +910,23 @@ def pagerank_quotient(
     EVERY iteration, which absorbs float summation-order noise — the
     quotient's m_C·t versus the member plan's m_C-fold addition of t
     differs at the same ~1e-16 relative scale that contract already
-    absorbs between Spark and the DuckDB oracle recursion.
+    absorbs between Spark and the DuckDB oracle recursion. Tolerated
+    risk bound, NOT a proof (ADVICE r10): the absorption is
+    probabilistic — an iterate landing within ~1e-16·|r| of a .5e-12
+    rounding boundary can round differently from the member-level
+    recursion, after which the two stay exactly one ulp of the rounded
+    grid (1e-12) apart. Any such mismatch is confined to the last
+    rounded digit of isolated rows; none has been observed across the
+    sf0.001/sf0.01 oracle fixtures or the 10x/100x replica tiers (the
+    12-digit member-parity pytest). A consumer needing unconditional
+    oracle equality should compare at round-6 or with 1-ulp tolerance.
 
     Per iteration: one quotient-edge join + one class-sized aggregate,
     instead of a member-edge scan (2.4B rows at the 100x tier).
     Output (id, rank) at member granularity, schema identical to
     `pagerank` consumers' expectations. Inputs as in
     `link_prediction_quotient`."""
-    # eager localCheckpoint, NOT persist: checkpoint blocks are released
-    # by the ContextCleaner when the frame goes out of scope, so bench
-    # min-of-N reps don't accumulate cached class tables for the session
-    # lifetime (the pagerank()/ADVICE-r7 leak class)
-    cls = (
-        classes.filter(F.col("has_sig"))
-        .select("rep", "members", F.col("m").cast("long").alias("m"))
-        .localCheckpoint(eager=True)
-    )
+    cls = _quotient_cls(classes)
     # canonicalize defensively — duplicate/reversed rows would double
     # edge weight in the degree and contribution sums
     qedges = (
@@ -1008,15 +1032,7 @@ def triangle_counts_quotient(
     like triangle_counts; False filters triangles > 0.
 
     Inputs as in `link_prediction_quotient`."""
-    # eager localCheckpoint, NOT persist: checkpoint blocks are released
-    # by the ContextCleaner when the frame goes out of scope, so bench
-    # min-of-N reps don't accumulate cached class tables for the session
-    # lifetime (the pagerank()/ADVICE-r7 leak class)
-    cls = (
-        classes.filter(F.col("has_sig"))
-        .select("rep", "members", F.col("m").cast("long").alias("m"))
-        .localCheckpoint(eager=True)
-    )
+    cls = _quotient_cls(classes)
     # canonicalize defensively (least/greatest + distinct): the wedge
     # (c1<c2) semi-join and the expansion identities assume canonical
     # pairs — a symmetrized/reversed input would silently undercount
@@ -1034,10 +1050,14 @@ def triangle_counts_quotient(
         F.col("id_a").alias("a"), F.col("id_b").alias("c")
     ).unionByName(qedges.select(F.col("id_b").alias("a"), F.col("id_a").alias("c")))
     undw = und.join(F.broadcast(w), "c")
-    # S_A and the inside-one-adjacent-class term in ONE pass
+    # S_A and the inside-one-adjacent-class term in ONE pass. C(w,2) via
+    # shiftright — pure long arithmetic (w*(w-1) is always even), so the
+    # "exact at ANY replica multiplicity" guarantee holds past 2^53,
+    # where a double-division intermediate would silently round
+    # (ADVICE r10).
     agg1 = undw.groupBy("a").agg(
         F.sum("w").alias("s_w"),
-        F.sum(F.col("w") * (F.col("w") - 1) / 2).cast("long").alias("ic_w"),
+        F.sum(F.shiftright(F.col("w") * (F.col("w") - 1), 1)).alias("ic_w"),
     )
     # quotient triangles through center A, weighted m_C*m_D: wedge pairs
     # at the center, semi-verified against the quotient edge set
@@ -1070,7 +1090,7 @@ def triangle_counts_quotient(
     )
     mm = F.col("m") - 1
     tri = (
-        (mm * (mm - 1) / 2).cast("long")
+        F.shiftright(mm * (mm - 1), 1)  # long C(m-1,2), no double round
         + mm * F.col("s_w")
         + F.col("ic_w")
         + F.col("t_w")
@@ -1105,15 +1125,7 @@ def kcore_peel_quotient(
     scan (2.4B rows at the 100x tier)."""
     if int(n_rounds) < 1:
         raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
-    # eager localCheckpoint, NOT persist: checkpoint blocks are released
-    # by the ContextCleaner when the frame goes out of scope, so bench
-    # min-of-N reps don't accumulate cached class tables for the session
-    # lifetime (the pagerank()/ADVICE-r7 leak class)
-    cls = (
-        classes.filter(F.col("has_sig"))
-        .select("rep", "members", F.col("m").cast("long").alias("m"))
-        .localCheckpoint(eager=True)
-    )
+    cls = _quotient_cls(classes)
     canon = (
         qedges.select(
             F.least("id_a", "id_b").alias("u"),
@@ -1222,15 +1234,7 @@ def link_prediction_quotient(
     output plus has_sig (class text yields >= 1 token, i.e. it has a
     simhash signature; no-signature classes are isolated and dropped).
     Output schema/ordering identical to `link_prediction`."""
-    # eager localCheckpoint, NOT persist: checkpoint blocks are released
-    # by the ContextCleaner when the frame goes out of scope, so bench
-    # min-of-N reps don't accumulate cached class tables for the session
-    # lifetime (the pagerank()/ADVICE-r7 leak class)
-    cls = (
-        classes.filter(F.col("has_sig"))
-        .select("rep", "members", F.col("m").cast("long").alias("m"))
-        .localCheckpoint(eager=True)
-    )
+    cls = _quotient_cls(classes)
     # pin the quotient adjacency: it feeds the degree pass, BOTH wedge
     # sides, and the anti-join — unpinned, the upstream signature
     # pipeline (collapse groupBy + simhash) would re-execute per

@@ -205,12 +205,30 @@ def winnowing_matches(
     auto_pair_budget: int = 50_000_000,
     auto_cap: int = 50,
     fp_set: DataFrame | None = None,
+    collapse: bool | str = False,
 ) -> DataFrame:
     """MOSS-style match pairs: (id_a < id_b, n_shared) for document
     pairs sharing >= min_shared winnowing fingerprints — the actual
     plagiarism/boilerplate detector the fingerprints exist for. Since
     any shared substring of length >= k+w-1 chars yields a shared
     fingerprint, n_shared lower-bounds the shared-passage volume.
+
+    `collapse` (False | True | "auto") adds the exact-duplicate
+    collapse pre-stage (dedup._collapsed_family's argument applied to
+    winnowing, VERDICT r10 #2): fingerprints are a pure function of the
+    normalized token stream, hence constant on content-hash classes, so
+    the gram+window pass and the posting build run at UNIQUE-text scale
+    and rep pairs expand back to members. Provably output-identical for
+    any explicit `max_doc_freq` (None or int) INCLUDING the capped
+    mode: a fingerprint's member-level df is Σ m over the classes
+    holding it, computed exactly from the rep-level posting list, so
+    the keep rule (df > 1, df <= cap) resolves identically to the
+    direct plan's. "auto" probes the exact-dup ratio (_collapse_probe);
+    under collapse the max_doc_freq="auto" budget gates the COLLAPSED
+    plan's own rep-level expansion volume, so it may resolve to exact
+    where the direct plan would cap — a strictly-less-under-counting
+    output, not a parity break (parity is per resolved cap). `fp_set`
+    is ignored on the collapsed path (it is member-granularity).
 
     Scale shape: the same posting-list idiom as the n-gram Jaccard
     family — ONE groupBy(wmin) builds the posting lists, the hot cap
@@ -235,8 +253,20 @@ def winnowing_matches(
     the `auto_cap` default applies and the choice is logged with the
     dropped-pair bound — a replica-dense corpus degrades to the capped
     under-count instead of an unbounded pair explosion."""
-    from ..operators.dedup import _sorted_id_pairs
+    from ..operators.dedup import _collapse_requested, _sorted_id_pairs
 
+    if _collapse_requested(collapse, docs, id_col, text_col):
+        return _winnowing_matches_collapsed(
+            docs,
+            min_shared,
+            max_doc_freq,
+            id_col,
+            text_col,
+            k,
+            w,
+            auto_pair_budget,
+            auto_cap,
+        )
     fp = (
         fp_set
         if fp_set is not None
@@ -289,6 +319,115 @@ def winnowing_matches(
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def _winnowing_matches_collapsed(
+    docs: DataFrame,
+    min_shared: int,
+    max_doc_freq: int | None | str,
+    id_col: str,
+    text_col: str,
+    k: int,
+    w: int,
+    auto_pair_budget: int,
+    auto_cap: int,
+) -> DataFrame:
+    """The exact-collapse plan behind winnowing_matches(collapse=...).
+
+    Fingerprints are computed over norm = concat(tokens(text)), which is
+    equal within a content-hash class (exact_collapse_classes), so each
+    member's fingerprint SET equals its rep's. The direct plan's
+    member-level posting frequency of a fingerprint is therefore
+    mdf = Σ m over holding classes — recovered exactly from the
+    rep-level build — and the keep rule (mdf > 1, mdf <= cap) resolves
+    identically. Output reconstruction:
+
+    - cross-class: n_shared(x∈A, y∈B) = |surviving fp(A) ∩ fp(B)| =
+      the rep pair's count — expand via the membership table
+      (dedup._expand_rep_pairs).
+    - within-class: every member pair of a class with m >= 2 shares ALL
+      of the class's surviving fingerprints (each has mdf >= m >= 2, so
+      only the cap can drop them) — n_shared = that per-class count,
+      NOT a constant identity score, which is why this family can't
+      reuse dedup._collapsed_family directly.
+
+    Cost: gram+window+posting at unique-text scale; one extra
+    class-sized aggregate for the within counts."""
+    import logging
+
+    from ..operators.dedup import (
+        _expand_rep_pairs,
+        _sorted_id_pairs,
+        exact_collapse_classes,
+    )
+
+    # eager localCheckpoint, not persist: blocks release on GC, so
+    # repeated bench/stress invocations don't pin class tables forever
+    cls = exact_collapse_classes(docs, id_col, text_col).localCheckpoint(
+        eager=True
+    )
+    reps = cls.select(F.col("rep").alias(id_col), F.col("txt").alias(text_col))
+    fp = winnowing_fingerprint_set(reps, id_col, text_col, k, w)
+    fpm = fp.join(cls.select(F.col("rep").alias("id"), "m"), "id")
+    pl = fpm.groupBy("wmin").agg(
+        F.array_sort(F.collect_list("id")).alias("ids"),
+        F.sum("m").cast("long").alias("mdf"),
+    )
+    if max_doc_freq == "auto":
+        # gate on the COLLAPSED plan's own expansion volume (rep-level
+        # cross pairs + within C(m,2) — what this plan will actually
+        # explode), not the direct plan's member-level bound: collapse
+        # exists precisely because the two differ by the replica factor
+        r = F.size("ids").cast("long")
+        row = pl.agg(
+            F.sum(F.shiftright(r * (r - 1), 1)).alias("cross_vol")
+        ).first()
+        mm = F.col("m").cast("long")
+        wrow = cls.filter(F.col("m") > 1).agg(
+            F.sum(F.shiftright(mm * (mm - 1), 1)).alias("within_vol")
+        ).first()
+        vol = int(row["cross_vol"] or 0) + int(wrow["within_vol"] or 0)
+        if vol <= auto_pair_budget:
+            max_doc_freq = None
+        else:
+            max_doc_freq = auto_cap
+            logging.getLogger(__name__).warning(
+                "winnowing_matches(collapsed) auto-dispatch: expansion "
+                "bound %d exceeds budget %d — applying hot-fingerprint "
+                "cap %d on member-level df",
+                vol,
+                int(auto_pair_budget),
+                auto_cap,
+            )
+    keep = pl.filter(F.col("mdf") > 1)
+    if max_doc_freq is not None:
+        keep = keep.filter(F.col("mdf") <= max_doc_freq)
+    # consumed twice (cross pairs + within counts): pin the surviving
+    # posting lists so the gram/window/posting pipeline runs once
+    keep = keep.localCheckpoint(eager=False)
+    cross_rep = (
+        keep.filter(F.size("ids") > 1)
+        .select(F.explode(_sorted_id_pairs()).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    cross = _expand_rep_pairs(cls, cross_rep)
+    nwin = (
+        keep.select(F.explode("ids").alias("rep"))
+        .groupBy("rep")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    within = (
+        cls.filter(F.col("m") > 1)
+        .join(nwin, "rep")
+        .select(F.col("members").alias("ids"), "n_shared")
+        .select(F.explode(_sorted_id_pairs()).alias("p"), "n_shared")
+        .select("p.id_a", "p.id_b", "n_shared")
+    )
+    return cross.unionByName(within)
 
 
 def winnowing_cap_report(

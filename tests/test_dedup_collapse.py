@@ -345,3 +345,82 @@ def test_collapse_on_fixture_sample(spark):
     direct = _rows(minhash_lsh_pairs(docs, threshold=0.8))
     coll = _rows(minhash_lsh_pairs(docs, threshold=0.8, collapse=True))
     assert coll == direct
+
+
+# --- winnowing collapse (VERDICT r10 #2) ------------------------------------
+
+
+def _winnow(docs, **kw):
+    from ai_vector_database_converstion_from_pdf_spark.operators.textstats import (
+        winnowing_matches,
+    )
+
+    return winnowing_matches(docs, **kw)
+
+
+def test_winnowing_collapse_equals_direct_exact(spark):
+    """Exact mode (max_doc_freq=None): the collapsed plan must emit the
+    same (pair, n_shared) multiset, including within-class pairs whose
+    n_shared is the CLASS fingerprint count (not a constant identity
+    score — the reason this family has its own expansion)."""
+    docs = _corpus(spark)
+    direct = _rows(_winnow(docs, min_shared=2, max_doc_freq=None))
+    coll = _rows(_winnow(docs, min_shared=2, max_doc_freq=None, collapse=True))
+    assert coll == direct
+    assert len(direct) > 0
+    # class A pairs exist with a per-class (not lit) n_shared
+    got = {(a, b): n for a, b, n in direct}
+    assert ("a1", "a2") in got and got[("a1", "a2")] >= 2
+    assert got[("a1", "a2")] == got[("a3", "a4")]
+
+
+def test_winnowing_collapse_equals_direct_capped(spark):
+    """Capped mode: a fingerprint hot ONLY via replicas (class B fp
+    shared with near-dup d1 has member df 4 > cap 3) must be dropped by
+    BOTH plans — the collapsed keep rule resolves on member-level
+    df = Σm, not rep-level df."""
+    docs = _corpus(spark)
+    for cap in (2, 3, 50):
+        direct = _rows(_winnow(docs, min_shared=1, max_doc_freq=cap))
+        coll = _rows(
+            _winnow(docs, min_shared=1, max_doc_freq=cap, collapse=True)
+        )
+        assert coll == direct, f"cap={cap}"
+    # cap=3: B-class fingerprints survive (df=3) so (b1,b2) remains;
+    # every fp shared by B and d1 has df=4 and is dropped, so no
+    # cross pair (b*, d1) survives
+    got = {
+        (a, b)
+        for a, b, _ in _rows(
+            _winnow(docs, min_shared=1, max_doc_freq=3, collapse=True)
+        )
+    }
+    assert ("b1", "b2") in got
+    assert not any(b == "d1" for _, b in got)
+
+
+def test_winnowing_collapse_auto_probe(spark, caplog):
+    """collapse='auto' on the dup-heavy corpus takes the collapsed plan
+    (probe log) and matches direct; max_doc_freq='auto' under collapse
+    resolves to exact on this tiny volume."""
+    import logging
+
+    docs = _corpus(spark)
+    with caplog.at_level(
+        logging.INFO,
+        logger="ai_vector_database_converstion_from_pdf_spark.operators.dedup",
+    ):
+        coll = _rows(
+            _winnow(docs, min_shared=2, max_doc_freq="auto", collapse="auto")
+        )
+    assert any("collapsed plan" in r.message for r in caplog.records)
+    assert coll == _rows(_winnow(docs, min_shared=2, max_doc_freq=None))
+
+
+def test_winnowing_collapse_on_fixture_sample(spark):
+    """sf0.001 documents at the catalog entry's parameters: collapse
+    parity on real fixture data (singleton-heavy shape)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    direct = _rows(_winnow(docs, min_shared=40, max_doc_freq=50))
+    coll = _rows(_winnow(docs, min_shared=40, max_doc_freq=50, collapse=True))
+    assert coll == direct

@@ -19,8 +19,36 @@ Replication preserves every column and the fixtures' join structure:
   replica near-cliques, deliberately tripping the Sigma-deg^2 / FLOP
   auto-dispatch gates so the sweep logs which operators switch.
 
+--mixed (VERDICT r10 #1): the replica tiers above are 90-99% EXACT
+duplicates — precisely the corpus shape the exact-collapse pre-stage
+trivializes. Real crawls run 30-50% exact-dup with paraphrase-level
+near-dups collapse CANNOT shrink. --mixed keeps only `--exact-frac`%
+of each doc's replicas verbatim (plus replica 0, the original; a
+tenth of the verbatim ones are upper-cased — still the same
+content-hash class, exercising collapse normalization) and mutates the
+rest with deterministic hash-driven token noise:
+
+  ~2% of tokens get a trailing-char typo, ~2% are deleted, ~1% gain an
+  inserted token — ≈5% token-level edit rate, the paraphrase band where
+  MinHash/SimHash/shingle-Jaccard candidates are genuinely near (not
+  identical) and the banded joins must do real verification work at a
+  unique-text scale ~(1-exact_frac)·mult times the base corpus.
+
+Embeddings get the sibling treatment at `--vec-exact-frac` (default 10:
+exact vector duplication is rarer than text duplication in real
+pipelines — fp noise): non-exact replicas perturb ~5% of coordinates by
+~2%, so cosine stays ~0.999 (still a near-dup for the 0.45-threshold
+family) while exact-equality vector collapse finds a unique-heavy
+corpus and the FLOP probes dispatch the DIRECT plans — the mixed tier
+exercises the probes choosing BOTH ways (text: collapsed; vector:
+direct).
+
+All mutations are keyed on xxhash64(original id, replica, position) —
+fully deterministic, no RNG state, reproducible across runs/partitions.
+
 Usage: python tools/make_stress_fixture.py [--mult 10]
            [--src /root/testdata/sf0.1] [--out /tmp/sf1]
+           [--mixed] [--exact-frac 40] [--vec-exact-frac 10]
 Then:  SPARK_GRAFT_SF_DIR=/tmp/sf1 python bench.py
 """
 
@@ -48,11 +76,83 @@ SHIFT_COLS = {
 }
 
 
+def _mixed_text(F, exact_frac: int):
+    """Column: paraphrase-mutated `text` for non-exact replicas.
+
+    Decision and every per-token draw key on (doc_id, _rep, pos, tag)
+    through xxhash64 — deterministic and partition-independent."""
+
+    def h(tag, *extra):
+        return F.pmod(
+            F.xxhash64(F.col("doc_id"), F.col("_rep"), F.lit(tag), *extra),
+            F.lit(100),
+        )
+
+    is_exact = (F.col("_rep") == 0) | (h(1) < F.lit(exact_frac))
+    # a tenth of the verbatim replicas upper-case: same content-hash
+    # class (md5(lower(trim(text)))), different raw bytes
+    cased = F.when(
+        (F.col("_rep") > 0) & (h(9) < F.lit(exact_frac // 4)),
+        F.upper(F.col("text")),
+    ).otherwise(F.col("text"))
+    ts = F.split(F.col("text"), r"\s+")
+    mut = F.transform(
+        ts,
+        lambda t, i: F.when(h(2, i) < F.lit(2), F.concat(t, F.lit("x")))
+        .when(h(3, i) < F.lit(2), F.lit(""))
+        .otherwise(t),
+    )
+    withins = F.flatten(
+        F.transform(
+            mut,
+            lambda t, i: F.when(
+                h(4, i) < F.lit(1),
+                F.array(
+                    t,
+                    F.concat(
+                        F.lit("zz"),
+                        F.pmod(
+                            F.xxhash64(F.col("doc_id"), F.col("_rep"), i),
+                            F.lit(50),
+                        ).cast("string"),
+                    ),
+                ),
+            ).otherwise(F.array(t)),
+        )
+    )
+    mutated = F.array_join(
+        F.filter(withins, lambda t: t != F.lit("")), " "
+    )
+    return F.when(is_exact, cased).otherwise(mutated)
+
+
+def _mixed_vec(F, vec_exact_frac: int):
+    """Column: perturbed `embedding` for non-exact replicas — ~5% of
+    coordinates scaled by 1.02 + 0.003 shift (cosine ~0.999: a
+    near-dup, not an exact dup)."""
+    is_exact = (F.col("_rep") == 0) | (
+        F.pmod(F.xxhash64(F.col("vec_id"), F.col("_rep"), F.lit(1)), F.lit(100))
+        < F.lit(vec_exact_frac)
+    )
+    pert = F.transform(
+        F.col("embedding"),
+        lambda v, i: F.when(
+            F.pmod(F.xxhash64(F.col("vec_id"), F.col("_rep"), i), F.lit(20))
+            == 0,
+            (v * F.lit(1.02) + F.lit(0.003)).cast("float"),
+        ).otherwise(v),
+    )
+    return F.when(is_exact, F.col("embedding")).otherwise(pert)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/sf1")
+    ap.add_argument("--mixed", action="store_true")
+    ap.add_argument("--exact-frac", type=int, default=40)
+    ap.add_argument("--vec-exact-frac", type=int, default=10)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -72,7 +172,17 @@ def main() -> None:
         # reads them, so the scaled fixture is plain micros
         df = load_events(spark, args.src) if table == "events" else spark.read.parquet(src)
         if keys:
-            df = df.crossJoin(F.broadcast(reps)).select(
+            df = df.crossJoin(F.broadcast(reps))
+            # mutate BEFORE shifting: mutation draws key on the
+            # ORIGINAL id so every replica of a doc draws its own
+            # independent noise
+            if args.mixed and table == "documents":
+                df = df.withColumn("text", _mixed_text(F, args.exact_frac))
+            if args.mixed and table == "embeddings":
+                df = df.withColumn(
+                    "embedding", _mixed_vec(F, args.vec_exact_frac)
+                )
+            df = df.select(
                 *[
                     (F.col(c) + F.col("_rep") * OFFSET).cast("long").alias(c)
                     if c in keys

@@ -288,7 +288,19 @@ EXPECT = {
         "!MapInPandas",
     ],
     # link prediction downstream of the checkpointed pair scan: wedge
-    # self-join + anti-join + degree joins, top-k without global sort
+    # self-join + anti-join + degree joins, top-k without global sort.
+    # DELIBERATE exemption (VERDICT r10): this is the ONE catalog query
+    # allowed both a SortMergeJoin and an unpushed filter. The wedge
+    # self-join is legitimately large-large (both sides are the Σdeg²
+    # pair stream — no broadcastable side exists by construction, and
+    # the volume is already bounded upstream by the Σdeg² wedge budget
+    # probe / center_cap in common_neighbor_counts), and the
+    # non-adjacency anti-join predicate cannot push into the parquet
+    # scan because it references the join output, not a base column.
+    # If a future regression adds a SMJ anywhere ELSE in this plan it
+    # will still surface here: the expectation below pins TakeOrdered +
+    # no-cartesian + no-pandas, and PLANS.md records Exchange counts
+    # per round for drift review.
     "graph_link_prediction": [
         "TakeOrderedAndProject",
         "!MapInPandas",
