@@ -117,6 +117,7 @@ HEADLINE = [
     "events_zorder_key",
     "source_psi_drift",
     "graph_label_propagation",
+    "graph_label_propagation_curated",
     "events_decayed_engagement",
     "unpivot_status_qty",
     "events_value_winsorized",

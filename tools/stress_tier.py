@@ -7,9 +7,19 @@ timing one full materialization (count) each, and prints ONE JSON line
 {"sf_dir":..., "queries": {name: {"sec":..., "rows":...}}} for
 BASELINE.md bookkeeping.
 
+--fresh-session (VERDICT r10 #6): restart the SparkSession (new app id)
+before EVERY query. The session-memoized shared builds in catalog.py
+(_sim_graph, _ngram_pairs, _quotient_graph, ... — keyed on app id) then
+rebuild per query, so each number is the query's STANDALONE cost: the
+shared-session sweep's per-query ratios understate consumers of a
+memoized build (a 0.09 s "dedup_ngram_jaccard" is a cache read). Use
+the default shared session for pipeline accounting (materialize once,
+analyze many) and --fresh-session for per-query comparisons.
+
 Usage:
   python tools/stress_tier.py --sf-dir /tmp/sf10 [--cpus 32] q1 q2 ...
   python tools/stress_tier.py --sf-dir /tmp/sf1 --all-dedup
+  python tools/stress_tier.py --sf-dir /tmp/sf1 --fresh-session q1 q2
 """
 
 from __future__ import annotations
@@ -35,6 +45,7 @@ def main(argv=None) -> int:
     ap.add_argument("--sf-dir", required=True)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--all-dedup", action="store_true")
+    ap.add_argument("--fresh-session", action="store_true")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args(argv)
 
@@ -54,7 +65,12 @@ def main(argv=None) -> int:
 
     spark = get_spark("stress_tier", cpus=args.cpus)
     out = {}
-    for name in names:
+    for i, name in enumerate(names):
+        if args.fresh_session and i > 0:
+            # new JVM app id -> every catalog memo cache misses; the
+            # next query pays its own shared-build cost
+            spark.stop()
+            spark = get_spark(f"stress_tier_{i}", cpus=args.cpus)
         t0 = time.time()
         try:
             rows = qs[name](spark, args.sf_dir).count()
@@ -65,7 +81,10 @@ def main(argv=None) -> int:
                 "error": f"{type(e).__name__}: {e}"[:200],
             }
         print(f"{name}: {out[name]}", file=sys.stderr, flush=True)
-    print(json.dumps({"sf_dir": args.sf_dir, "queries": out}))
+    payload = {"sf_dir": args.sf_dir, "queries": out}
+    if args.fresh_session:
+        payload["mode"] = "fresh-session-per-query"
+    print(json.dumps(payload))
     return 0
 
 
