@@ -831,6 +831,83 @@ def _quotient_cls(classes: DataFrame) -> DataFrame:
     )
 
 
+def _pin_qedges(qedges: DataFrame, canonical: bool) -> DataFrame:
+    """Canonicalize + pin the quotient adjacency — or trust the caller.
+
+    canonical=True asserts the input is already (id_a < id_b), distinct,
+    and PINNED (persisted/checkpointed) — the catalog's _quotient_graph
+    shape — and returns it untouched. The default (False) keeps the
+    defensive canonicalize-and-checkpoint for standalone callers.
+
+    Why the flag exists (mixed-100x finding): on a paraphrase-dense
+    corpus the quotient adjacency is itself ~1e8 rows; the defensive
+    re-distinct + eager localCheckpoint per op re-materialized it as
+    DESERIALIZED in-memory values (MemoryStore.putIteratorAsValues) and
+    OOM'd the JVM — the caller's one serialized-columnar persist must
+    be the only pin."""
+    if canonical:
+        return qedges
+    return (
+        qedges.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+def _quotient_wedge_cap(
+    qedges: DataFrame, auto_wedge_budget: float, op_name: str
+) -> int | None:
+    """Σdeg² probe on the QUOTIENT adjacency → None (exact) or a center
+    cap (logged) — the member-level center_cap="auto" idiom applied to
+    the quotient wedge stage. The replica tiers justified "the quotient
+    is small" (collapse shrinks replica cliques to single nodes), but a
+    MIXED corpus with paraphrase-level near-dups has a dense quotient —
+    the mixed-100x fixture's is ~1e8 edges with Σdeg² ~1e11 — so the
+    quotient wedge joins need the same budget gate as their member
+    siblings. Capped mode keeps every edge-linear term exact and makes
+    only the wedge-derived term an honest lower bound at hubs (the
+    common_neighbor_counts contract)."""
+    _, sdeg2, n_nodes = wedge_probe(qedges)
+    if sdeg2 > auto_wedge_budget and n_nodes > 0:
+        cap = max(2, int((auto_wedge_budget / n_nodes) ** 0.5))
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s auto-dispatch: quotient wedge bound sum(deg^2)=%.3g "
+            "exceeds budget %.3g — capping centers at %d neighbors "
+            "(wedge-derived scores become lower bounds at hubs)",
+            op_name,
+            float(sdeg2),
+            float(auto_wedge_budget),
+            cap,
+        )
+        return cap
+    return None
+
+
+def _cap_by_center(
+    df: DataFrame, center: str, other: str, cap: int, salt: str
+) -> DataFrame:
+    """Deterministic per-center adjacency cap: keep `cap` rows per
+    `center`, chosen by a partition-independent stable hash with
+    `other` as tie-break — the same pick rule as
+    common_neighbor_counts' capped mode, so capped quotient and capped
+    member plans degrade identically."""
+    pick = Window.partitionBy(center).orderBy(
+        F.xxhash64(F.concat_ws(":", F.lit(salt), F.col(center), F.col(other))),
+        F.col(other),
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
 def bfs_hops_quotient(
     qedges: DataFrame,
     classes: DataFrame,
@@ -895,6 +972,7 @@ def pagerank_quotient(
     damping: float = 0.85,
     n_iter: int = 5,
     round_digits: int = 12,
+    canonical: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank of a member-expanded similarity graph,
     iterated on its weighted quotient — members of an exact-duplicate
@@ -927,17 +1005,9 @@ def pagerank_quotient(
     `pagerank` consumers' expectations. Inputs as in
     `link_prediction_quotient`."""
     cls = _quotient_cls(classes)
-    # canonicalize defensively — duplicate/reversed rows would double
-    # edge weight in the degree and contribution sums
-    qedges = (
-        qedges.select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
-        )
-        .filter(F.col("id_a") != F.col("id_b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # canonical=False canonicalizes defensively — duplicate/reversed
+    # rows would double edge weight in the degree and contribution sums
+    qedges = _pin_qedges(qedges, canonical)
     w = cls.select(F.col("rep").alias("c"), F.col("m").alias("w"))
     und = (
         qedges.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
@@ -1009,6 +1079,8 @@ def triangle_counts_quotient(
     qedges: DataFrame,
     classes: DataFrame,
     with_degrees: bool = False,
+    canonical: bool = False,
+    auto_wedge_budget: float | None = AUTO_WEDGE_BUDGET,
 ) -> DataFrame:
     """EXACT per-node triangle participation over a member-expanded
     similarity graph, computed on its weighted quotient (see
@@ -1031,20 +1103,21 @@ def triangle_counts_quotient(
     (id, triangles, deg) superset over all nodes with deg >= 1, exactly
     like triangle_counts; False filters triangles > 0.
 
+    The wedge stage is Σdeg²-gated on the QUOTIENT (`auto_wedge_budget`;
+    None forces exact): a paraphrase-dense corpus has a dense quotient
+    (mixed-100x: ~1e8 qedges, Σdeg² ~1e11), so over budget each
+    center's adjacency caps (deterministic hash, logged) and the
+    quotient-triangle term t_w becomes an honest lower bound at hubs —
+    the edge-linear terms stay exact. `canonical=True` asserts
+    pre-canonicalized, pinned qedges (see _pin_qedges).
+
     Inputs as in `link_prediction_quotient`."""
     cls = _quotient_cls(classes)
-    # canonicalize defensively (least/greatest + distinct): the wedge
-    # (c1<c2) semi-join and the expansion identities assume canonical
-    # pairs — a symmetrized/reversed input would silently undercount
-    qedges = (
-        qedges.select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
-        )
-        .filter(F.col("id_a") != F.col("id_b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # canonical=False canonicalizes defensively (least/greatest +
+    # distinct): the wedge (c1<c2) semi-join and the expansion
+    # identities assume canonical pairs — a symmetrized/reversed input
+    # would silently undercount
+    qedges = _pin_qedges(qedges, canonical)
     w = cls.select(F.col("rep").alias("c"), F.col("m").alias("w"))
     und = qedges.select(
         F.col("id_a").alias("a"), F.col("id_b").alias("c")
@@ -1060,9 +1133,20 @@ def triangle_counts_quotient(
         F.sum(F.shiftright(F.col("w") * (F.col("w") - 1), 1)).alias("ic_w"),
     )
     # quotient triangles through center A, weighted m_C*m_D: wedge pairs
-    # at the center, semi-verified against the quotient edge set
-    x = undw.select("a", F.col("c").alias("c1"), F.col("w").alias("w1"))
-    y = undw.select("a", F.col("c").alias("c2"), F.col("w").alias("w2"))
+    # at the center, semi-verified against the quotient edge set. The
+    # wedge stage alone is Σdeg²-gated (auto_wedge_budget=None forces
+    # exact): over budget, each center's adjacency list caps and ONLY
+    # t_w undercounts at hubs — every edge-linear term (s_w, ic_w, deg,
+    # the within-class C(m-1,2)) stays exact.
+    wedge_src = undw
+    if auto_wedge_budget is not None:
+        cap = _quotient_wedge_cap(
+            qedges, auto_wedge_budget, "triangle_counts_quotient"
+        )
+        if cap is not None:
+            wedge_src = _cap_by_center(undw, "a", "c", cap, "tq")
+    x = wedge_src.select("a", F.col("c").alias("c1"), F.col("w").alias("w1"))
+    y = wedge_src.select("a", F.col("c").alias("c2"), F.col("w").alias("w2"))
     tA = (
         x.join(y, "a")
         .filter(F.col("c1") < F.col("c2"))
@@ -1111,6 +1195,7 @@ def kcore_peel_quotient(
     classes: DataFrame,
     k: int = 3,
     n_rounds: int = 3,
+    canonical: bool = False,
 ) -> DataFrame:
     """Fixed-round k-core peeling on the weighted quotient — members of
     an exact-duplicate class share their degree, so they peel in the
@@ -1126,14 +1211,8 @@ def kcore_peel_quotient(
     if int(n_rounds) < 1:
         raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
     cls = _quotient_cls(classes)
-    canon = (
-        qedges.select(
-            F.least("id_a", "id_b").alias("u"),
-            F.greatest("id_a", "id_b").alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    canon = _pin_qedges(qedges, canonical).select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
     )
 
     def _deg(alive_cls, alive_e):
@@ -1202,6 +1281,8 @@ def link_prediction_quotient(
     qedges: DataFrame,
     classes: DataFrame,
     top_k: int = 50,
+    canonical: bool = False,
+    auto_wedge_budget: float | None = AUTO_WEDGE_BUDGET,
 ) -> DataFrame:
     """EXACT link prediction over a member-expanded similarity graph,
     computed on its WEIGHTED QUOTIENT — the exact-collapse answer to
@@ -1233,23 +1314,26 @@ def link_prediction_quotient(
     `classes` (rep, members, m, has_sig) — `exact_collapse_classes`
     output plus has_sig (class text yields >= 1 token, i.e. it has a
     simhash signature; no-signature classes are isolated and dropped).
-    Output schema/ordering identical to `link_prediction`."""
+    Output schema/ordering identical to `link_prediction`.
+
+    EXACT holds when the QUOTIENT's Σdeg² is under `auto_wedge_budget`
+    (always true on replica-dense corpora, where collapse shrinks dup
+    cliques to single nodes). A paraphrase-dense corpus keeps a dense
+    quotient (mixed-100x: Σdeg² ~1e11), so over budget the wedge stage
+    caps per-center adjacency (deterministic hash, logged) and cn /
+    jaccard become honest lower bounds at hubs — exactly the
+    member-level `link_prediction(center_cap="auto")` degradation.
+    None forces exact. `canonical=True` asserts pre-canonicalized,
+    pinned qedges (_pin_qedges)."""
     cls = _quotient_cls(classes)
     # pin the quotient adjacency: it feeds the degree pass, BOTH wedge
     # sides, and the anti-join — unpinned, the upstream signature
     # pipeline (collapse groupBy + simhash) would re-execute per
     # reference (the same reason _sim_graph/similarity_graph checkpoint
-    # the member-level pair table). Canonicalized defensively: the
-    # anti-join and (id_a<id_b) wedge pairs assume canonical input.
-    qedges = (
-        qedges.select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
-        )
-        .filter(F.col("id_a") != F.col("id_b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # the member-level pair table). canonical=False canonicalizes
+    # defensively: the anti-join and (id_a<id_b) wedge pairs assume
+    # canonical input; canonical=True trusts the caller's pin.
+    qedges = _pin_qedges(qedges, canonical)
     w = cls.select(F.col("rep").alias("c"), F.col("m").alias("w"))
     und = qedges.select(
         F.col("id_a").alias("a"), F.col("id_b").alias("c")
@@ -1269,8 +1353,21 @@ def link_prediction_quotient(
             .alias("degw"),
         )
     )
-    x = undw.select("c", F.col("a").alias("id_a"), "w")
-    y = und.select("c", F.col("a").alias("id_b"))
+    # wedge stage keyed at the common-neighbor center c — Σdeg²-gated
+    # on the quotient (auto_wedge_budget=None forces exact): over
+    # budget each center's adjacency caps and cn/jaccard become honest
+    # lower bounds at hubs (degw denominators stay FULL-graph exact,
+    # the member-level capped-mode rule)
+    wedge_und, wedge_undw = und, undw
+    if auto_wedge_budget is not None:
+        cap = _quotient_wedge_cap(
+            qedges, auto_wedge_budget, "link_prediction_quotient"
+        )
+        if cap is not None:
+            wedge_und = _cap_by_center(und, "c", "a", cap, "lpq")
+            wedge_undw = wedge_und.join(F.broadcast(w), "c")
+    x = wedge_undw.select("c", F.col("a").alias("id_a"), "w")
+    y = wedge_und.select("c", F.col("a").alias("id_b"))
     cnw = (
         x.join(y, "c")
         .filter(F.col("id_a") < F.col("id_b"))

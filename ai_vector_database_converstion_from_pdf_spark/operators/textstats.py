@@ -165,13 +165,24 @@ def winnowing_fingerprint_set(
     w: int = WINNOW_W,
 ) -> DataFrame:
     """The raw (id, wmin) fingerprint rows behind winnowing_fingerprints
-    — the joinable form for pair matching."""
+    — the joinable form for pair matching.
+
+    The id-hash repartition BEFORE the gram explode is deliberate: the
+    window stage requires hashpartitioning(id) anyway, so moving the
+    exchange above the explode relocates (not adds) the shuffle — it
+    ships the compact normalized text instead of the ~len-per-doc
+    exploded gram rows, and the CPU-heavy gram+hash pass then runs at
+    full shuffle parallelism instead of at the parquet split count
+    (the mixed-100x sweep saw a 5-split scan serialize 500k docs of
+    hashing into one straggler task)."""
     from pyspark.sql import Window
 
     from ..operators.dedup import shingle_base_hash
 
     norm = F.array_join(tokens(F.col(text_col)), "")
-    base = docs.select(F.col(id_col).alias("id"), norm.alias("_norm"))
+    base = docs.select(F.col(id_col).alias("id"), norm.alias("_norm")).repartition(
+        F.col("id")
+    )
     grams = base.select(
         "id",
         F.length("_norm").alias("_len"),

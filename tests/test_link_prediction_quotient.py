@@ -238,3 +238,60 @@ def test_quotient_on_unique_corpus_degenerates(spark):
     want = _rows(link_prediction(edges, top_k=50, center_cap=None))
     got = _rows(_quotient(docs, top_k=50))
     assert got == want
+
+
+def test_quotient_wedge_cap_is_honest_lower_bound(spark, caplog):
+    """The mixed-tier Σdeg² gate (r11): a tiny forced budget caps the
+    quotient wedge stage — capped triangles are per-node lower bounds
+    of the exact counts (edge-linear terms stay exact, only t_w drops),
+    capped link-pred scores survive as a subset-consistent lower-bound
+    ranking, and the switch is logged. Default budget on this small
+    graph stays exact (probe under budget -> byte-identical)."""
+    import logging
+
+    docs = _replicated_fixture_docs(spark, 3)
+    cls, qedges = _cls_and_qedges(docs)
+
+    exact = {
+        r["id"]: (r["triangles"], r["deg"])
+        for r in triangle_counts_quotient(
+            qedges, cls, with_degrees=True
+        ).collect()
+    }
+    # default budget: probe stays under -> identical to budget=None
+    assert exact == {
+        r["id"]: (r["triangles"], r["deg"])
+        for r in triangle_counts_quotient(
+            qedges, cls, with_degrees=True, auto_wedge_budget=None
+        ).collect()
+    }
+    with caplog.at_level(
+        logging.WARNING,
+        logger="ai_vector_database_converstion_from_pdf_spark.operators.graph",
+    ):
+        capped = {
+            r["id"]: (r["triangles"], r["deg"])
+            for r in triangle_counts_quotient(
+                qedges, cls, with_degrees=True, auto_wedge_budget=10.0
+            ).collect()
+        }
+    assert any("triangle_counts_quotient auto-dispatch" in r.message
+               for r in caplog.records)
+    assert set(capped) == set(exact)  # same node universe
+    for nid, (tri, deg) in capped.items():
+        etri, edeg = exact[nid]
+        assert deg == edeg          # degrees stay exact
+        assert tri <= etri          # wedge term only ever undercounts
+    assert any(capped[n][0] < exact[n][0] for n in exact)  # cap actually bit
+
+    lp_exact = link_prediction_quotient(qedges, cls, top_k=20).collect()
+    lp_capped = link_prediction_quotient(
+        qedges, cls, top_k=20, auto_wedge_budget=10.0
+    ).collect()
+    ex = {(r["id_a"], r["id_b"]): r["cn"] for r in lp_exact}
+    for r in lp_capped:
+        key = (r["id_a"], r["id_b"])
+        if key in ex:
+            assert r["cn"] <= ex[key]  # lower bound where comparable
+        # full-graph degrees never capped
+        assert r["deg_a"] > 0 and r["deg_b"] > 0
