@@ -12,6 +12,7 @@ propagation without the dependency)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.storagelevel import StorageLevel
 
 # THE wedge budget: the Σdeg² bound above which exact wedge generation
 # is replaced by capping (common_neighbor_counts/link_prediction) or
@@ -847,6 +848,8 @@ def _pin_qedges(qedges: DataFrame, canonical: bool) -> DataFrame:
     be the only pin."""
     if canonical:
         return qedges
+    # serialized blocks (MEMORY_AND_DISK; the deserialized default is
+    # the OOM class above), still ContextCleaner-released on GC
     return (
         qedges.select(
             F.least("id_a", "id_b").alias("id_a"),
@@ -854,7 +857,7 @@ def _pin_qedges(qedges: DataFrame, canonical: bool) -> DataFrame:
         )
         .filter(F.col("id_a") != F.col("id_b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
 
 
@@ -1250,13 +1253,19 @@ def kcore_peel_quotient(
         alive_cls = alive_cls.join(peeled, "rep", "left_anti").localCheckpoint(
             eager=True
         )
+        # edge-sized per-round pin: SERIALIZED blocks — the default
+        # deserialized checkpoint of a ~1e8-row alive edge set OOM'd
+        # the heap on the mixed 100x tier (kcore was the one quotient
+        # op still checkpointing edge-sized frames per round)
         alive_e = (
             alive_e.join(
                 peeled.select(F.col("rep").alias("u")), "u", "left_anti"
             )
             .join(peeled.select(F.col("rep").alias("v")), "v", "left_anti")
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
         )
     survivors = _deg(alive_cls, alive_e).select(
         "rep",
@@ -1401,8 +1410,13 @@ def link_prediction_quotient(
             ),
         )
         # referenced twice below (boundary probe + kept filter): pin so
-        # the Σdeg² wedge aggregate runs once
-        .localCheckpoint(eager=True)
+        # the Σdeg² wedge aggregate runs once. SERIALIZED blocks: this
+        # frame is candidate-pair-sized (bounded by the wedge budget,
+        # still ~1e8-row territory on a dense quotient) — the
+        # deserialized default is the mixed-100x OOM class
+        .localCheckpoint(
+            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
     )
     # expand ONLY the class pairs that can reach the member-level top-k:
     # every member row inherits its class pair's (jaccard, cn) key, and
