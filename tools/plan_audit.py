@@ -144,6 +144,14 @@ EXPECT = {
     # returned frame is the final round's eager localCheckpoint scan
     # (per-round lineage cut — the CC/PageRank idiom); no UDF anywhere
     "graph_label_propagation": ["!MapInPandas", "!ArrowEvalPython"],
+    # post-dedup LPA composition: resolution keep-set and per-round
+    # label frames are checkpointed upstream, so the audited plan is
+    # the final round's joins + orderBy — no Python stage anywhere
+    "graph_label_propagation_curated": [
+        "!MapInPandas",
+        "!ArrowEvalPython",
+        "!CartesianProduct",
+    ],
     # map-side decay terms + ONE user agg + TakeOrdered — no join/window
     "events_decayed_engagement": ["TakeOrderedAndProject", "!SortMergeJoin", "!BroadcastHashJoin", "!Window"],
     # Expand-based wide->long — no join, no UDF
