@@ -807,7 +807,7 @@ def link_prediction(
     )
 
 
-def _quotient_cls(classes: DataFrame) -> DataFrame:
+def _quotient_cls(classes: DataFrame, prepared: bool = False) -> DataFrame:
     """Filter + project + pin the exact-collapse class table for the
     quotient ops: has_sig classes only, exactly (rep, members, m:long),
     eagerly localCheckpoint-ed. NOT persist(): checkpoint blocks are
@@ -815,15 +815,25 @@ def _quotient_cls(classes: DataFrame) -> DataFrame:
     bench min-of-N reps don't accumulate cached class tables for the
     session lifetime (the pagerank()/ADVICE-r7 leak class).
 
-    Idempotent: a frame already in prepared shape — exactly the columns
-    (rep, members, m) with m bigint, i.e. this function's own output —
-    passes through untouched, so a caller that prepares ONCE
-    (catalog._quotient_graph) shares a single checkpoint across every
+    `prepared=True` is the EXPLICIT caller assertion that `classes` is
+    this function's own output (a caller that prepares ONCE —
+    catalog._quotient_graph — shares a single checkpoint across every
     quotient consumer instead of each op eagerly re-materializing its
-    own copy per invocation (ADVICE r10)."""
-    if classes.columns == ["rep", "members", "m"] and dict(
-        classes.dtypes
-    ).get("m") == "bigint":
+    own copy per invocation, ADVICE r10). The shape is still verified
+    and a mismatch raises — but the old structural duck-typing is gone:
+    a 3-column class table that merely LOOKS prepared (never
+    has_sig-filtered, never pinned) no longer silently skips the
+    isolation filter, which would have treated isolated no-signature
+    classes as internal cliques (ADVICE r11)."""
+    if prepared:
+        if classes.columns != ["rep", "members", "m"] or dict(
+            classes.dtypes
+        ).get("m") != "bigint":
+            raise ValueError(
+                "prepared=True asserts _quotient_cls-shaped input "
+                "(rep, members, m:bigint), got "
+                f"{classes.dtypes!r}"
+            )
         return classes
     return (
         classes.filter(F.col("has_sig"))
@@ -916,6 +926,7 @@ def bfs_hops_quotient(
     classes: DataFrame,
     seeds: DataFrame,
     max_hops: int = 4,
+    prepared: bool = False,
 ) -> DataFrame:
     """Multi-source BFS of a member-expanded similarity graph, levelled
     on the quotient. A member path s→…→y induces a class walk of the
@@ -937,8 +948,9 @@ def bfs_hops_quotient(
     member-level edge table (2.4B rows at the 100x tier, where the
     direct plan died materializing it) never exists. Inputs as in
     `link_prediction_quotient`; `seeds` = (id) member-level. Output
-    (id, hops), identical to `bfs_hops`."""
-    cls = _quotient_cls(classes)
+    (id, hops), identical to `bfs_hops`. `prepared=True` asserts
+    catalog-prepared classes (see _quotient_cls)."""
+    cls = _quotient_cls(classes, prepared)
     seeds = seeds.select("id").distinct().localCheckpoint(eager=True)
     membership = cls.select(
         "rep", F.explode("members").alias("id")
@@ -976,6 +988,7 @@ def pagerank_quotient(
     n_iter: int = 5,
     round_digits: int = 12,
     canonical: bool = False,
+    prepared: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank of a member-expanded similarity graph,
     iterated on its weighted quotient — members of an exact-duplicate
@@ -1006,8 +1019,9 @@ def pagerank_quotient(
     instead of a member-edge scan (2.4B rows at the 100x tier).
     Output (id, rank) at member granularity, schema identical to
     `pagerank` consumers' expectations. Inputs as in
-    `link_prediction_quotient`."""
-    cls = _quotient_cls(classes)
+    `link_prediction_quotient`; `prepared=True` asserts
+    catalog-prepared classes (see _quotient_cls)."""
+    cls = _quotient_cls(classes, prepared)
     # canonical=False canonicalizes defensively — duplicate/reversed
     # rows would double edge weight in the degree and contribution sums
     qedges = _pin_qedges(qedges, canonical)
@@ -1084,6 +1098,8 @@ def triangle_counts_quotient(
     with_degrees: bool = False,
     canonical: bool = False,
     auto_wedge_budget: float | None = AUTO_WEDGE_BUDGET,
+    prepared: bool = False,
+    wedge_cap: int | None | str = "probe",
 ) -> DataFrame:
     """EXACT per-node triangle participation over a member-expanded
     similarity graph, computed on its weighted quotient (see
@@ -1112,10 +1128,16 @@ def triangle_counts_quotient(
     center's adjacency caps (deterministic hash, logged) and the
     quotient-triangle term t_w becomes an honest lower bound at hubs —
     the edge-linear terms stay exact. `canonical=True` asserts
-    pre-canonicalized, pinned qedges (see _pin_qedges).
+    pre-canonicalized, pinned qedges (see _pin_qedges); `prepared=True`
+    asserts catalog-prepared classes (_quotient_cls); `wedge_cap`
+    accepts a PRE-PROBED verdict (int cap or None=exact) from a caller
+    that memoized the Σdeg² probe alongside the qedges pin
+    (catalog._quotient_graph) so repeat invocations skip the eager
+    wedge_probe aggregate (ADVICE r11) — the default "probe" keeps the
+    standalone per-call probe.
 
     Inputs as in `link_prediction_quotient`."""
-    cls = _quotient_cls(classes)
+    cls = _quotient_cls(classes, prepared)
     # canonical=False canonicalizes defensively (least/greatest +
     # distinct): the wedge (c1<c2) semi-join and the expansion
     # identities assume canonical pairs — a symmetrized/reversed input
@@ -1143,8 +1165,12 @@ def triangle_counts_quotient(
     # the within-class C(m-1,2)) stays exact.
     wedge_src = undw
     if auto_wedge_budget is not None:
-        cap = _quotient_wedge_cap(
-            qedges, auto_wedge_budget, "triangle_counts_quotient"
+        cap = (
+            _quotient_wedge_cap(
+                qedges, auto_wedge_budget, "triangle_counts_quotient"
+            )
+            if wedge_cap == "probe"
+            else wedge_cap
         )
         if cap is not None:
             wedge_src = _cap_by_center(undw, "a", "c", cap, "tq")
@@ -1199,6 +1225,7 @@ def kcore_peel_quotient(
     k: int = 3,
     n_rounds: int = 3,
     canonical: bool = False,
+    prepared: bool = False,
 ) -> DataFrame:
     """Fixed-round k-core peeling on the weighted quotient — members of
     an exact-duplicate class share their degree, so they peel in the
@@ -1210,10 +1237,11 @@ def kcore_peel_quotient(
     rule as the member-level op. Output (id, peel_round, deg_final),
     schema identical to `kcore_peel`, exact at any multiplicity; each
     round is one quotient-sized aggregate instead of a member-edge
-    scan (2.4B rows at the 100x tier)."""
+    scan (2.4B rows at the 100x tier). `prepared=True` asserts
+    catalog-prepared classes (see _quotient_cls)."""
     if int(n_rounds) < 1:
         raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
-    cls = _quotient_cls(classes)
+    cls = _quotient_cls(classes, prepared)
     canon = _pin_qedges(qedges, canonical).select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
     )
@@ -1292,6 +1320,8 @@ def link_prediction_quotient(
     top_k: int = 50,
     canonical: bool = False,
     auto_wedge_budget: float | None = AUTO_WEDGE_BUDGET,
+    prepared: bool = False,
+    wedge_cap: int | None | str = "probe",
 ) -> DataFrame:
     """EXACT link prediction over a member-expanded similarity graph,
     computed on its WEIGHTED QUOTIENT — the exact-collapse answer to
@@ -1333,8 +1363,13 @@ def link_prediction_quotient(
     jaccard become honest lower bounds at hubs — exactly the
     member-level `link_prediction(center_cap="auto")` degradation.
     None forces exact. `canonical=True` asserts pre-canonicalized,
-    pinned qedges (_pin_qedges)."""
-    cls = _quotient_cls(classes)
+    pinned qedges (_pin_qedges); `prepared=True` asserts
+    catalog-prepared classes (_quotient_cls); `wedge_cap` accepts a
+    PRE-PROBED verdict (int cap or None=exact) from a caller that
+    memoized the Σdeg² probe alongside the qedges pin, skipping the
+    per-invocation wedge_probe aggregate (ADVICE r11); default "probe"
+    keeps the standalone probe."""
+    cls = _quotient_cls(classes, prepared)
     # pin the quotient adjacency: it feeds the degree pass, BOTH wedge
     # sides, and the anti-join — unpinned, the upstream signature
     # pipeline (collapse groupBy + simhash) would re-execute per
@@ -1369,8 +1404,12 @@ def link_prediction_quotient(
     # the member-level capped-mode rule)
     wedge_und, wedge_undw = und, undw
     if auto_wedge_budget is not None:
-        cap = _quotient_wedge_cap(
-            qedges, auto_wedge_budget, "link_prediction_quotient"
+        cap = (
+            _quotient_wedge_cap(
+                qedges, auto_wedge_budget, "link_prediction_quotient"
+            )
+            if wedge_cap == "probe"
+            else wedge_cap
         )
         if cap is not None:
             wedge_und = _cap_by_center(und, "c", "a", cap, "lpq")

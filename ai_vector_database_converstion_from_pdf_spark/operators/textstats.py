@@ -380,10 +380,17 @@ def _winnowing_matches_collapsed(
     reps = cls.select(F.col("rep").alias(id_col), F.col("txt").alias(text_col))
     fp = winnowing_fingerprint_set(reps, id_col, text_col, k, w)
     fpm = fp.join(cls.select(F.col("rep").alias("id"), "m"), "id")
+    # ONE eager pin of the rep-level posting lists: the auto gate's
+    # .first() aggregate, the keep filter, and (through keep) BOTH the
+    # cross-pair and within-class expansions all read this frame — left
+    # unpinned, the gram+window+posting pipeline executed twice (once
+    # for the gate, again when the lazily-checkpointed keep first
+    # materialized; ADVICE r11). Eager localCheckpoint, not persist:
+    # blocks release on GC, the module's standing rule.
     pl = fpm.groupBy("wmin").agg(
         F.array_sort(F.collect_list("id")).alias("ids"),
         F.sum("m").cast("long").alias("mdf"),
-    )
+    ).localCheckpoint(eager=True)
     if max_doc_freq == "auto":
         # gate on the COLLAPSED plan's own expansion volume (rep-level
         # cross pairs + within C(m,2) — what this plan will actually
@@ -410,12 +417,12 @@ def _winnowing_matches_collapsed(
                 int(auto_pair_budget),
                 auto_cap,
             )
+    # keep is a cheap filter over the pinned pl — both downstream
+    # consumers (cross pairs + within counts) re-scan checkpoint blocks,
+    # so no second pin is needed
     keep = pl.filter(F.col("mdf") > 1)
     if max_doc_freq is not None:
         keep = keep.filter(F.col("mdf") <= max_doc_freq)
-    # consumed twice (cross pairs + within counts): pin the surviving
-    # posting lists so the gram/window/posting pipeline runs once
-    keep = keep.localCheckpoint(eager=False)
     cross_rep = (
         keep.filter(F.size("ids") > 1)
         .select(F.explode(_sorted_id_pairs()).alias("p"))

@@ -37,6 +37,11 @@ class _EmbedMock(BaseHTTPRequestHandler):
 
     post_count = 0
     text_count = 0
+    # ThreadingHTTPServer handles concurrent Arrow-batch POSTs from
+    # parallel UDF tasks on separate threads — unguarded += can lose
+    # updates and flake the exact `texts == n` assertion (ADVICE r11;
+    # same lock idiom as tools/stress_embed.py's mock)
+    lock = threading.Lock()
 
     def do_POST(self):
         n = int(self.headers.get("Content-Length", 0))
@@ -44,8 +49,9 @@ class _EmbedMock(BaseHTTPRequestHandler):
         assert self.path.endswith(":batchEmbedContents")
         reqs = payload.get("requests", [])
         assert all(r["model"].startswith("models/") for r in reqs)
-        type(self).post_count += 1
-        type(self).text_count += len(reqs)
+        with type(self).lock:
+            type(self).post_count += 1
+            type(self).text_count += len(reqs)
         embs = [
             {"values": hash_embed(r["content"]["parts"][0]["text"])}
             for r in reqs
