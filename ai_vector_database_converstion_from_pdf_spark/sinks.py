@@ -555,6 +555,7 @@ class Workspace:
         self._rollup_append(chunks)
         self._fts_append(chunks)
         self._dedup_append(chunks)
+        self._simgraph_append(chunks)
 
     def chunks_for_doc(self, doc_id: str) -> DataFrame:
         """Doc-scoped read. On a bucketed workspace the `_bucket`
@@ -859,6 +860,7 @@ class Workspace:
             self._rollup_replace_docs(doc_keys, updates, None)
             self._fts_replace_docs(doc_keys, updates, None)
             self._dedup_replace_docs(doc_keys, updates, None)
+            self._simgraph_replace_docs(doc_keys, updates, None)
             return
         affected = sorted(stats["buckets"])
         current = self._read_table("chunks").filter(
@@ -873,6 +875,7 @@ class Workspace:
         self._rollup_replace_docs(doc_keys, updates_b, affected)
         self._fts_replace_docs(doc_keys, updates_b, affected)
         self._dedup_replace_docs(doc_keys, updates_b, affected)
+        self._simgraph_replace_docs(doc_keys, updates_b, affected)
 
     @_logged
     def delete_doc(self, doc_id: str) -> None:
@@ -896,6 +899,7 @@ class Workspace:
             self._rollup_replace_docs(doc_keys, None, None)
             self._fts_replace_docs(doc_keys, None, None)
             self._dedup_replace_docs(doc_keys, None, None)
+            self._simgraph_replace_docs(doc_keys, None, None)
             return
         affected = self._doc_buckets([doc_id], b)
         remaining = (
@@ -909,6 +913,7 @@ class Workspace:
         self._rollup_replace_docs(doc_keys, None, affected)
         self._fts_replace_docs(doc_keys, None, affected)
         self._dedup_replace_docs(doc_keys, None, affected)
+        self._simgraph_replace_docs(doc_keys, None, affected)
 
     def _swap_buckets(self, name: str, df: DataFrame, buckets: list[int]) -> None:
         """Per-bucket versioned swap: write only the given `_bucket`
@@ -1320,6 +1325,222 @@ class Workspace:
             if fresh is not None:
                 merged = merged.unionByName(fresh)
             self._overwrite("dedup_lsh", merged)
+
+    # -- similarity-graph index: persisted simhash bands + pair table ----
+    #
+    # Fourth maintained index family (VERDICT r11 #2, after RP-LSH,
+    # IVF and dedup-LSH): the graph analyses (pagerank / triangles /
+    # k-core / BFS / link prediction) all consume ONE artifact — the
+    # simhash near-dup pair table — and at stress tiers rebuilding it
+    # per session cost 195-650 s. Persist it once: `simgraph_bands`
+    # (id, doc_id, simhash, band, band_val[, _bucket]) is the banded
+    # signature index, `simgraph_pairs` (id_a, id_b, hamming, doc_a,
+    # doc_b) the verified adjacency. Arrivals update in O(batch): sign
+    # the batch, band-join it against the maintained band table (the
+    # incident one-sided plan — candidate volume is batch x bucket,
+    # never the corpus pair family), verify hamming, append. Doc-level
+    # MERGE/DELETE drop the touched docs' bands (bucket-scoped when
+    # partitioned) and their incident pairs (doc-keyed anti-joins on
+    # doc_a/doc_b — the pair table is deliberately NOT bucketed: a pair
+    # spans two buckets), then insert fresh rows the same incident way.
+    # Deterministic banding makes "maintained == rebuild" testable
+    # bit-for-bit, the band-index idiom.
+
+    def build_sim_graph_index(
+        self, max_hamming: int = 3, band_bits: int = 7
+    ) -> int:
+        """Sign the current corpus, persist the band table and the
+        verified near-dup pair table; register params so DML
+        maintenance signs batches identically. Returns pairs written."""
+        from .operators.dedup import SIMHASH_BITS
+
+        self.set_metadata(
+            "simgraph_params", f"{max_hamming},{SIMHASH_BITS},{band_bits}"
+        )
+        bands = self._simgraph_bands(self.chunks(fold_boosts=False))
+        self._overwrite("simgraph_bands", bands)
+        bands = self._read_table("simgraph_bands")
+        pairs = self._simgraph_pairs_from_bands(bands)
+        self._overwrite("simgraph_pairs", pairs)
+        return self._read_table("simgraph_pairs").count()
+
+    def _simgraph_params(self) -> tuple[int, int, int] | None:
+        p = self.get_metadata("simgraph_params")
+        if p is None:
+            return None
+        mh, bits, bb = (int(x) for x in p.split(","))
+        return mh, bits, bb
+
+    def _simgraph_bands(self, chunk_rows: DataFrame) -> DataFrame:
+        """Band rows for a batch under the registered params, carrying
+        the doc-keyed (and bucket, when partitioned) maintenance
+        columns."""
+        from .operators.dedup import simhash_band_keys, simhash_signatures
+
+        _mh, bits, band_bits = self._simgraph_params()
+        carry_cols = ["id", "doc_id"] + (
+            ["_bucket"] if "_bucket" in chunk_rows.columns else []
+        )
+        sigs = simhash_signatures(
+            chunk_rows.select("id", "text"), bits, id_col="id", text_col="text"
+        )
+        bands = simhash_band_keys(sigs, bits, band_bits)
+        return bands.join(
+            chunk_rows.select(*carry_cols), "id"
+        ).select("id", "doc_id", "simhash", "band", "band_val", *(
+            ["_bucket"] if "_bucket" in chunk_rows.columns else []
+        ))
+
+    def _simgraph_pairs_from_bands(self, bands: DataFrame) -> DataFrame:
+        """Verified (id_a < id_b, hamming, doc_a, doc_b) from a band
+        table — the same band-equi-join + bit_count(xor) verify as
+        operators/dedup.simhash_pairs, keyed on the PERSISTED bands so
+        build and maintenance share one candidate rule."""
+        mh, _bits, _bb = self._simgraph_params()
+        a = bands.select(
+            F.col("id").alias("id_a"), F.col("doc_id").alias("doc_a"),
+            F.col("simhash").alias("sa"), "band", "band_val",
+        )
+        b = bands.select(
+            F.col("id").alias("id_b"), F.col("doc_id").alias("doc_b"),
+            F.col("simhash").alias("sb"), "band", "band_val",
+        )
+        cand = (
+            a.join(b, ["band", "band_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sa", "sb", "doc_a", "doc_b")
+            .distinct()
+        )
+        return (
+            cand.withColumn(
+                "hamming", F.bit_count(F.expr("sa ^ sb")).cast("long")
+            )
+            .filter(F.col("hamming") <= mh)
+            .select("id_a", "id_b", "hamming", "doc_a", "doc_b")
+        )
+
+    def _simgraph_incident_pairs(
+        self, new_bands: DataFrame, all_bands: DataFrame
+    ) -> DataFrame:
+        """Pairs incident to a batch, one-sided: the (small) batch band
+        keys join the full band table — O(batch x bucket) candidates,
+        never the corpus pair family. `all_bands` must already include
+        `new_bands` so within-batch pairs are found too; least/greatest
+        + distinct emits each pair once."""
+        mh, _bits, _bb = self._simgraph_params()
+        q = new_bands.select(
+            F.col("id").alias("qid"), F.col("doc_id").alias("qdoc"),
+            F.col("simhash").alias("qsig"), "band", "band_val",
+        )
+        cand = (
+            all_bands.join(q, ["band", "band_val"])
+            .filter(F.col("id") != F.col("qid"))
+            .select(
+                F.least("id", "qid").alias("id_a"),
+                F.greatest("id", "qid").alias("id_b"),
+                F.when(F.col("id") < F.col("qid"), F.col("simhash"))
+                .otherwise(F.col("qsig")).alias("sa"),
+                F.when(F.col("id") < F.col("qid"), F.col("qsig"))
+                .otherwise(F.col("simhash")).alias("sb"),
+                F.when(F.col("id") < F.col("qid"), F.col("doc_id"))
+                .otherwise(F.col("qdoc")).alias("doc_a"),
+                F.when(F.col("id") < F.col("qid"), F.col("qdoc"))
+                .otherwise(F.col("doc_id")).alias("doc_b"),
+            )
+            .distinct()
+        )
+        return (
+            cand.withColumn(
+                "hamming", F.bit_count(F.expr("sa ^ sb")).cast("long")
+            )
+            .filter(F.col("hamming") <= mh)
+            .select("id_a", "id_b", "hamming", "doc_a", "doc_b")
+        )
+
+    def sim_graph_index(self):
+        """(pair table DataFrame, max_hamming, bits, band_bits) or None.
+        The pair table is the graph family's direct input: e.g.
+        pagerank(ws.sim_graph_index()[0].select("id_a", "id_b"))."""
+        params = self._simgraph_params()
+        if params is None or not self._exists("simgraph_pairs"):
+            return None
+        return (self._read_table("simgraph_pairs"), *params)
+
+    def _simgraph_append(self, chunk_rows: DataFrame) -> None:
+        """O(batch) arrival maintenance: sign the batch, find pairs
+        incident to it against the maintained bands, append both."""
+        if self._simgraph_params() is None or not self._exists(
+            "simgraph_bands"
+        ):
+            return
+        new_bands = self._simgraph_bands(chunk_rows).localCheckpoint(
+            eager=True
+        )
+        all_bands = self._read_table("simgraph_bands").select(
+            "id", "doc_id", "simhash", "band", "band_val"
+        ).unionByName(
+            new_bands.select("id", "doc_id", "simhash", "band", "band_val")
+        )
+        fresh = self._simgraph_incident_pairs(new_bands, all_bands)
+        self._append_bucketed(
+            "simgraph_bands", new_bands, "_bucket" in new_bands.columns
+        )
+        self._append_bucketed("simgraph_pairs", fresh, False)
+
+    def _simgraph_replace_docs(
+        self,
+        doc_keys,
+        new_rows: DataFrame | None,
+        affected: list[int] | None,
+    ) -> None:
+        """Doc-level MERGE/DELETE maintenance: drop the touched docs'
+        band rows (bucket-scoped swap when partitioned) and every pair
+        with a removed endpoint, then insert the new versions' bands
+        and their incident pairs against the post-delete band table."""
+        if self._simgraph_params() is None or not self._exists(
+            "simgraph_bands"
+        ):
+            return
+        fresh_bands = (
+            self._simgraph_bands(new_rows).localCheckpoint(eager=True)
+            if new_rows is not None
+            else None
+        )
+        if affected:
+            cur = self._read_table("simgraph_bands").filter(
+                F.col("_bucket").isin(affected)  # partition-pruned read
+            )
+            merged = cur.join(doc_keys, "doc_id", "left_anti")
+            if fresh_bands is not None:
+                merged = merged.unionByName(fresh_bands)
+            self._swap_buckets("simgraph_bands", merged, affected)
+        else:
+            cur = self._read_table("simgraph_bands")
+            merged = cur.join(doc_keys, "doc_id", "left_anti")
+            if fresh_bands is not None:
+                merged = merged.unionByName(fresh_bands)
+            self._overwrite("simgraph_bands", merged)
+        # pair table: doc-keyed anti-joins on both endpoints (the pair
+        # table is unbucketed by design — a pair spans two buckets)
+        keys_a = doc_keys.select(F.col("doc_id").alias("doc_a"))
+        keys_b = doc_keys.select(F.col("doc_id").alias("doc_b"))
+        kept = (
+            self._read_table("simgraph_pairs")
+            .join(keys_a, "doc_a", "left_anti")
+            .join(keys_b, "doc_b", "left_anti")
+        )
+        if fresh_bands is not None:
+            post = self._read_table("simgraph_bands").select(
+                "id", "doc_id", "simhash", "band", "band_val"
+            )
+            fresh_pairs = self._simgraph_incident_pairs(
+                fresh_bands.select(
+                    "id", "doc_id", "simhash", "band", "band_val"
+                ),
+                post,
+            )
+            kept = kept.unionByName(fresh_pairs)
+        self._overwrite("simgraph_pairs", kept)
 
     def ivf_candidates(
         self, query_vec, n_probe: int | None = None

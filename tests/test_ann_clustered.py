@@ -1,0 +1,147 @@
+"""ANN recall on CLUSTERED embeddings (VERDICT r11 #1).
+
+Every recall number before round 12 was measured on the fixtures'
+near-uniform vectors — IVF's and sign-bit hamming's documented worst
+case. These tests plant the same mixture structure the stress fixtures
+use (tools/make_stress_fixture._clustered_vec: shared per-cluster
+centers + per-row triangular noise) and pin two claims:
+
+1. structure HELPS: hamming and IVF-auto recall on the clustered shape
+   beat the same methods on the uniform shape (the BASELINE.md claim
+   "real clustered embeddings carry far more signal", now measured);
+2. absolute floors on the clustered shape, so a regression in the
+   banding/probing math can't hide behind fixture noise.
+
+The generator is imported from the stress-fixture tool so the pytest
+pins the exact distribution the sf0.1/10x clustered tiers use.
+"""
+
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from tools.make_stress_fixture import _clustered_vec  # noqa: E402
+
+from ai_vector_database_converstion_from_pdf_spark.operators import (  # noqa: E402
+    quantize,
+    semantic,
+    similarity,
+)
+
+SF = "/root/testdata/sf0.01"
+K = 10
+N_QUERIES = 10
+
+
+def _clustered(spark, n_centers=16, spread=0.5):
+    """1000 clustered vectors: the sf0.01 embeddings replicated x2 as
+    the template, coordinates replaced by the planted mixture."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    reps = spark.range(2).select(F.col("id").alias("_rep"))
+    return (
+        emb.crossJoin(F.broadcast(reps))
+        .withColumn("embedding", _clustered_vec(F, n_centers, spread))
+        .select(
+            (F.col("vec_id") + F.col("_rep") * 10_000_000).alias("vec_id"),
+            "embedding",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _uniform(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    reps = spark.range(2).select(F.col("id").alias("_rep"))
+    return (
+        emb.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("vec_id") + F.col("_rep") * 10_000_000).alias("vec_id"),
+            # decorrelate the replica so the corpus is 1000 DISTINCT
+            # near-uniform vectors, not 500 exact-dup pairs
+            F.when(
+                F.col("_rep") == 0, F.col("embedding")
+            ).otherwise(F.reverse(F.col("embedding"))).alias("embedding"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _ids(df):
+    return [int(r[0]) for r in df.collect()]
+
+
+def _recall(emb, method):
+    """Mean recall@K of `method` vs the exact cosine top-K over
+    N_QUERIES fixture vectors as queries."""
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    assert len(qrows) == N_QUERIES
+    total = 0.0
+    for r in qrows:
+        qv = list(r["embedding"])
+        exact = set(_ids(semantic.semantic_topk(emb, qv, k=K)))
+        got = set(_ids(method(emb, qv)))
+        total += len(exact & got) / K
+    return total / len(qrows)
+
+
+def _ivf_auto(emb, n):
+    nc, probe = similarity.ivf_auto_params(n)
+    cents = similarity.kmeans_centroids(emb, nc)
+    assign = similarity.ivf_assign(emb, cents)
+    return lambda e, qv: similarity.ivf_topk(
+        e, qv, k=K, centroids=cents, assignments=assign, n_probe=probe
+    )
+
+
+def _hamming(emb, qv):
+    return quantize.binary_topk_rescore(emb, qv, k=K, shortlist=50)
+
+
+@pytest.fixture(scope="module")
+def shapes(spark):
+    clu = _clustered(spark)
+    uni = _uniform(spark)
+    return clu, uni
+
+
+def test_hamming_recovers_on_clusters(shapes):
+    clu, uni = shapes
+    r_clu = _recall(clu, _hamming)
+    r_uni = _recall(uni, _hamming)
+    # sf0.1 measurements: 0.465 uniform vs 0.890 clustered; floors are
+    # set loose enough to absorb the smaller corpus, tight enough that
+    # losing the structural win fails
+    assert r_clu >= 0.70, f"clustered hamming recall {r_clu}"
+    assert r_clu >= r_uni + 0.10, (r_clu, r_uni)
+
+
+def test_ivf_auto_improves_on_clusters(shapes):
+    clu, uni = shapes
+    n = clu.count()
+    r_clu = _recall(clu, _ivf_auto(clu, n))
+    # sf0.1-scale measurement: 1.000 clustered (0.85-0.86 uniform)
+    assert r_clu >= 0.90, f"clustered ivf-auto recall {r_clu}"
+    r_uni = _recall(uni, _ivf_auto(uni, n))
+    assert r_clu >= r_uni, (r_clu, r_uni)
+
+
+def test_cluster_structure_is_planted(shapes):
+    """Sanity: the generator actually plants structure — mean cosine to
+    the nearest exact neighbor is near-duplicate-grade on the clustered
+    shape and low on the uniform one."""
+    clu, uni = shapes
+
+    def top2_cos(emb):
+        row = emb.filter(F.col("vec_id") == 0).first()
+        nn = semantic.semantic_topk(emb, list(row["embedding"]), k=2)
+        return [float(r["score"]) for r in nn.collect()][-1]
+
+    assert top2_cos(clu) >= 0.75
+    assert top2_cos(uni) <= 0.6

@@ -43,12 +43,25 @@ corpus and the FLOP probes dispatch the DIRECT plans — the mixed tier
 exercises the probes choosing BOTH ways (text: collapsed; vector:
 direct).
 
+--clustered-emb K (VERDICT r11 #1): REPLACE the embedding column with a
+planted K-center Gaussian-ish mixture — every ANN recall number so far
+was measured on near-uniform vectors, IVF's and sign-bit hamming's
+documented WORST case and the least realistic shape (real text
+embeddings cluster). Center coordinates key on (center, coord) only
+(uniform [-1,1], shared exactly by every member); each row adds
+`--cluster-spread`·noise with noise keyed on (vec_id, replica, coord)
+(sum of two uniforms − 1: triangular, mean 0) — so replicas of a vector
+are DISTINCT members of the SAME cluster (near-dup structure), and at
+spread 0.5 intra-cluster cosine ≈ 0.9 while inter-cluster cosine ≈ 0.
+Takes precedence over --mixed for the embeddings table.
+
 All mutations are keyed on xxhash64(original id, replica, position) —
 fully deterministic, no RNG state, reproducible across runs/partitions.
 
 Usage: python tools/make_stress_fixture.py [--mult 10]
            [--src /root/testdata/sf0.1] [--out /tmp/sf1]
            [--mixed] [--exact-frac 40] [--vec-exact-frac 10]
+           [--clustered-emb 32] [--cluster-spread 0.5]
 Then:  SPARK_GRAFT_SF_DIR=/tmp/sf1 python bench.py
 """
 
@@ -145,6 +158,34 @@ def _mixed_vec(F, vec_exact_frac: int):
     return F.when(is_exact, F.col("embedding")).otherwise(pert)
 
 
+def _clustered_vec(F, n_centers: int, spread: float):
+    """Column: planted-mixture `embedding` — center[c] + spread·noise,
+    c = hash(vec_id) mod n_centers. Deterministic and partition-
+    independent: center coords key on (center, coord), noise on
+    (vec_id, _rep, coord), all through xxhash64 (the fixture rule —
+    no RNG state). Tests import this so the pytest recall floors pin
+    the exact distribution the stress fixtures use."""
+
+    def u(tag, *k):  # uniform [0, 1)
+        return F.pmod(
+            F.xxhash64(*k, F.lit(tag)), F.lit(1_000_003)
+        ).cast("double") / F.lit(1_000_003.0)
+
+    cid = F.pmod(F.xxhash64(F.col("vec_id"), F.lit("clu")), F.lit(n_centers))
+    return F.transform(
+        F.col("embedding"),
+        lambda v, i: (
+            (u("c", cid, i) * 2.0 - 1.0)
+            + F.lit(spread)
+            * (
+                u("n1", F.col("vec_id"), F.col("_rep"), i)
+                + u("n2", F.col("vec_id"), F.col("_rep"), i)
+                - 1.0
+            )
+        ).cast("float"),
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
@@ -153,6 +194,8 @@ def main() -> None:
     ap.add_argument("--mixed", action="store_true")
     ap.add_argument("--exact-frac", type=int, default=40)
     ap.add_argument("--vec-exact-frac", type=int, default=10)
+    ap.add_argument("--clustered-emb", type=int, default=0)
+    ap.add_argument("--cluster-spread", type=float, default=0.5)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -178,7 +221,12 @@ def main() -> None:
             # independent noise
             if args.mixed and table == "documents":
                 df = df.withColumn("text", _mixed_text(F, args.exact_frac))
-            if args.mixed and table == "embeddings":
+            if table == "embeddings" and args.clustered_emb > 0:
+                df = df.withColumn(
+                    "embedding",
+                    _clustered_vec(F, args.clustered_emb, args.cluster_spread),
+                )
+            elif args.mixed and table == "embeddings":
                 df = df.withColumn(
                     "embedding", _mixed_vec(F, args.vec_exact_frac)
                 )
