@@ -55,6 +55,18 @@ are DISTINCT members of the SAME cluster (near-dup structure), and at
 spread 0.5 intra-cluster cosine ≈ 0.9 while inter-cluster cosine ≈ 0.
 Takes precedence over --mixed for the embeddings table.
 
+--planted-passages P (VERDICT r11 #5): append a verbatim multi-token
+passage to `--passage-pct`% of final documents (selection and passage
+id keyed on (doc_id, replica)), drawn from a pool of P deterministic
+passages of 30 synthetic tokens each ("zq<p>x<h>" — disjoint from the
+corpus vocabulary, so their winnowing fingerprints are passage-unique
+and their document frequency is EXACTLY the passage's group size).
+This is the actual winnowing_matches use case — shared passages across
+otherwise-distinct docs — which no replica/mixed tier ever produced a
+non-zero result for (every shared fingerprint there was over the df
+cap). Size P so groups land well under the cap: pct·N/P docs share
+each passage.
+
 All mutations are keyed on xxhash64(original id, replica, position) —
 fully deterministic, no RNG state, reproducible across runs/partitions.
 
@@ -186,6 +198,36 @@ def _clustered_vec(F, n_centers: int, spread: float):
     )
 
 
+def _planted_passage_text(F, n_passages: int, pct: int):
+    """Column: `text` with a deterministic shared passage appended for
+    ~pct% of docs. Passage tokens are vocabulary-disjoint ("zq<p>x<h>")
+    so fingerprint df == group size by construction."""
+    sel = F.pmod(
+        F.xxhash64(F.col("doc_id"), F.col("_rep"), F.lit("pp")), F.lit(100)
+    ) < F.lit(pct)
+    pid = F.pmod(
+        F.xxhash64(F.col("doc_id"), F.col("_rep"), F.lit("ppid")),
+        F.lit(n_passages),
+    )
+    passage = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(30)),
+            lambda j: F.concat(
+                F.lit("zq"),
+                pid.cast("string"),
+                F.lit("x"),
+                F.pmod(F.xxhash64(pid, j, F.lit("ppw")), F.lit(9973)).cast(
+                    "string"
+                ),
+            ),
+        ),
+        " ",
+    )
+    return F.when(
+        sel, F.concat(F.col("text"), F.lit(" "), passage)
+    ).otherwise(F.col("text"))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
@@ -196,6 +238,8 @@ def main() -> None:
     ap.add_argument("--vec-exact-frac", type=int, default=10)
     ap.add_argument("--clustered-emb", type=int, default=0)
     ap.add_argument("--cluster-spread", type=float, default=0.5)
+    ap.add_argument("--planted-passages", type=int, default=0)
+    ap.add_argument("--passage-pct", type=int, default=5)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -221,6 +265,14 @@ def main() -> None:
             # independent noise
             if args.mixed and table == "documents":
                 df = df.withColumn("text", _mixed_text(F, args.exact_frac))
+            if args.planted_passages > 0 and table == "documents":
+                # AFTER the mixed mutation: passages stay verbatim
+                df = df.withColumn(
+                    "text",
+                    _planted_passage_text(
+                        F, args.planted_passages, args.passage_pct
+                    ),
+                )
             if table == "embeddings" and args.clustered_emb > 0:
                 df = df.withColumn(
                     "embedding",
