@@ -41,11 +41,31 @@ def quantize(
     )
 
 
+def resolve_shortlist(
+    embeddings: DataFrame, shortlist: int | str, k: int
+) -> int:
+    """"auto" -> max(5·k, ceil(2% of N)): the shortlist must scale with
+    the corpus's NEAR-TIE density, not stay a constant. Measured on the
+    10x clustered fixture (20k vectors, 625-member clusters, r12): the
+    fixed 50-deep shortlist keeps the exact top-1 (MRR ~1.0) but loses
+    tie ordering — recall@10 0.29 (hamming) / 0.435 (int8) — because
+    the quantized stage-1 score cannot rank hundreds of neighbors whose
+    true cosines differ by less than the quantization error. Deepening
+    the shortlist restores the contract: at 400 (= 2% of 20k) int8
+    reaches 0.97 and hamming 0.855, while at 2k vectors the same rule
+    resolves to the classic 50. Cluster sizes grow with N when the
+    cluster COUNT is fixed, hence proportional-to-N with a 5·k floor."""
+    if shortlist == "auto":
+        n = embeddings.count()
+        return max(5 * k, -(-n // 50))
+    return int(shortlist)
+
+
 def int8_topk_rescore(
     embeddings: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    shortlist: int = 50,
+    shortlist: int | str = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -62,10 +82,16 @@ def int8_topk_rescore(
 
     Stage 1 score: scale_e * scale_q * sum(q_e[i] * q_q[i]), computed
     JVM-side with zip_with/aggregate — whole-stage codegen, no UDF.
+
+    `shortlist="auto"` scales the cutoff with corpus size (see
+    resolve_shortlist): a fixed depth under-ranks near-tie-dense
+    corpora (clustered embeddings at scale).
     """
     from ..functions.vector import cosine_rounded, query_vector_lit
 
     import math
+
+    shortlist = resolve_shortlist(embeddings, shortlist, k)
 
     # Query-side quantization uses sign(x)*floor(|x|/scale + 0.5) — a
     # half-up rule with no engine ambiguity (Python round() is half-even,
@@ -139,7 +165,7 @@ def binary_topk_rescore(
     embeddings: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    shortlist: int = 50,
+    shortlist: int | str = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -171,6 +197,7 @@ def binary_topk_rescore(
     """
     from ..functions.vector import cosine_rounded, query_vector_lit
 
+    shortlist = resolve_shortlist(embeddings, shortlist, k)
     dim = len(query_vec)
     well_formed = (F.size(F.col(vec_col)) == dim) & ~F.exists(
         F.col(vec_col), lambda x: x.isNull()

@@ -295,3 +295,43 @@ def test_quotient_wedge_cap_is_honest_lower_bound(spark, caplog):
             assert r["cn"] <= ex[key]  # lower bound where comparable
         # full-graph degrees never capped
         assert r["deg_a"] > 0 and r["deg_b"] > 0
+
+
+def test_wedge_cap_for_exact_fraction(spark):
+    """Recall-targeted cap (r12): the degree quantile cap leaves every
+    node at deg <= cap with EXACT wedge terms — at exact_frac=1.0 the
+    cap equals max degree and capped output == exact output."""
+    from ai_vector_database_converstion_from_pdf_spark.operators.graph import (
+        wedge_cap_for_exact_fraction,
+        wedge_probe,
+    )
+
+    docs = _replicated_fixture_docs(spark, 3)
+    cls, qedges = _cls_and_qedges(docs)
+    deg, _s, n = wedge_probe(qedges)
+    cap_all = wedge_cap_for_exact_fraction(qedges, exact_frac=1.0)
+    assert cap_all >= deg.agg(F.max("deg")).first()[0]
+    exact = {
+        (r["id"], r["triangles"])
+        for r in triangle_counts_quotient(
+            qedges, cls, auto_wedge_budget=None
+        ).collect()
+    }
+    at_cap = {
+        (r["id"], r["triangles"])
+        for r in triangle_counts_quotient(
+            qedges, cls, wedge_cap=cap_all
+        ).collect()
+    }
+    assert at_cap == exact
+    # a mid quantile is a valid cap and never overcounts
+    cap_mid = wedge_cap_for_exact_fraction(qedges, exact_frac=0.5)
+    assert isinstance(cap_mid, int) and cap_mid >= 2
+    got = {
+        r["id"]: r["triangles"]
+        for r in triangle_counts_quotient(
+            qedges, cls, wedge_cap=cap_mid, with_degrees=True
+        ).collect()
+    }
+    for nid, tri in exact:
+        assert got[nid] <= tri or got[nid] == tri
