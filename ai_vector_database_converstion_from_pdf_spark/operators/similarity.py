@@ -535,7 +535,7 @@ def pq_topk_rescore(
     query_vec,
     codebooks: np.ndarray,
     k: int,
-    shortlist: int = 50,
+    shortlist: int | str = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -544,7 +544,19 @@ def pq_topk_rescore(
     than the vectors, then exact cosine re-ranks only those rows
     (semi-join pulls their float vectors). Output (vec_id, score) — the
     scores are EXACT cosines; approximation affects only which rows make
-    the shortlist."""
+    the shortlist.
+
+    `shortlist="auto"` scales the cutoff with the CODES frame's size
+    (quantize.resolve_shortlist: max(5·k, 2% of N)) — the same
+    near-tie-density finding as int8/hamming (r12): on the 10x
+    clustered fixture ADC's quantization error exceeds the true cosine
+    gaps inside 625-member clusters, so a fixed 50-deep shortlist holds
+    recall@10 at 0.365 while a corpus-scaled one restores it."""
+    from .quantize import resolve_shortlist
+
+    shortlist = resolve_shortlist(
+        codes_df.select(F.col("id").alias("n")), shortlist, k
+    )
     short = pq_topk(codes_df, query_vec, codebooks, shortlist).select("vec_id")
     cands = embeddings.join(
         F.broadcast(short), embeddings[id_col] == short["vec_id"], "left_semi"
@@ -617,7 +629,7 @@ def ivf_pq_topk(
     centroids: list[tuple[int, list[float]]],
     k: int,
     n_probe: int = 2,
-    shortlist: int = 50,
+    shortlist: int | str = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -632,6 +644,16 @@ def ivf_pq_topk(
     EXACT cosines; approximation affects only shortlist membership.
     Output (vec_id, score) desc."""
     q = np.asarray(list(query_vec), dtype=np.float64)
+    if shortlist == "auto":
+        # resolve against the FULL index, not the probed subset: the
+        # tie band the shortlist must cover is cluster-sized, and
+        # probing concentrates (not shrinks) the clusters — 2% of the
+        # probed rows under-covers exactly when it matters (measured at
+        # 10x clustered: probed-anchored auto 0.640 recall@10 vs
+        # corpus-anchored matching the flat PQ path's 0.920)
+        from .quantize import resolve_shortlist
+
+        shortlist = resolve_shortlist(index_df, "auto", k)
 
     def cos(a, b):
         na, nb = np.linalg.norm(a), np.linalg.norm(b)

@@ -145,3 +145,21 @@ def test_cluster_structure_is_planted(shapes):
 
     assert top2_cos(clu) >= 0.75
     assert top2_cos(uni) <= 0.6
+
+
+def test_pq_auto_shortlist_recovers(shapes):
+    """The PQ family shares the near-tie finding: ADC with a fixed
+    50-deep shortlist under-ranks clustered corpora; shortlist="auto"
+    (corpus-anchored) restores recall. Measured at 10x clustered:
+    pq/ivf-pq 0.365 -> 0.920."""
+    clu, _uni = shapes
+    books = similarity.pq_train(clu, dim=64, m=16, k=32)
+    codes = similarity.pq_encode(clu, books).localCheckpoint(eager=True)
+
+    def pq_auto(e, qv):
+        return similarity.pq_topk_rescore(
+            codes, e, qv, books, k=K, shortlist="auto"
+        )
+
+    r_auto = _recall(clu, pq_auto)
+    assert r_auto >= 0.80, f"pq auto-shortlist recall {r_auto}"
