@@ -74,6 +74,26 @@ def main() -> None:
     methods[f"ivf-pq (auto {a_probe}/{a_nc})"] = lambda qv: similarity.ivf_pq_topk(
         a_ivfpq_idx, emb, qv, books, a_cents, k=10, n_probe=a_probe
     )
+    # the r12 auto-shortlist rows: corpus-scaled rescore depth
+    # (quantize.resolve_shortlist — max(5k, 2% of N)); at tie-dense
+    # clustered corpora the fixed 50 keeps MRR ~1.0 but loses recall@10
+    methods["int8 (auto shortlist)"] = lambda qv: quantize.int8_topk_rescore(
+        emb, qv, k=10, shortlist="auto"
+    )
+    methods["binary/hamming (auto shortlist)"] = (
+        lambda qv: quantize.binary_topk_rescore(emb, qv, k=10, shortlist="auto")
+    )
+    methods["pq adc+rescore (auto shortlist)"] = (
+        lambda qv: similarity.pq_topk_rescore(
+            codes, emb, qv, books, k=10, shortlist="auto"
+        )
+    )
+    methods[f"ivf-pq (auto {a_probe}/{a_nc}, auto shortlist)"] = (
+        lambda qv: similarity.ivf_pq_topk(
+            a_ivfpq_idx, emb, qv, books, a_cents, k=10, n_probe=a_probe,
+            shortlist="auto",
+        )
+    )
 
     exact_by_q = {}
     for qid, qv in queries:
