@@ -1009,3 +1009,177 @@ def matryoshka_funnel_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Unified ANN family selector — ann_topk(method="auto")  (r13, VERDICT r12 #3)
+# ---------------------------------------------------------------------------
+
+
+def probe_corpus_structure(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 512,
+    n_rows: int | None = None,
+) -> dict:
+    """One seeded sample → the structure evidence the family selector
+    needs. Returns {n, dim, sample_size, mean_nn_cos, clustered}.
+
+    `mean_nn_cos` is the mean over sampled vectors of the max cosine to
+    any OTHER sampled vector — a driver-side s×s GEMM over the
+    xxhash64-smallest `sample_size` ids (512² = 262k dots, microseconds;
+    the same deterministic sampling rule as kmeans/pq). The measured
+    separation on the two fixture shapes is wide: near-uniform corpora
+    land ~0.4 (max of ~N(0, 1/64) over 511 draws), planted-cluster
+    corpora ~0.85-0.93 (a 512-sample from ≤4096 clusters almost surely
+    contains same-cluster pairs). `clustered` = mean_nn_cos ≥ 0.6 — the
+    midpoint of that gap, far from both measured modes."""
+    emb = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).filter(F.col("v").isNotNull())
+    n = emb.count() if n_rows is None else int(n_rows)
+    rows = (
+        emb.orderBy(
+            F.xxhash64(F.col("id").cast("string")).asc(), F.col("id").asc()
+        )
+        .limit(sample_size)
+        .collect()
+    )
+    if not rows:
+        return {
+            "n": 0, "dim": 0, "sample_size": 0,
+            "mean_nn_cos": 0.0, "clustered": False,
+        }
+    S = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    dim = S.shape[1]
+    nrm = np.linalg.norm(S, axis=1)
+    nrm[nrm == 0.0] = np.inf
+    Sn = S / nrm[:, None]
+    C = Sn @ Sn.T
+    np.fill_diagonal(C, -np.inf)
+    mean_nn = float(np.max(C, axis=1).mean()) if len(S) > 1 else 0.0
+    return {
+        "n": n,
+        "dim": int(dim),
+        "sample_size": len(rows),
+        "mean_nn_cos": round(mean_nn, 4),
+        "clustered": mean_nn >= 0.6,
+    }
+
+
+def ann_auto_index(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 512,
+    n_rows: int | None = None,
+) -> dict:
+    """Probe corpus structure ONCE and build the chosen family's index
+    state — the build half of `ann_topk(method="auto")`. Selection is
+    driven by the measured recall-vs-structure tables (BASELINE.md,
+    r11-r12), not heuristics invented here:
+
+    - CLUSTERED (mean sampled NN-cos ≥ 0.6) → **IVF with auto-sized
+      cells/probes and FULL-precision scoring inside the probed
+      cells**: measured recall@10 = 1.000 on the clustered shape at
+      both sf0.1 and the 10x tier, where every quantized-scoring
+      family (int8/hamming/PQ ADC) collapses on the near-tie bands
+      (0.29-0.44 at fixed shortlists) because true cosine gaps inside
+      625-member clusters are smaller than the quantization error.
+    - UNIFORM → **int8 two-stage rescore with the corpus-scaled auto
+      shortlist**: measured recall@10 = 1.000 at sf0.01 AND sf0.1 on
+      the near-uniform shape, where IVF-auto reads 0.85-0.86 (no
+      structure for cells to exploit — recall there comes only from
+      scan volume, the documented ≤37.5% probe bound). The int8 stage-1
+      scans 4x fewer bytes and both stages stay whole-stage-codegen.
+
+    The selection and its probe evidence are logged (the dispatch-
+    transparency contract every auto gate in this engine follows).
+    Returns a dict consumed by `ann_topk`; build cost is one corpus
+    scan for IVF assignment (clustered branch) or nothing beyond the
+    probe (int8 branch — stage-1 quantization happens per query
+    scan)."""
+    import logging
+
+    probe = probe_corpus_structure(
+        embeddings, id_col, vec_col, sample_size, n_rows=n_rows
+    )
+    log = logging.getLogger(__name__)
+    if probe["clustered"]:
+        nc, n_probe = ivf_auto_params(probe["n"])
+        cents = kmeans_centroids(embeddings, nc, id_col=id_col, vec_col=vec_col)
+        assign = ivf_assign(embeddings, cents, id_col=id_col, vec_col=vec_col)
+        log.warning(
+            "ann_auto_index: corpus is CLUSTERED (mean sampled NN-cos "
+            "%.3f ≥ 0.6 over %d samples, N=%d) — selected IVF-auto "
+            "(%d cells, %d probes, full-precision in-cell scoring; "
+            "measured recall 1.000 on this shape vs quantized families' "
+            "tie-band collapse)",
+            probe["mean_nn_cos"], probe["sample_size"], probe["n"],
+            nc, n_probe,
+        )
+        return {
+            "family": "ivf-auto",
+            "probe": probe,
+            "centroids": cents,
+            "assignments": assign,
+            "n_probe": n_probe,
+            "n_centroids": nc,
+        }
+    log.warning(
+        "ann_auto_index: corpus is UNIFORM (mean sampled NN-cos %.3f "
+        "< 0.6 over %d samples, N=%d) — selected int8 rescore with "
+        "auto shortlist (measured recall 1.000 on this shape at two "
+        "scales; IVF-auto reads 0.85 here)",
+        probe["mean_nn_cos"], probe["sample_size"], probe["n"],
+    )
+    return {"family": "int8-auto", "probe": probe}
+
+
+def ann_topk(
+    embeddings: DataFrame,
+    query_vec,
+    k: int = 10,
+    method: str = "auto",
+    index: dict | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The unified ANN entry point — the reference has exactly one
+    search path that always works (`vector_store.cpp:206-237`, the
+    brute scan); this gives the nine measured index families the same
+    property: `method="auto"` probes corpus structure once and picks
+    family + params + shortlist from the measured recall tables
+    (see `ann_auto_index`). Output (vec_id, score) — scores are exact
+    cosines in every family (approximation affects only candidate
+    membership), (score desc, id asc).
+
+    Repeat callers (eval loops, ann_report) build the index once with
+    `ann_auto_index` and pass it via `index=`; one-shot calls let this
+    function build it. `method="exact"` escapes to the brute scan."""
+    if method == "exact":
+        from .semantic import semantic_topk
+
+        return semantic_topk(embeddings, query_vec, k, id_col=id_col, vec_col=vec_col)
+    if method != "auto":
+        raise ValueError(f"ann_topk: unknown method {method!r}")
+    if index is None:
+        index = ann_auto_index(embeddings, id_col=id_col, vec_col=vec_col)
+    if index["family"] == "ivf-auto":
+        return ivf_topk(
+            embeddings,
+            query_vec,
+            k,
+            centroids=index["centroids"],
+            assignments=index["assignments"],
+            n_probe=index["n_probe"],
+            id_col=id_col,
+            vec_col=vec_col,
+        ).select(F.col(id_col).alias("vec_id"), "score")
+    from .quantize import int8_topk_rescore
+
+    return int8_topk_rescore(
+        embeddings, list(query_vec), k=k, shortlist="auto",
+        id_col=id_col, vec_col=vec_col,
+    ).select(F.col(id_col).alias("vec_id"), "score")
