@@ -44,6 +44,9 @@ GOLDEN_NAMES = [
     "ann_ivf_topk",
     "ann_pq_topk",
     "ann_ivf_pq_topk",
+    # r13: the unified family selector — probe + selection + both
+    # candidate families are seeded-deterministic, so the pin holds
+    "ann_auto_topk",
     # The last three rows-only entries, pinned the same way: PCA power
     # iteration (seeded), HLL++ sketches and approx-percentile are all
     # measured partition-count/core-count INDEPENDENT at sf0.01 (verified

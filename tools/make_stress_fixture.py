@@ -170,20 +170,41 @@ def _mixed_vec(F, vec_exact_frac: int):
     return F.when(is_exact, F.col("embedding")).otherwise(pert)
 
 
-def _clustered_vec(F, n_centers: int, spread: float):
-    """Column: planted-mixture `embedding` — center[c] + spread·noise,
-    c = hash(vec_id) mod n_centers. Deterministic and partition-
-    independent: center coords key on (center, coord), noise on
-    (vec_id, _rep, coord), all through xxhash64 (the fixture rule —
-    no RNG state). Tests import this so the pytest recall floors pin
-    the exact distribution the stress fixtures use."""
+def _clustered_vec(F, n_centers: int, spread: float, sizes: str = "balanced"):
+    """Column: planted-mixture `embedding` — center[c] + spread·noise.
+    Deterministic and partition-independent: center coords key on
+    (center, coord), noise on (vec_id, _rep, coord), all through
+    xxhash64 (the fixture rule — no RNG state). Tests import this so
+    the pytest recall floors pin the exact distribution the stress
+    fixtures use.
+
+    `sizes` (r13, VERDICT r12 #5): "balanced" = c uniform over
+    n_centers (every prior clustered tier); "zipf" = cluster mass
+    ∝ 1/(rank+1) via inverse-CDF on the same hash-uniform draw — at
+    32 centers the hottest cluster holds ~24.6% of the corpus (vs
+    3.1% balanced), the topic-distribution shape real crawls have.
+    Hot-cluster skew is the adversary for the cluster-GEMM k rule
+    (one cluster ≫ N/k blows Σc²), IVF probe allocation, and
+    SemDeDup's balance assumption."""
 
     def u(tag, *k):  # uniform [0, 1)
         return F.pmod(
             F.xxhash64(*k, F.lit(tag)), F.lit(1_000_003)
         ).cast("double") / F.lit(1_000_003.0)
 
-    cid = F.pmod(F.xxhash64(F.col("vec_id"), F.lit("clu")), F.lit(n_centers))
+    if sizes == "zipf":
+        w = [1.0 / (i + 1) for i in range(n_centers)]
+        tot = sum(w)
+        cum, acc = [], 0.0
+        for x in w[:-1]:  # n_centers-1 boundaries; cid = #boundaries ≤ u
+            acc += x / tot
+            cum.append(acc)
+        draw = u("cidz", F.col("vec_id"))
+        cid = F.size(F.filter(F.lit(cum), lambda b: b <= draw)).cast("long")
+    elif sizes == "balanced":
+        cid = F.pmod(F.xxhash64(F.col("vec_id"), F.lit("clu")), F.lit(n_centers))
+    else:
+        raise ValueError(f"unknown --cluster-sizes {sizes!r}")
     return F.transform(
         F.col("embedding"),
         lambda v, i: (
@@ -238,6 +259,9 @@ def main() -> None:
     ap.add_argument("--vec-exact-frac", type=int, default=10)
     ap.add_argument("--clustered-emb", type=int, default=0)
     ap.add_argument("--cluster-spread", type=float, default=0.5)
+    ap.add_argument(
+        "--cluster-sizes", default="balanced", choices=["balanced", "zipf"]
+    )
     ap.add_argument("--planted-passages", type=int, default=0)
     ap.add_argument("--passage-pct", type=int, default=5)
     args = ap.parse_args()
@@ -276,7 +300,12 @@ def main() -> None:
             if table == "embeddings" and args.clustered_emb > 0:
                 df = df.withColumn(
                     "embedding",
-                    _clustered_vec(F, args.clustered_emb, args.cluster_spread),
+                    _clustered_vec(
+                        F,
+                        args.clustered_emb,
+                        args.cluster_spread,
+                        sizes=args.cluster_sizes,
+                    ),
                 )
             elif args.mixed and table == "embeddings":
                 df = df.withColumn(

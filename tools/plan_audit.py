@@ -32,6 +32,9 @@ EXPECT = {
     "pii_redact": ["!MapInPandas", "!BroadcastHashJoin", "!SortMergeJoin"],
     # two-stage int8: shortlist is a TakeOrdered over the int8 scan, no UDF
     "ann_int8_rescore_topk": ["TakeOrderedAndProject", "!ArrowEvalPython", "!MapInPandas"],
+    # unified selector at the near-uniform fixture: the probe picks the
+    # int8 auto-shortlist branch — same plan contract as the fixed entry
+    "ann_auto_topk": ["TakeOrderedAndProject", "!ArrowEvalPython", "!MapInPandas"],
     # nation dims broadcast; the fact table never sort-merge-joins a dim
     "tpch_q7_volume_shipping": ["BroadcastHashJoin", "PushedFilters"],
     "tpch_q10_returned_items": ["BroadcastHashJoin", "PushedFilters"],
