@@ -99,8 +99,14 @@ def knn_join(
     extracts). Shuffle volume drops from N·n_queries scored rows to
     ~k·n_queries·n_batches candidate rows.
 
-    method="auto": n_queries·dim·8 bytes ≤ broadcast_bytes → bnlj,
-    else blocked (logged). Pass `n_queries` to skip the probe's
+    method="auto": bnlj only for SMALL query sets — n_queries ≤ 32 AND
+    n_queries·dim·8 bytes within `broadcast_bytes`; everything else
+    takes the blocked plan (logged). The flip point is measured, not
+    assumed: at a 20k-row corpus, 50 queries already run 23.6 s under
+    BNLJ vs 3.2 s blocked (the HOF cosine evaluates per PAIR at
+    interpreted rate — the byte budget alone was the wrong gate), while
+    at a 2k-row corpus BNLJ wins below ~32 queries (0.59 s vs 0.73 s at
+    20) on python-worker overhead. Pass `n_queries` to skip the probe's
     count() when the caller already knows it.
 
     Output (q_id, c_id, score, knn_rank) — identical rows from both
@@ -114,29 +120,25 @@ def knn_join(
 
     if method == "auto":
         nq = queries.count() if n_queries is None else int(n_queries)
-        if nq * 4096 * 8 <= broadcast_bytes:
-            # even at a conservative 4096-dim bound the query side fits
-            # the broadcast budget — skip the dim-probe job entirely
-            # (the repeat-caller idiom: knn_multi passes n_queries=5
-            # and pays ZERO probe jobs)
-            d, est = None, 0.0
+        if nq <= 32 and nq * 4096 * 8 <= broadcast_bytes:
+            # small query set (measured crossover ~32-64 queries at a
+            # 2k corpus; blocked wins 7x by 50 queries at 20k) AND it
+            # fits the broadcast budget even at a conservative
+            # 4096-dim bound — no probe job needed (knn_multi passes
+            # n_queries=5 and pays ZERO extra jobs)
+            method = "bnlj"
         else:
-            first = queries.select(F.size(F.col(q_vec)).alias("d")).first()
-            d = int(first["d"]) if first else 0
-            est = float(nq) * float(d) * 8.0
-        if est > float(broadcast_bytes):
             import logging
 
             logging.getLogger(__name__).warning(
-                "knn_join auto-dispatch: query side ≈ %.3g bytes "
-                "(%d queries × %d dims) exceeds the %.3g broadcast "
-                "budget — switching to the blocked query×corpus GEMM "
-                "plan (per-batch top-k candidates, exact parity)",
-                est, nq, d, float(broadcast_bytes),
+                "knn_join auto-dispatch: %d queries — switching to the "
+                "blocked query×corpus GEMM plan (per-slice top-k "
+                "candidates, exact parity; BNLJ's per-pair interpreted "
+                "cosine measured 7x slower by 50 queries at a 20k-row "
+                "corpus)",
+                nq,
             )
             method = "blocked"
-        else:
-            method = "bnlj"
     if method == "bnlj":
         pairs = corpus.crossJoin(F.broadcast(queries))
         scored = pairs.withColumn(
@@ -159,6 +161,26 @@ def knn_join(
     side = corpus.select(
         F.col(c_id).alias("id"), F.col(c_vec).alias("v")
     ).filter(F.col("v").isNotNull())
+    # widen thin scans: the GEMM parallelizes over scan partitions, and
+    # a one-file parquet corpus would run the whole product on one core
+    # (the embedding_near_dup_pairs idiom — Catalyst stats estimate,
+    # no job)
+    import math
+
+    spark = corpus.sparkSession
+    _size = side._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    est_bytes = _size if isinstance(_size, int) else int(_size.toString())
+    try:
+        max_part = int(
+            str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+            .lower()
+            .rstrip("b")
+        )
+    except ValueError:
+        max_part = 134217728
+    target_parts = spark.sparkContext.defaultParallelism
+    if max(1, math.ceil(est_bytes / max_part)) < target_parts:
+        side = side.repartition(target_parts)
     qside = queries.select(
         F.col(q_id).alias("qid"), F.col(q_vec).alias("qv")
     ).filter(F.col("qv").isNotNull())
@@ -175,28 +197,44 @@ def knn_join(
         def scan(batches, _bc=bc):
             qids_r, Qt = _bc.value
             nq = len(qids_r)
+            # slice the Arrow batch so the score matrix stays ~64 MB
+            # (slice_rows × nq doubles) — without this, a 10k-query
+            # block against a 10k-row Arrow batch materializes an
+            # 800 MB matrix PER TASK and the host thrashes (the same
+            # bound the near-dup GEMM kernel applies)
+            slice_rows = max(256, (8 << 20) // max(nq, 1))
             for pdf in batches:
                 if not len(pdf):
                     continue
-                V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-                vn = np.linalg.norm(V, axis=1)
+                Vfull = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                vn = np.linalg.norm(Vfull, axis=1)
                 vn[vn == 0.0] = np.inf
-                ids = pdf["id"].to_numpy()
-                S = np.round((V / vn[:, None]) @ Qt, 6)  # rows × nq
-                take = min(kk, len(ids))
-                # per-query per-batch top-k by (score desc, id asc):
-                # argsort the (-score, id) lexicographic order per column
-                order_ids = np.argsort(ids, kind="stable")
-                Ss = S[order_ids]  # rows sorted by id asc
-                idx = np.argsort(-Ss, axis=0, kind="stable")[:take]
-                rsel = order_ids[idx]  # (take × nq) row indices
-                yield pd.DataFrame(
-                    {
-                        "qid": np.tile(qids_r, take),
-                        "cid": ids[rsel].reshape(-1),
-                        "score": S[rsel, np.arange(nq)[None, :]].reshape(-1),
-                    }
-                )
+                Vfull = Vfull / vn[:, None]
+                ids_full = pdf["id"].to_numpy()
+                for lo in range(0, len(Vfull), slice_rows):
+                    hi = lo + slice_rows
+                    ids = ids_full[lo:hi]
+                    S = np.round(Vfull[lo:hi] @ Qt, 6)  # slice × nq
+                    take = min(kk, len(ids))
+                    # per-query per-slice top-k by (score desc, id asc):
+                    # rows pre-sorted by id so the stable sort breaks
+                    # score ties toward smaller ids. Sort the TRANSPOSE
+                    # row-wise — a per-COLUMN argsort on the
+                    # C-contiguous score matrix strides the full row
+                    # width per element access and ran ~100x slower at
+                    # 10k queries (measured: minutes vs seconds).
+                    order_ids = np.argsort(ids, kind="stable")
+                    NegT = np.ascontiguousarray(-S[order_ids].T)  # nq×rows
+                    idxT = np.argsort(NegT, axis=1, kind="stable")[:, :take]
+                    scoresT = -np.take_along_axis(NegT, idxT, axis=1)
+                    rsel = order_ids[idxT]  # (nq × take) row indices
+                    yield pd.DataFrame(
+                        {
+                            "qid": np.repeat(qids_r, take),
+                            "cid": ids[rsel].reshape(-1),
+                            "score": scoresT.reshape(-1),
+                        }
+                    )
 
         return side.mapInPandas(scan, "qid long, cid long, score double")
 
