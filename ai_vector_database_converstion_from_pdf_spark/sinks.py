@@ -1569,17 +1569,24 @@ class Workspace:
     # membership row and nothing else — the quotient's whole point);
     # deletes drop emptied classes' bands and incident qedges by hash.
 
-    def build_sim_quotient_index(self) -> int:
+    def build_sim_quotient_index(
+        self, max_hamming: int = 3, band_bits: int = 7
+    ) -> int:
         """Collapse the current corpus into content classes, sign one
         representative text per class, persist members/bands/verified
-        class adjacency. Requires simgraph params (shares the band
-        layout with build_sim_graph_index). Returns qedges written."""
-        from .operators.dedup import content_hash
+        class adjacency. Shares the band layout with
+        build_sim_graph_index when that index exists; otherwise
+        registers the params itself (the quotient family does not
+        require the chunk-level pair table — at paraphrase-dense tiers
+        the member pair table is the expensive artifact and the
+        quotient can be maintained without it). Returns qedges
+        written."""
+        from .operators.dedup import SIMHASH_BITS, content_hash
 
         if self._simgraph_params() is None:
-            raise ValueError(
-                "build_sim_quotient_index requires simgraph params — "
-                "call build_sim_graph_index first (shared band layout)"
+            self.set_metadata(
+                "simgraph_params",
+                f"{max_hamming},{SIMHASH_BITS},{band_bits}",
             )
         rows = self.chunks(fold_boosts=False).select(
             content_hash(F.col("text")).alias("th"), "id", "doc_id", "text"

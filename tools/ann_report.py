@@ -25,7 +25,14 @@ def main() -> None:
     from ai_vector_database_converstion_from_pdf_spark.session import get_spark
 
     spark = get_spark("ann-report")
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet").persist()
+    # widen before pinning: stress fixtures land in 1-2 parquet files,
+    # and every scan in the 14-method x 20-query loop would otherwise
+    # run 2 tasks on a 32-core host
+    emb = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .repartition(int(spark.sparkContext.defaultParallelism))
+        .persist()
+    )
     emb.count()
     qrows = (
         emb.filter(F.col("vec_id") < 20).select("vec_id", "embedding").collect()
