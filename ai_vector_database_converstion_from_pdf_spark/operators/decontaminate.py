@@ -48,12 +48,17 @@ def ngram_contamination(
     min_hits: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(train_id, eval_id, n_hits) for every train/eval pair sharing >=
     `min_hits` distinct word n-grams. Shingling matches
     `dedup.word_shingles` (lowercased, punctuation-split tokens)."""
-    train_sh = word_shingles(train, n=n, id_col=id_col, text_col=text_col)
-    eval_sh = word_shingles(eval_docs, n=n, id_col=id_col, text_col=text_col)
+    train_sh = word_shingles(
+        train, n=n, id_col=id_col, text_col=text_col, tokens_col=tokens_col
+    )
+    eval_sh = word_shingles(
+        eval_docs, n=n, id_col=id_col, text_col=text_col, tokens_col=tokens_col
+    )
     return _verify_hits(train_sh, eval_sh, min_hits)
 
 
@@ -159,11 +164,14 @@ def contaminated_ids(
     min_hits: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Distinct train doc ids to drop before training (one column:
     `train_id`). Feed to an anti-join against the corpus."""
     return (
-        ngram_contamination(train, eval_docs, n, min_hits, id_col, text_col)
+        ngram_contamination(
+            train, eval_docs, n, min_hits, id_col, text_col, tokens_col
+        )
         .select("train_id")
         .distinct()
     )

@@ -22,6 +22,41 @@ from pyspark.storagelevel import StorageLevel
 AUTO_WEDGE_BUDGET = 5e8
 
 
+def compact_checkpoint(
+    df: DataFrame, rows_per_partition: int | None = None
+) -> DataFrame:
+    """Eager localCheckpoint + size-derived partition compaction for
+    materialize-once frames that many downstream jobs re-scan.
+
+    A checkpointed frame keeps whatever partition count its build plan
+    happened to end with (shuffle width, union fan-in) — at small data
+    that means dozens of near-empty partitions, and every iterative
+    consumer (PageRank/LPA/k-core rounds, per-query re-reads) then pays
+    task-scheduling overhead per empty partition per job. Counting the
+    materialized frame is ~free, so derive the partition count from the
+    DATA SIZE instead: ceil(rows / rows_per_partition), floor 1. The
+    knob is rows-based and data-derived — independent of local core
+    count, so the same code compacts a 32-row frame to 1 partition
+    locally and leaves a 10^10-row frame at thousands of partitions on
+    a cluster (SPARK_GRAFT_MEMO_ROWS_PER_PARTITION overrides; default
+    2M rows ≈ 30-60 MB for pair/edge-shaped rows, the guide's §2.2
+    'fewer, larger partitions' target)."""
+    import os as _os
+
+    if rows_per_partition is None:
+        rows_per_partition = int(
+            _os.environ.get("SPARK_GRAFT_MEMO_ROWS_PER_PARTITION", "2000000")
+        )
+    cp = df.localCheckpoint(eager=True)
+    n = cp.count()
+    k = max(1, -(-n // int(rows_per_partition)))
+    try:
+        cur = cp.rdd.getNumPartitions()
+    except Exception:
+        return cp
+    return cp.coalesce(k) if k < cur else cp
+
+
 def wedge_probe(edges: DataFrame) -> tuple[DataFrame, int, int]:
     """THE Σdeg² dispatch probe, single implementation (ADVICE r9):
     one node-sized degree aggregate over a canonical undirected pair
@@ -195,12 +230,10 @@ def similarity_graph(
     in-session equivalent."""
     from .dedup import simhash_pairs
 
-    return (
+    return compact_checkpoint(
         simhash_pairs(
             docs, max_hamming=max_hamming, id_col=id_col, text_col=text_col
-        )
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
+        ).select("id_a", "id_b")
     )
 
 

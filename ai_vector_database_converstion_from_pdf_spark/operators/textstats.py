@@ -607,12 +607,17 @@ TOP2GRAM_MAX_FRAC = 0.20
 TOP3GRAM_MAX_FRAC = 0.18
 
 
-def _top_ngram_frac(docs: DataFrame, n: int, id_col: str, text_col: str):
+def _top_ngram_frac(
+    docs: DataFrame, n: int, id_col: str, text_col: str,
+    tokens_col: str | None = None,
+):
     """Per-doc fraction of tokens covered by the single most frequent
     word n-gram: (id, frac). Shuffle is keyed by (doc, gram) then doc —
-    proportional to corpus tokens, no all-pairs anything."""
+    proportional to corpus tokens, no all-pairs anything. `tokens_col`
+    names a pre-tokenized array column (tokenize once, share)."""
     toks = docs.select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("ts")
+        F.col(id_col).alias("id"),
+        (F.col(tokens_col) if tokens_col else tokens(F.col(text_col))).alias("ts"),
     )
     idx = F.when(
         F.size("ts") >= n, F.sequence(F.lit(0), F.size("ts") - n)
@@ -642,28 +647,31 @@ def _top_ngram_frac(docs: DataFrame, n: int, id_col: str, text_col: str):
 
 
 def repetition_flags(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Gopher-style repetition gate: type-token ratio plus the token
     fraction covered by the most frequent 2-gram / 3-gram, with the
     paper's keep-thresholds (0.20 / 0.18). Docs too short for an n-gram
     get frac 0 (never flagged). Output: (id, ttr, top2_frac, top3_frac,
     keep_2gram, keep_3gram, keep)."""
-    t = F.col(text_col)
+    ts = F.col(tokens_col) if tokens_col else tokens(F.col(text_col))
     base = docs.select(
         F.col(id_col).alias("id"),
         F.round(
             F.when(
-                F.size(tokens(t)) > 0,
-                F.size(F.array_distinct(tokens(t))) / F.size(tokens(t)),
+                F.size(ts) > 0,
+                F.size(F.array_distinct(ts)) / F.size(ts),
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("ttr"),
     )
-    g2 = _top_ngram_frac(docs, 2, id_col, text_col).withColumnRenamed(
+    g2 = _top_ngram_frac(docs, 2, id_col, text_col, tokens_col).withColumnRenamed(
         "frac", "top2_frac"
     )
-    g3 = _top_ngram_frac(docs, 3, id_col, text_col).withColumnRenamed(
+    g3 = _top_ngram_frac(docs, 3, id_col, text_col, tokens_col).withColumnRenamed(
         "frac", "top3_frac"
     )
     out = (

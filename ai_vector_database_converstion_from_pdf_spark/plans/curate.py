@@ -54,8 +54,21 @@ def curate_corpus(
     both Gopher gates, and shares no eval n-grams."""
     is_eval = F.col("doc_id") % eval_mod == 0
 
+    # Tokenize ONCE, share everywhere: four of the five stages consume
+    # the same lowercase-alnum token array (jaccard 3-gram shingles,
+    # repetition 2/3-grams + TTR, decon 5-gram shingles — previously
+    # each re-scanned the corpus and re-ran the regexp split). One
+    # cached (doc_id, text, tokens) projection replaces ~5 corpus scans
+    # + tokenizations; at 100 TB this is the "materialize the proxy
+    # once" rule (guide §8) applied to the token arrays.
+    from ..functions.text import tokens as _tokens
+
+    toked = docs.select(
+        "doc_id", "text", _tokens(F.col("text")).alias("_ts")
+    ).persist()
+
     # per-row stages fused into one scan: quality + PII + split flag
-    per_row = docs.select(
+    per_row = toked.select(
         "doc_id",
         gopher_keep_col(F.col("text")).alias("quality_keep"),
         redact_col(F.col("text")).alias("redacted"),
@@ -63,14 +76,24 @@ def curate_corpus(
     )
 
     resolved = resolve_duplicates(
-        docs, ngram_jaccard_pairs(docs, threshold=jaccard_threshold, max_doc_freq=max_doc_freq)
+        toked,
+        ngram_jaccard_pairs(
+            toked,
+            threshold=jaccard_threshold,
+            max_doc_freq=max_doc_freq,
+            tokens_col="_ts",
+        ),
     ).select(F.col("id").alias("doc_id"), (~F.col("is_dup")).alias("dedup_keep"))
 
-    repetition = repetition_flags(docs).select(
+    repetition = repetition_flags(toked, tokens_col="_ts").select(
         F.col("id").alias("doc_id"), F.col("keep").alias("repetition_keep")
     )
     contam = contaminated_ids(
-        docs.filter(~is_eval), docs.filter(is_eval), n=decon_n, min_hits=decon_min_hits
+        toked.filter(~is_eval),
+        toked.filter(is_eval),
+        n=decon_n,
+        min_hits=decon_min_hits,
+        tokens_col="_ts",
     ).select(F.col("train_id").alias("doc_id"), F.lit(False).alias("decon_keep"))
 
     # Assembly WITHOUT corpus-sized joins: the four stage frames (each

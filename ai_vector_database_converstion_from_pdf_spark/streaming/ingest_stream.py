@@ -179,16 +179,19 @@ def stage_event_drops(
     )
     os.makedirs(stream_dir, exist_ok=True)
     base = _time.time() - 3600
+    # ONE write job for all drops: the ntile window already funnels the
+    # frame into a single partition, so a partitionBy("_tile") write from
+    # that task emits exactly one file per tile directory — versus the
+    # previous per-tile loop, which re-ran the global window sort once
+    # per drop (n_drops full sorts + n_drops jobs for the same rows).
+    stage_all = os.path.join(stream_dir, "_stage_all")
+    tiled.write.mode("overwrite").partitionBy("_tile").parquet(stage_all)
     for i in range(1, n_drops + 1):
-        part_dir = os.path.join(stream_dir, f"_stage_{i}")
-        tiled.filter(F.col("_tile") == i).drop("_tile").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(part_dir)
-        src = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        src = glob.glob(os.path.join(stage_all, f"_tile={i}", "part-*.parquet"))[0]
         dst = os.path.join(stream_dir, f"drop-{i:03d}.parquet")
         shutil.move(src, dst)
-        shutil.rmtree(part_dir)
         os.utime(dst, (base + i, base + i))
+    shutil.rmtree(stage_all)
     if flush_drop:
         part_dir = os.path.join(stream_dir, "_stage_flush")
         events.limit(0).coalesce(1).write.mode("overwrite").parquet(part_dir)
@@ -205,6 +208,7 @@ def run_windowed_counts_job(
     checkpoint_dir: str,
     window: str = "5 minutes",
     watermark: str = "10 minutes",
+    state_partitions: int | None = None,
 ) -> list:
     """The end-to-end watermarked event-time job (SURVEY §2.8 depth,
     VERDICT r8 #4): file-source stream over parquet drops → watermarked
@@ -237,14 +241,35 @@ def run_windowed_counts_job(
     def _sink(batch_df: DataFrame, _epoch: int) -> None:
         collected.extend(batch_df.collect())
 
-    q = (
-        agg.writeStream.outputMode("append")
-        .foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # State-store sharding: a streaming aggregation keeps one state
+    # partition per shuffle partition, and every micro-batch pays one
+    # task + one checkpoint delta file PER state partition regardless of
+    # how little state it holds. State volume here is bounded by the
+    # watermark horizon x group cardinality (open windows only), not by
+    # stream length, so the shard count is a state-size knob, not a
+    # throughput knob — size it to expected open-window cardinality
+    # (default 8; SPARK_GRAFT_STREAM_STATE_PARTITIONS overrides, e.g.
+    # hundreds on a real cluster with wide key spaces). The result is
+    # partition-count independent: per-key state merge is associative.
+    import os as _os
+
+    if state_partitions is None:
+        state_partitions = int(
+            _os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+        )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(_sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return collected
 
 
