@@ -96,11 +96,14 @@ def bloom_contamination(
     The training side never shuffles.
     """
     import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import BooleanType
 
     train_sh = word_shingles(train, n=n, id_col=id_col, text_col=text_col)
-    eval_sh = word_shingles(eval_docs, n=n, id_col=id_col, text_col=text_col)
+    # eval shingles are computed twice (bitmap-build action + the exact
+    # verify broadcast) — persist so the tokenize/shingle/distinct pass
+    # over the eval slice runs once
+    eval_sh = word_shingles(
+        eval_docs, n=n, id_col=id_col, text_col=text_col
+    ).persist()
 
     def positions(col):
         # k independent hashes via salted xxhash64; pmod keeps [0, m)
@@ -132,28 +135,33 @@ def bloom_contamination(
     packed = np.zeros(n_words, dtype=np.uint64)
     for r in words:
         packed[r.w] = np.uint64(r.bits & 0xFFFFFFFFFFFFFFFF)
-    spark = train.sparkSession
-    bc = spark.sparkContext.broadcast(packed)
 
-    # note: no type annotations — `from __future__ import annotations`
-    # stringifies them, which pandas_udf signature inference rejects
-    @F.pandas_udf(BooleanType())
-    def bloom_hit(pos):
-        bm = bc.value
-
-        def hit(ps):
-            p = np.asarray(ps, dtype=np.int64)
-            return bool(
-                ((bm[p >> 6] >> (p & 63).astype(np.uint64)) & np.uint64(1)).all()
-            )
-
-        return pd.Series([hit(ps) for ps in pos])
-
-    survivors = (
-        train_sh.withColumn("_pos", positions(F.col("shingle")))
-        .filter(bloom_hit(F.col("_pos")))
-        .drop("_pos")
+    # membership test as a pure JVM expression (guide §4.1: built-ins
+    # over UDFs — this removed the only Python boundary on the training
+    # side): the packed bitmap ships as ONE array<long> plan literal
+    # (m/8 bytes, same size contract as the old python broadcast), each
+    # hash position tests its word via element_at + shiftleft mask.
+    # Arithmetic-vs-logical shift is irrelevant: the mask isolates one
+    # bit below the sign extension. Bit layout is identical to the
+    # pandas-UDF path (word = p >> 6, bit = p & 63), so the survivor
+    # set — true hits + the same FP fraction — is byte-identical.
+    words_lit = F.lit(
+        [int(w) if w < (1 << 63) else int(w) - (1 << 64) for w in packed]
     )
+    hit = None
+    for j in range(n_hashes):
+        p = F.pmod(
+            F.xxhash64(F.concat(F.col("shingle"), F.lit(f"#bloom{j}"))),
+            F.lit(m_bits),
+        ).cast("long")
+        word = F.element_at(words_lit, F.shiftright(p, 6).cast("int") + F.lit(1))
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.pmod(p, F.lit(64)).cast("int")
+        )
+        test = word.bitwiseAND(mask) != F.lit(0).cast("long")
+        hit = test if hit is None else (hit & test)
+
+    survivors = train_sh.filter(hit if hit is not None else F.lit(True))
     return _verify_hits(survivors, eval_sh, min_hits)
 
 

@@ -78,6 +78,35 @@ def wedge_probe(edges: DataFrame) -> tuple[DataFrame, int, int]:
     return deg, int(stats["s"] or 0), int(stats["n"] or 0)
 
 
+def _cc_driver_labels(edge_rows) -> dict:
+    """Union-find (path compression + union-by-min) over a collected
+    edge list: {id: min id reachable}. Union-by-min makes every root
+    the minimum id of its component — the same label rule as the
+    distributed loop."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edge_rows:
+        a, b = r[0], r[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {x: find(x) for x in parent}
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -86,7 +115,45 @@ def connected_components(
 ) -> DataFrame:
     """(id, component) where component = min node id reachable from `id`.
     `nodes`: one column of ids (singletons keep their own id);
-    `edges`: (id_a, id_b) undirected pairs."""
+    `edges`: (id_a, id_b) undirected pairs.
+
+    Dispatch (r13, the probe-then-dispatch idiom): duplicate-pair /
+    contamination graphs are usually FAR smaller than the corpora they
+    come from, but the synchronous min-label loop pays one full
+    join+agg+convergence job PER ROUND regardless — 20-60 jobs for a
+    graph that fits in one driver page. A single limit(B+1).collect()
+    probe (one action; rows are only used when they are provably the
+    ENTIRE edge set) routes graphs of <= B edges to a driver-side
+    union-find with identical min-label semantics; bigger graphs take
+    the unchanged distributed loop. B defaults to 1M edges (~tens of
+    MB collected — model-sized, the kmeans-sample/centroid-collect
+    bound) and is env-tunable (SPARK_GRAFT_CC_COLLECT_MAX_EDGES; 0
+    disables the fast path)."""
+    import os as _os
+
+    budget = int(_os.environ.get("SPARK_GRAFT_CC_COLLECT_MAX_EDGES", "1000000"))
+    if budget > 0:
+        head = (
+            edges.select(F.col("id_a"), F.col("id_b")).limit(budget + 1).collect()
+        )
+        if len(head) <= budget:
+            labels = _cc_driver_labels(head)
+            spark = nodes.sparkSession
+            node_ids = nodes.select(F.col(id_col).alias("id"))
+            if labels:
+                id_t = nodes.schema[id_col].dataType.simpleString()
+                lab_df = spark.createDataFrame(
+                    list(labels.items()), f"id {id_t}, _cc_label {id_t}"
+                )
+                out = node_ids.join(F.broadcast(lab_df), "id", "left").select(
+                    "id",
+                    F.coalesce(F.col("_cc_label"), F.col("id")).alias("component"),
+                )
+            else:
+                out = node_ids.select("id", F.col("id").alias("component"))
+            # same node-sized eager materialization contract as the
+            # distributed branch
+            return out.localCheckpoint(eager=True)
     sym = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))

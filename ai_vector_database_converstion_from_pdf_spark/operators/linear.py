@@ -95,24 +95,57 @@ def logistic_probe(
         raise ValueError(f"n_iters must be >= 1, got {n_iters}")
     feat = _features(docs, label_col, id_col, text_col, n_buckets).persist()
     try:
-        w, scored = _train(feat, docs.count(), int(n_iters))
+        # resid seed straight from docs (ids are unique per contract) —
+        # skips _train's .distinct() exchange over the feature table;
+        # empty-token docs add resid rows that inner-join to nothing
+        resid0 = docs.select(
+            F.col(id_col).alias("id"), label_col.cast("long").alias("y")
+        )
+        _w, scored = _train(feat, docs.count(), int(n_iters), resid0=resid0)
         return scored.select("id", "y", "score")
     finally:
         feat.unpersist()
 
 
-def _train(feat: DataFrame, n_docs: int, n_iters: int):
-    """The shared GD core: returns (weight frame (bucket, w_micro) —
-    eagerly checkpointed, safe to use after feat unpersists — and the
-    final lazy scored frame (id, y, score, r_micro))."""
-    # residual table starts closed-form: p = 0.5 everywhere at w = 0
-    resid = feat.select("id", "y").distinct().select(
+def _train(feat: DataFrame, n_docs: int, n_iters: int, resid0=None):
+    """The shared GD core: returns ({bucket: w_micro} dict — the model
+    is n_buckets-sized by construction, so it lives on the driver and
+    ships back as a plan-literal map, the ivf_assign centroid idiom —
+    and the final lazy scored frame (id, y, score, r_micro)).
+
+    Join strategy (guide §3.1, deliberate): the per-iteration gradient
+    joins the residual table (one row per doc: id, r_micro) back onto
+    the feature table by id. Features are grouped by (id,y,len,bucket),
+    NOT id, so this was a full two-sided shuffle per iteration; the
+    residual side is two longs per doc, so it is broadcast whenever the
+    doc count fits (`SPARK_GRAFT_PROBE_BCAST_MAX_DOCS`, default 20M ≈
+    320 MB framed — the guide's 'few hundred MB is fine' bound), which
+    removes both per-iteration exchanges. Above the bound the plain
+    shuffle join returns. The weight table never shuffles at all: step
+    rounding stays IN Spark (identical float semantics), the <= 64-row
+    stepped gradient is collected, and the integer update runs in the
+    driver — exact long arithmetic in either place, so results are
+    bit-identical."""
+    import os as _os
+
+    # residual table starts closed-form: p = 0.5 everywhere at w = 0.
+    # resid0 (id, y) is map-side when the caller knows ids are unique
+    # (documents are); the .distinct() fallback keeps operator parity
+    # for arbitrary feat frames.
+    if resid0 is None:
+        resid0 = feat.select("id", "y").distinct()
+    resid = resid0.select(
         "id", (F.lit(500_000) - F.col("y") * F.lit(1_000_000)).alias("r_micro")
     )
-    w = None  # (bucket, w_micro)
+    bcast_max = int(
+        _os.environ.get("SPARK_GRAFT_PROBE_BCAST_MAX_DOCS", "20000000")
+    )
+    maybe_b = F.broadcast if n_docs <= bcast_max else (lambda df: df)
+    w_map: dict[int, int] = {}
+    scored = None
     for _ in range(n_iters):
         grad = (
-            feat.join(resid, "id")
+            feat.join(maybe_b(resid), "id")
             .groupBy("bucket")
             .agg(F.sum(F.col("r_micro") * F.col("x_micro")).alias("g_micro"))
         )
@@ -125,26 +158,30 @@ def _train(feat: DataFrame, n_docs: int, n_iters: int):
             )
             * F.lit(1e6)
         ).cast("long")
-        if w is None:
-            w = grad.select("bucket", (-step).alias("w_micro"))
-        else:
-            w = (
-                w.join(grad, "bucket", "full")
-                .select(
-                    "bucket",
-                    (
-                        F.coalesce(F.col("w_micro"), F.lit(0))
-                        - F.coalesce(step, F.lit(0))
-                    ).alias("w_micro"),
-                )
-            )
-        # model-sized frame: materialize + cut lineage each round
-        w = w.localCheckpoint(eager=True)
+        # model-sized collect replaces the former 64-row localCheckpoint
+        # + broadcast-join round trip
+        for r in grad.select("bucket", step.alias("s")).collect():
+            w_map[int(r.bucket)] = w_map.get(int(r.bucket), 0) - int(r.s)
 
+        pairs = []
+        for b in sorted(w_map):
+            pairs.append(F.lit(int(b)))
+            pairs.append(F.lit(int(w_map[b])).cast("long"))
+        wm = F.create_map(*pairs)
+        # every bucket present in feat is present in grad (inner join on
+        # id covers all feat rows), so the lookup always hits; coalesce
+        # keeps the no-weight contribution at exactly 0 regardless
         dots = (
-            feat.join(F.broadcast(w), "bucket")
+            feat.select(
+                "id",
+                "y",
+                (
+                    F.coalesce(wm[F.col("bucket")], F.lit(0).cast("long"))
+                    * F.col("x_micro")
+                ).alias("t"),
+            )
             .groupBy("id", "y")
-            .agg(F.sum(F.col("w_micro") * F.col("x_micro")).alias("dot_micro"))
+            .agg(F.sum("t").alias("dot_micro"))
         )
         p = F.round(
             F.lit(1.0)
@@ -160,7 +197,7 @@ def _train(feat: DataFrame, n_docs: int, n_iters: int):
             ),
         )
         resid = scored.select("id", "r_micro")
-    return w, scored
+    return w_map, scored
 
 
 def collect_weights(
@@ -179,8 +216,11 @@ def collect_weights(
         raise ValueError(f"n_iters must be >= 1, got {n_iters}")
     feat = _features(docs, label_col, id_col, text_col, n_buckets).persist()
     try:
-        w, _scored = _train(feat, docs.count(), int(n_iters))
-        return {int(r.bucket): int(r.w_micro) for r in w.collect()}
+        resid0 = docs.select(
+            F.col(id_col).alias("id"), label_col.cast("long").alias("y")
+        )
+        w_map, _scored = _train(feat, docs.count(), int(n_iters), resid0=resid0)
+        return {int(b): int(m) for b, m in w_map.items()}
     finally:
         feat.unpersist()
 

@@ -21,6 +21,22 @@ def get_spark(app_name: str = "pvdb-spark", cpus: int | str | None = None) -> Sp
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Respect the advisory byte size when coalescing instead of
+        # padding partition counts up to defaultParallelism (guide §2.2
+        # "fewer, larger partitions"; the Spark docs themselves
+        # recommend false). With the default (true), EVERY tiny
+        # post-shuffle stage keeps ~cores near-empty partitions and the
+        # suite pays task-scheduling overhead per empty task per job;
+        # with byte-derived counts the SAME config sizes partitions to
+        # data volume at any scale. Both knobs env-overridable.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_AQE_ADVISORY_SIZE", "64m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
@@ -37,6 +53,14 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"),
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_AQE_ADVISORY_SIZE", "64m"),
+        )
     except Exception:
         pass  # non-runtime-settable in some builds; harmless
     return spark

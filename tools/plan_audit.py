@@ -165,8 +165,9 @@ EXPECT = {
     "events_robust_anomalies": ["BroadcastHashJoin", "!SortMergeJoin", "!Window"],
     # packed sign bits + bit_count(xor): pure codegen, TakeOrdered both stages
     "ann_hamming_topk": ["TakeOrderedAndProject", "!ArrowEvalPython", "!MapInPandas"],
-    # bloom probe is the ONLY Python stage; verify join stays broadcast
-    "decontaminate_bloom": ["ArrowEvalPython", "BroadcastHashJoin", "!SortMergeJoin"],
+    # bloom probe is a JVM bitmap-literal test (r13): NO Python stage
+    # anywhere; verify join stays broadcast
+    "decontaminate_bloom": ["!ArrowEvalPython", "BroadcastHashJoin", "!SortMergeJoin"],
     # returned frame is the eager localCheckpoint scan (graph idiom):
     # the audited plan is ONLY the final scan, so no-Python/no-join
     # assertions would be vacuous here. The operator itself is pure
@@ -291,12 +292,15 @@ EXPECT = {
         "!CartesianProduct",
         "!MapInPandas",
     ],
-    # matryoshka sweep: the (query x dim) side broadcasts into ONE
-    # corpus scan; ranking windows partition by (dim, qid)
+    # matryoshka sweep (r13): batched GEMM with per-batch top-k — ONE
+    # corpus scan for all dims x queries at BLAS rate (the
+    # dedup_embedding_cosine idiom; MapInPandas lives ABOVE the topk
+    # checkpoint so the audited tail shows only the recall join —
+    # the quality_linear_probe precedent); the BNLJ crossJoin is gone
     "embedding_matryoshka_recall": [
-        "BroadcastNestedLoopJoin",
+        "BroadcastHashJoin",
         "!SortMergeJoin",
-        "!MapInPandas",
+        "!BroadcastNestedLoopJoin",
     ],
     # link prediction downstream of the checkpointed pair scan: wedge
     # self-join + anti-join + degree joins, top-k without global sort.
