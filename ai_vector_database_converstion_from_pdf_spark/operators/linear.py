@@ -37,11 +37,22 @@ def _features(
     per-doc feature vectors on the simplex, so one learning rate fits
     every doc length (raw counts saturate the sigmoid and oscillate)."""
     from ..functions.text import tokens
+    from .fanout import fan_out_scan
 
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        label_col.cast("long").alias("y"),
-        tokens(F.col(text_col)).alias("ts"),
+    # fan out the narrow (id, y, text) projection when the scan is
+    # under-split (single-row-group fixture / one-file layouts): the
+    # tokenize + explode + md5-per-token chain below is the operator's
+    # dominant CPU and otherwise runs in as few tasks as the file has
+    # splits. No-op when the scan is already core-wide (guide §2.5).
+    base = fan_out_scan(
+        docs.select(
+            F.col(id_col).alias("id"),
+            label_col.cast("long").alias("y"),
+            F.col(text_col).alias("_text"),
+        )
+    )
+    base = base.select(
+        "id", "y", tokens(F.col("_text")).alias("ts")
     ).filter(F.size("ts") > 0)
     toks = base.select(
         "id", "y", F.size("ts").cast("long").alias("len"),
@@ -163,20 +174,23 @@ def _train(feat: DataFrame, n_docs: int, n_iters: int, resid0=None):
         for r in grad.select("bucket", step.alias("s")).collect():
             w_map[int(r.bucket)] = w_map.get(int(r.bucket), 0) - int(r.s)
 
-        pairs = []
-        for b in sorted(w_map):
-            pairs.append(F.lit(int(b)))
-            pairs.append(F.lit(int(w_map[b])).cast("long"))
-        wm = F.create_map(*pairs)
-        # every bucket present in feat is present in grad (inner join on
-        # id covers all feat rows), so the lookup always hits; coalesce
-        # keeps the no-weight contribution at exactly 0 regardless
+        # weights as ONE dense array literal indexed by bucket (a single
+        # py4j lit, the query_vector_lit idiom — per-entry create_map
+        # lits cost a py4j round-trip each at plan-build time); buckets
+        # absent from grad keep weight 0, identical to the old
+        # inner-join drop semantics (a dropped row contributes 0 to the
+        # per-doc sum; no doc can lose ALL rows since grad covers every
+        # bucket present in feat)
+        dense = [0] * ((max(w_map) + 1) if w_map else 1)
+        for b, m in w_map.items():
+            dense[int(b)] = int(m)
+        wa = F.lit(dense)
         dots = (
             feat.select(
                 "id",
                 "y",
                 (
-                    F.coalesce(wm[F.col("bucket")], F.lit(0).cast("long"))
+                    F.element_at(wa, F.col("bucket").cast("int") + F.lit(1))
                     * F.col("x_micro")
                 ).alias("t"),
             )

@@ -21,17 +21,19 @@ def get_spark(app_name: str = "pvdb-spark", cpus: int | str | None = None) -> Sp
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Respect the advisory byte size when coalescing instead of
-        # padding partition counts up to defaultParallelism (guide §2.2
-        # "fewer, larger partitions"; the Spark docs themselves
-        # recommend false). With the default (true), EVERY tiny
-        # post-shuffle stage keeps ~cores near-empty partitions and the
-        # suite pays task-scheduling overhead per empty task per job;
-        # with byte-derived counts the SAME config sizes partitions to
-        # data volume at any scale. Both knobs env-overridable.
+        # AQE coalescing policy — MEASURED A/B over the full 114-query
+        # suite (OPTIMIZATION_r13.md): parallelismFirst=false (the
+        # byte-derived policy the guide §2.2 suggests for shuffle-bound
+        # jobs) coalesces small-BYTES but CPU-DENSE post-shuffle stages
+        # (minhash md5+affine partial aggs, bloom verify probes,
+        # containment intersects) to one task and costs 2-5 s each on
+        # spine queries, while its task-overhead savings are noise-
+        # level. Kept at Spark's default (true = floor at parallelism,
+        # correct for compute-bound stages at any scale) with an env
+        # override for byte-bound cluster workloads.
         .config(
             "spark.sql.adaptive.coalescePartitions.parallelismFirst",
-            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"),
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),
         )
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
@@ -55,7 +57,7 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set(
             "spark.sql.adaptive.coalescePartitions.parallelismFirst",
-            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"),
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),
         )
         spark.conf.set(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
