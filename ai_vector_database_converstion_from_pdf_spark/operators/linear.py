@@ -37,22 +37,11 @@ def _features(
     per-doc feature vectors on the simplex, so one learning rate fits
     every doc length (raw counts saturate the sigmoid and oscillate)."""
     from ..functions.text import tokens
-    from .fanout import fan_out_scan
 
-    # fan out the narrow (id, y, text) projection when the scan is
-    # under-split (single-row-group fixture / one-file layouts): the
-    # tokenize + explode + md5-per-token chain below is the operator's
-    # dominant CPU and otherwise runs in as few tasks as the file has
-    # splits. No-op when the scan is already core-wide (guide §2.5).
-    base = fan_out_scan(
-        docs.select(
-            F.col(id_col).alias("id"),
-            label_col.cast("long").alias("y"),
-            F.col(text_col).alias("_text"),
-        )
-    )
-    base = base.select(
-        "id", "y", tokens(F.col("_text")).alias("ts")
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        label_col.cast("long").alias("y"),
+        tokens(F.col(text_col)).alias("ts"),
     ).filter(F.size("ts") > 0)
     toks = base.select(
         "id", "y", F.size("ts").cast("long").alias("len"),

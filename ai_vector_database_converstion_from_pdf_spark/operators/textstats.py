@@ -734,11 +734,12 @@ def bigram_surprisal(docs: DataFrame, add_k: int = 1) -> DataFrame:
     same convention the green unigram entry uses."""
     from .freqitems import token_ngrams
 
+    # three consumers of the bigram proxy — persist (see kn entry)
     bg = token_ngrams(docs, n=2).select(
         F.col("id").alias("doc_id"),
         "gram",
         F.split(F.col("gram"), " ")[0].alias("prev"),
-    )
+    ).persist()
     bg_counts = bg.groupBy("gram").agg(F.count("*").alias("cb"))
     ctx_counts = bg.groupBy("prev").agg(F.count("*").alias("cc"))
     vocab = docs.select(
@@ -782,12 +783,16 @@ def kn_bigram_surprisal(docs: DataFrame, discount: float = 0.75) -> DataFrame:
     broadcast 1-row aggregate. Docs with <2 tokens drop out."""
     from .freqitems import token_ngrams
 
+    # the bigram proxy feeds FIVE consumers (cb/ctx/cont/btypes + the
+    # final join) — persist so tokenize+explode runs once, not per
+    # consumer (guide §8 materialize-the-proxy-once; the proxy is
+    # (doc_id, gram, prev, cur), never the raw text)
     bg = token_ngrams(docs, n=2).select(
         F.col("id").alias("doc_id"),
         "gram",
         F.split(F.col("gram"), " ")[0].alias("prev"),
         F.split(F.col("gram"), " ")[1].alias("cur"),
-    )
+    ).persist()
     cb = bg.groupBy("gram").agg(F.count("*").alias("cb"))
     ctx = bg.groupBy("prev").agg(
         F.count("*").alias("cc"),
