@@ -57,6 +57,24 @@ def compact_checkpoint(
     return cp.coalesce(k) if k < cur else cp
 
 
+def bounded_checkpoint(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint with the partition count capped at default
+    parallelism — the count-free sibling of compact_checkpoint for
+    PER-ROUND loop frames (k-core peels, quotient peels), where union
+    accumulation otherwise grows the stored partition count by a full
+    shuffle width per round (32 → 65 → 97 near-empty tasks for every
+    downstream job). coalesce() merges without a shuffle and the cap is
+    the cluster's own parallelism, so at scale (partitions >= cores
+    already) this is byte-for-byte the old behavior."""
+    sc = df.sparkSession.sparkContext
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df.localCheckpoint(eager=True)
+    p = sc.defaultParallelism
+    return (df.coalesce(p) if p < cur else df).localCheckpoint(eager=True)
+
+
 def wedge_probe(edges: DataFrame) -> tuple[DataFrame, int, int]:
     """THE Σdeg² dispatch probe, single implementation (ADVICE r9):
     one node-sized degree aggregate over a canonical undirected pair
@@ -593,16 +611,17 @@ def kcore_peel(
         doomed = deg.filter(F.col("deg") < k).select(
             "id", F.lit(rnd).alias("peel_round")
         )
-        peeled = (
+        # bounded_checkpoint: the union/anti-join chains otherwise grow
+        # the stored partition count by a shuffle width per round
+        peeled = bounded_checkpoint(
             doomed if peeled is None else peeled.unionByName(doomed)
-        ).localCheckpoint(eager=True)
-        alive = (
+        )
+        alive = bounded_checkpoint(
             alive.join(
                 peeled.select(F.col("id").alias("u")), "u", "left_anti"
             )
             .join(peeled.select(F.col("id").alias("v")), "v", "left_anti")
             .select("u", "v")
-            .localCheckpoint(eager=True)
         )
     survivors = (
         alive.select(F.col("u").alias("id"))
@@ -1459,11 +1478,11 @@ def kcore_peel_quotient(
         doomed = _deg(alive_cls, alive_e).filter(F.col("deg") < k).select(
             "rep", F.lit(rnd).alias("peel_round")
         )
-        peeled = (
+        peeled = bounded_checkpoint(
             doomed if peeled is None else peeled.unionByName(doomed)
-        ).localCheckpoint(eager=True)
-        alive_cls = alive_cls.join(peeled, "rep", "left_anti").localCheckpoint(
-            eager=True
+        )
+        alive_cls = bounded_checkpoint(
+            alive_cls.join(peeled, "rep", "left_anti")
         )
         # edge-sized per-round pin: SERIALIZED blocks — the default
         # deserialized checkpoint of a ~1e8-row alive edge set OOM'd

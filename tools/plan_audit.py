@@ -182,9 +182,17 @@ EXPECT = {
     "events_value_histogram": ["BroadcastHashJoin", "!SortMergeJoin", "!Window"],
     # 512-row lambda table broadcast onto the (doc,bucket) aggregate
     "sample_dsir_weights": ["BroadcastHashJoin", "!SortMergeJoin", "!MapInPandas"],
-    # 64-row weight table broadcast each GD step; residual join is
-    # id-keyed (co-partitionable at scale) — no Python stage anywhere
-    "quality_linear_probe": ["BroadcastHashJoin", "!MapInPandas", "!ArrowEvalPython"],
+    # r13: the scoring pass has NO join at all — weights ship as one
+    # dense array<long> literal read via element_at (the gradient joins
+    # live in the training collects, broadcast under the doc bound);
+    # no Python stage anywhere, top-k without global sort
+    "quality_linear_probe": [
+        "TakeOrderedAndProject",
+        "!BroadcastHashJoin",
+        "!SortMergeJoin",
+        "!MapInPandas",
+        "!ArrowEvalPython",
+    ],
     # union + flipped-order window: still one key shuffle, no join
     "events_asof_join_forward": ["!SortMergeJoin", "!BroadcastHashJoin", "!MapInPandas"],
     # both directional windows share ONE key exchange; map-side pick
