@@ -113,6 +113,10 @@ def _cc_driver_labels(edge_rows) -> dict:
 
     for r in edge_rows:
         a, b = r[0], r[1]
+        if a is None or b is None:
+            # null endpoints would break the < comparisons below; the
+            # distributed loop drops them via its equi-joins, so skip
+            continue
         if a not in parent:
             parent[a] = a
         if b not in parent:
@@ -133,7 +137,12 @@ def connected_components(
 ) -> DataFrame:
     """(id, component) where component = min node id reachable from `id`.
     `nodes`: one column of ids (singletons keep their own id);
-    `edges`: (id_a, id_b) undirected pairs.
+    `edges`: (id_a, id_b) undirected pairs. HARD CONTRACT: every edge
+    endpoint must appear in `nodes` (all in-repo callers derive edges
+    from the node frame). The driver fast path propagates through every
+    collected endpoint, while the distributed loop blocks propagation
+    at ids absent from `nodes` — under the contract the two are
+    identical; null endpoints are dropped by both.
 
     Dispatch (r13, the probe-then-dispatch idiom): duplicate-pair /
     contamination graphs are usually FAR smaller than the corpora they
@@ -651,13 +660,18 @@ def bfs_hops(
     connected_components/pagerank/triangles in this module.
 
     Scale shape: each level is one frontier equi-join against the edge
-    table plus an anti-join against the found set; levels are BOUNDED
-    (no convergence probe), so the whole expansion is a lazy
-    `max_hops`-deep join chain — no driver iteration state, no
-    collect. Per-level cost is O(frontier x avg-degree); on a
-    checkpointed/materialized edge table each level scans the same
-    pinned pairs. BFS discovers each node first at its true minimum
-    level, so the anti-join (not a min-aggregate) is sufficient.
+    table plus an anti-join against the found set. The found set is
+    bounded_checkpoint'ed per level (r14, the kcore-peel idiom): a lazy
+    `max_hops`-deep chain re-computes every lower level inside each
+    higher one and union-accumulates a shuffle width of near-empty
+    partitions per level, so both plan size and task count grow per
+    hop. One eager checkpoint per level keeps each frontier computed
+    exactly once and the stored partition count capped at the cluster's
+    parallelism; the frontier is then re-derived from the checkpointed
+    found set (hops == k) at no extra job. Per-level cost is
+    O(frontier x avg-degree). BFS discovers each node first at its true
+    minimum level, so the anti-join (not a min-aggregate) is
+    sufficient.
 
     `edges`: (id_a, id_b) undirected pairs; `seeds`: (id), deduplicated
     here — duplicate seed ids yield ONE hops-0 row, the same contract
@@ -680,10 +694,14 @@ def bfs_hops(
             .distinct()
             .join(dist.select("id"), "id", "left_anti")
         )
-        dist = dist.unionByName(
-            nxt.select("id", F.lit(k).cast("long").alias("hops"))
+        dist = bounded_checkpoint(
+            dist.unionByName(
+                nxt.select("id", F.lit(k).cast("long").alias("hops"))
+            )
         )
-        frontier = nxt
+        # frontier == the nodes first discovered this level, re-read
+        # from the checkpointed found set instead of the nxt subtree
+        frontier = dist.filter(F.col("hops") == k).select("id")
     return dist
 
 

@@ -186,11 +186,25 @@ def stage_event_drops(
     # per drop (n_drops full sorts + n_drops jobs for the same rows).
     stage_all = os.path.join(stream_dir, "_stage_all")
     tiled.write.mode("overwrite").partitionBy("_tile").parquet(stage_all)
+    empty_src = None
     for i in range(1, n_drops + 1):
-        src = glob.glob(os.path.join(stage_all, f"_tile={i}", "part-*.parquet"))[0]
+        hits = glob.glob(os.path.join(stage_all, f"_tile={i}", "part-*.parquet"))
         dst = os.path.join(stream_dir, f"drop-{i:03d}.parquet")
-        shutil.move(src, dst)
+        if hits:
+            shutil.move(hits[0], dst)
+        else:
+            # n_drops > row count: ntile left this tile empty and the
+            # partitionBy write skipped its directory — emit an empty
+            # drop so the replay schedule keeps its file count (the old
+            # per-tile coalesce(1) loop wrote an empty part file here)
+            if empty_src is None:
+                empty_dir = os.path.join(stream_dir, "_stage_empty")
+                events.limit(0).coalesce(1).write.mode("overwrite").parquet(empty_dir)
+                empty_src = glob.glob(os.path.join(empty_dir, "part-*.parquet"))[0]
+            shutil.copy(empty_src, dst)
         os.utime(dst, (base + i, base + i))
+    if empty_src is not None:
+        shutil.rmtree(os.path.join(stream_dir, "_stage_empty"))
     shutil.rmtree(stage_all)
     if flush_drop:
         part_dir = os.path.join(stream_dir, "_stage_flush")

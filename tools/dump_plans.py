@@ -1,10 +1,10 @@
-"""Dump .explain("formatted") for catalog queries to plans/r13/.
+"""Dump .explain("formatted") for catalog queries to plans/<round>/.
 
 Usage: python tools/dump_plans.py <suffix> <query> [<query> ...]
-Writes plans/r13/<query>_<suffix>.txt for each query (suffix = before|after).
-Set DUMP_REPO to run the catalog from another checkout (for _before
-snapshots of already-committed changes) while writing into this repo's
-plans/r13/.
+Writes plans/$DUMP_ROUND/<query>_<suffix>.txt for each query (suffix =
+before|after; DUMP_ROUND defaults to r14). Set DUMP_REPO to run the
+catalog from another checkout (for _before snapshots of
+already-committed changes) while writing into this repo's plans dir.
 """
 
 from __future__ import annotations
@@ -21,7 +21,7 @@ def main() -> None:
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     repo = os.environ.get("DUMP_REPO", here)
     sys.path.insert(0, repo)
-    out_dir = os.path.join(here, "plans", "r13")
+    out_dir = os.path.join(here, "plans", os.environ.get("DUMP_ROUND", "r14"))
     os.makedirs(out_dir, exist_ok=True)
 
     from pyspark.sql import SparkSession
