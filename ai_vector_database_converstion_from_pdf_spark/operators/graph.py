@@ -260,7 +260,13 @@ def pagerank(
     """
     # persist the edge list: every iteration re-joins it, and without
     # materialization each action would replay the upstream pair
-    # pipeline (LSH/simhash candidate generation) n_iter times over
+    # pipeline (LSH/simhash candidate generation) n_iter times over.
+    # (r14 note: a fan_out_scan here — motivated by the compacted memo
+    # arriving at 1 partition so all n_iter broadcast-join edge passes
+    # run map-side on it — was interleaved-A/B'd and LOST all 3 rounds
+    # (4.18/5.34/7.04 s vs 3.26/5.08/4.99 s): at this scale the added
+    # exchange + 5x32 tiny tasks cost more than the serialization.
+    # Reverted on that evidence; see OPTIMIZATION_r14.md.)
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).persist()

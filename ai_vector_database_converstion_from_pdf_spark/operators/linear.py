@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.vector import long_array_lit
+
 N_BUCKETS = 64
 LR = 50.0  # full-batch rate over L1-normalized features, shared literal
 
@@ -173,7 +175,9 @@ def _train(feat: DataFrame, n_docs: int, n_iters: int, resid0=None):
         dense = [0] * ((max(w_map) + 1) if w_map else 1)
         for b, m in w_map.items():
             dense[int(b)] = int(m)
-        wa = F.lit(dense)
+        # long_array_lit: F.lit(list) costs one py4j round-trip per
+        # element — per GD iteration here (r14, the query_vector_lit fix)
+        wa = long_array_lit(dense)
         dots = (
             feat.select(
                 "id",

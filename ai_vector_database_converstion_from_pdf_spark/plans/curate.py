@@ -63,6 +63,12 @@ def curate_corpus(
     # once" rule (guide §8) applied to the token arrays.
     from ..functions.text import tokens as _tokens
 
+    # NOTE (ADVICE r13): intentionally NOT unpersisted here — the frame
+    # is consumed lazily by the returned plan, so there is no in-operator
+    # post-action hook; the cache is session-lifetime by design and
+    # Spark's LRU evicts it under pressure. (An eager checkpoint instead
+    # would race multi-consumer broadcast builds — the r13 matryoshka
+    # finding — and persist() keeps the shared-InMemoryRelation plan.)
     toked = docs.select(
         "doc_id", "text", _tokens(F.col("text")).alias("_ts")
     ).persist()

@@ -110,6 +110,7 @@ def test_auto_selects_and_logs(shapes, caplog):
     assert any("UNIFORM" in m and "mean sampled NN-cos" in m for m in msgs)
 
 
+@pytest.mark.slow  # recall-floor sweep on generated fixtures (VERDICT r13 #8)
 def test_auto_matches_best_fixed_family_clustered(shapes):
     """auto ≥ best fixed family − ε on the clustered generator. The
     measured best there is IVF-auto (recall 1.0 at sf0.1 scale)."""
@@ -129,6 +130,7 @@ def test_auto_matches_best_fixed_family_clustered(shapes):
     assert auto >= 0.90, auto
 
 
+@pytest.mark.slow  # recall-floor sweep on generated fixtures (VERDICT r13 #8)
 def test_auto_matches_best_fixed_family_uniform(shapes):
     """auto ≥ best fixed family − ε on the uniform generator. The
     measured best there is int8 auto-shortlist (recall 1.0 at two

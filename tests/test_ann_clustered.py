@@ -31,6 +31,9 @@ from ai_vector_database_converstion_from_pdf_spark.operators import (  # noqa: E
     similarity,
 )
 
+# stress-tier sweep on generated fixtures: opt-in (VERDICT r13 #8)
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.01"
 K = 10
 N_QUERIES = 10

@@ -26,6 +26,9 @@ from ai_vector_database_converstion_from_pdf_spark.operators.textstats import ( 
     winnowing_matches,
 )
 
+# stress-tier sweep on generated fixtures: opt-in (VERDICT r13 #8)
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.001"
 N_PASSAGES = 8
 PCT = 10  # ~50 of 500 docs planted -> ~6 docs per passage, df << 50

@@ -33,6 +33,9 @@ from ai_vector_database_converstion_from_pdf_spark.operators.dedup import (  # n
     embedding_near_dup_pairs,
 )
 
+# stress-tier sweep on generated fixtures: opt-in (VERDICT r13 #8)
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.01"
 LOGGER = "ai_vector_database_converstion_from_pdf_spark.operators.dedup"
 
