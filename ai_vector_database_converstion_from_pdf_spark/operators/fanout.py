@@ -23,14 +23,42 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def fan_out_scan(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+def fan_out_scan(
+    df: DataFrame,
+    min_parallelism: int | None = None,
+    min_bytes: int | None = None,
+) -> DataFrame:
     """Repartition `df` to the default parallelism iff its current plan
     yields fewer partitions — a no-op whenever the source is already
-    split at least core-wide. SPARK_GRAFT_FANOUT=0 disables."""
+    split at least core-wide. SPARK_GRAFT_FANOUT=0 disables.
+
+    `min_bytes` (r14): additionally skip the fan-out when the plan's
+    estimated size is below this bound — read from the optimizer's
+    statistics (file-size based for parquet scans; NO job). Measured
+    basis (text_heavy_hitters, in-process env-toggle A/B ×5):
+    fanning a 0.6 MB corpus LOSES 5/5 (the exchange + 32 tiny MG
+    batches + the larger merged candidate set cost ~1 s against ~1.9 s
+    of serial work), while a 2.3 MB corpus WINS 5/5 (10.3 → 5.9 s) —
+    the serial CPU grows linearly with bytes but the fan-out overhead
+    does not. SPARK_GRAFT_FANOUT_MIN_BYTES overrides the caller's
+    bound; at production scale any real corpus clears it and the
+    partition probe below decides alone."""
     import os
 
     if os.environ.get("SPARK_GRAFT_FANOUT", "1") == "0":
         return df
+    env_min = os.environ.get("SPARK_GRAFT_FANOUT_MIN_BYTES")
+    if env_min is not None:
+        min_bytes = int(env_min)
+    if min_bytes:
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            est = None
+        if est is not None and est < int(min_bytes):
+            return df
     sc = df.sparkSession.sparkContext
     target = int(min_parallelism or sc.defaultParallelism)
     try:
