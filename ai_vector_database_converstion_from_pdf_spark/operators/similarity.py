@@ -290,6 +290,26 @@ def sample_centroids(
     return [(i, list(r["v"])) for i, r in enumerate(rows)]
 
 
+def collect_train_sample(
+    embeddings: DataFrame,
+    sample_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """THE deterministic training sample: the xxhash64-smallest
+    `sample_size` rows — a TakeOrdered scan (no shuffle, deterministic,
+    content-independent). kmeans_centroids and pq_train both train on
+    exactly this sample; callers needing both (the IVF-PQ composite)
+    collect it ONCE here and pass it to each via `sample_rows`, saving
+    one identical TakeOrdered job + driver collect per call (r14)."""
+    return (
+        embeddings.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
+        .limit(sample_size)
+        .collect()
+    )
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     n_centroids: int,
@@ -298,21 +318,22 @@ def kmeans_centroids(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_rows: list | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Seeded k-means over a deterministic sample (VERDICT r1 fix #8):
     k-means++ init + `n_iter` Lloyd steps on cosine geometry (vectors
     L2-normalized, so squared-euclidean k-means == spherical k-means).
 
-    Scale shape: the sample is the xxhash64-smallest `sample_size` rows —
-    a TakeOrdered scan (no shuffle, deterministic, content-independent);
-    everything after runs on a ≤(sample_size × dim) numpy matrix on the
-    driver. The corpus-wide assignment stays in `ivf_assign` (broadcast
-    literal centroids, one map-side pass)."""
+    Scale shape: the sample is the xxhash64-smallest `sample_size` rows
+    (collect_train_sample; pre-collected rows can be passed via
+    `sample_rows` to share one collect across trainers); everything
+    after runs on a ≤(sample_size × dim) numpy matrix on the driver.
+    The corpus-wide assignment stays in `ivf_assign` (broadcast literal
+    centroids, one map-side pass)."""
     rows = (
-        embeddings.select(F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
-        .limit(sample_size)
-        .collect()
+        sample_rows
+        if sample_rows is not None
+        else collect_train_sample(embeddings, sample_size, id_col, vec_col)
     )
     X = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
     nrm = np.linalg.norm(X, axis=1)
@@ -437,10 +458,13 @@ def pq_train(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_rows: list | None = None,
 ) -> np.ndarray:
     """Train PQ codebooks: split the (L2-normalized) vector into `m`
     subspaces and k-means each subspace independently on the same
-    deterministic hash-smallest sample used by `kmeans_centroids`.
+    deterministic hash-smallest sample used by `kmeans_centroids`
+    (pass `sample_rows` from collect_train_sample to share one
+    collect when both trainers run — the IVF-PQ composite).
 
     Returns an (m, k, dim/m) float array — a few KB, shipped to
     executors by closure broadcast. Normalizing first makes squared-L2
@@ -451,10 +475,9 @@ def pq_train(
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
     rows = (
-        embeddings.select(F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
-        .limit(sample_size)
-        .collect()
+        sample_rows
+        if sample_rows is not None
+        else collect_train_sample(embeddings, sample_size, id_col, vec_col)
     )
     X = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
     nrm = np.linalg.norm(X, axis=1)
